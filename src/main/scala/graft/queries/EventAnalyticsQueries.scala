@@ -1,0 +1,297 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Num, Windows}
+
+/** The reference's four streaming processors — funnel, GMV, drop-off,
+  * payment (SURVEY.md §2.6–§2.8; funnel_processor.py, gmv_processor.py,
+  * dropoff_processor.py, payment_processor.py) — re-expressed as batch
+  * analytics over the `events` testdata table. The window expressions
+  * are identical to the streaming path (operators.Windows /
+  * streaming.Processors); batch execution is what makes them
+  * oracle-checkable (SURVEY §5b).
+  *
+  * Window sizes are scaled up (1 h / 30 min vs the reference's
+  * 1 min / 30 s) because the testdata spans a month — the operator
+  * shape (overlapping windows, conditional counts, rates) is unchanged.
+  *
+  * 100 TB notes: a sliding window with width/slide = 2 doubles rows
+  * before aggregation, but partial (map-side) aggregation collapses
+  * them to ≤ (#windows × #groups) per task before the shuffle — state
+  * size is bounded by window-count, not event-count. `collect_list`
+  * samples are bounded by slice(sort,1,3); see operators.Sampling for
+  * the cap-at-N aggregator that avoids materializing unbounded lists.
+  */
+object EventAnalyticsQueries {
+
+  private val Width = "1 hour"
+  private val Slide = "30 minutes"
+  private val WidthSec = 3600L
+  private val SlideSec = 1800L
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  /** q12: funnel — conditional stage counts + conversion rates per
+    * sliding window (funnel_processor.py:23-61: A1/A2/A4/P4/P6). */
+  def q12Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val win = Windows.withSlidingWindow(events(spark, dir), "ts", Width, Slide)
+    win.groupBy(col("window_start"), col("window_end"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("signups"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"))
+      .withColumn("click_rate", Windows.pct(col("clicks"), col("views")))
+      .withColumn("conversion_rate", Windows.pct(col("purchases"), col("views")))
+      .orderBy(col("window_start"))
+  }
+
+  val q12Sql: String = {
+    val from = Windows.duckSlidingFrom("events", "ts", WidthSec, SlideSec)
+    s"""SELECT window_start, window_end,
+       |  count(*) AS total_events,
+       |  count(DISTINCT user_id) AS unique_users,
+       |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
+       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+       |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+       |  CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+       |    THEN floor((floor((sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE
+       |      / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 100) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 END AS click_rate,
+       |  CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
+       |    THEN floor((floor((sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::DOUBLE
+       |      / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 100) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 END AS conversion_rate
+       |FROM $from w
+       |GROUP BY window_start, window_end
+       |ORDER BY window_start""".stripMargin
+  }
+
+  /** q13: GMV — sum/avg/min/max of purchase value per sliding window
+    * (gmv_processor.py:23-51: P2 derived col, A3/A5/A6, P6 round). */
+  def q13Gmv(spark: SparkSession, dir: String): DataFrame = {
+    val purchases = events(spark, dir).filter(col("event_type") === "purchase")
+    val win = Windows.withSlidingWindow(purchases, "ts", Width, Slide)
+    win.groupBy(col("window_start"), col("window_end"))
+      .agg(
+        Num.r(sum(col("value")), 2).as("total_gmv"),
+        count(lit(1)).as("purchase_count"),
+        countDistinct(col("user_id")).as("unique_buyers"),
+        Num.r(avg(col("value")), 2).as("avg_value"),
+        Num.r(max(col("value")), 2).as("max_value"),
+        Num.r(min(col("value")), 2).as("min_value"))
+      .orderBy(col("window_start"))
+  }
+
+  val q13Sql: String = {
+    val from = Windows.duckSlidingFrom(
+      "(SELECT * FROM events WHERE event_type = 'purchase')", "ts", WidthSec, SlideSec)
+    s"""SELECT window_start, window_end,
+       |  floor((floor((sum(value)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS total_gmv,
+       |  count(*) AS purchase_count,
+       |  count(DISTINCT user_id) AS unique_buyers,
+       |  floor((floor((avg(value)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_value,
+       |  floor((floor((max(value)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS max_value,
+       |  floor((floor((min(value)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS min_value
+       |FROM $from w
+       |GROUP BY window_start, window_end
+       |ORDER BY window_start""".stripMargin
+  }
+
+  /** q14: drop-off — window × event_type grouping with alert flag and a
+    * deterministic bounded sample of ids (dropoff_processor.py:31-69:
+    * A7 first, A8 collect_list + AR1 slice, F4 threshold). The sample is
+    * sorted before slicing so it is deterministic — the reference's
+    * arbitrary-order collect_list+slice is not reproducible across
+    * engines (SURVEY §2.8 note). */
+  def q14DropOff(spark: SparkSession, dir: String): DataFrame = {
+    val alertThreshold = 50
+    val dropTypes = Seq("error", "click")
+    val ev = events(spark, dir)
+      .withColumn("is_dropoff", col("event_type").isin(dropTypes: _*))
+    val win = Windows.withSlidingWindow(ev, "ts", Width, Slide)
+    win.groupBy(col("window_start"), col("window_end"), col("event_type"))
+      .agg(
+        count(lit(1)).as("status_count"),
+        countDistinct(col("user_id")).as("unique_users"),
+        first(col("is_dropoff")).as("is_dropoff"),
+        concat_ws(",", transform(
+          slice(sort_array(collect_list(col("user_id"))), 1, 3),
+          x => x.cast("string"))).as("sample_user_ids"))
+      .withColumn("alert_triggered",
+        col("is_dropoff") && col("status_count") > alertThreshold)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q14Sql: String = {
+    val from = Windows.duckSlidingFrom("events", "ts", WidthSec, SlideSec)
+    s"""SELECT window_start, window_end, event_type,
+       |  count(*) AS status_count,
+       |  count(DISTINCT user_id) AS unique_users,
+       |  (event_type IN ('error', 'click')) AS is_dropoff,
+       |  array_to_string(list_slice(list_sort(list(user_id)), 1, 3), ',') AS sample_user_ids,
+       |  ((event_type IN ('error', 'click')) AND count(*) > 50) AS alert_triggered
+       |FROM $from w
+       |GROUP BY window_start, window_end, event_type
+       |ORDER BY window_start, event_type""".stripMargin
+  }
+
+  /** q15: payment-style analytics — JSON prop extraction + coalesce +
+    * conditional success rates per window × type
+    * (payment_processor.py:23-66: P5 coalesce, A4 success counts, S2
+    * from_json analog via get_json_object). */
+  def q15Payment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .withColumn("k", coalesce(
+        get_json_object(col("props"), "$.k").cast("int"), lit(0)))
+      .withColumn("is_success", col("k") % 10 =!= 0)
+    val win = Windows.withSlidingWindow(ev, "ts", Width, Slide)
+    win.groupBy(col("window_start"), col("window_end"), col("event_type"))
+      .agg(
+        count(lit(1)).as("txn_count"),
+        Num.r(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"),
+        Num.r(avg(coalesce(col("value"), lit(0.0))), 2).as("avg_value"),
+        sum(when(col("is_success"), 1).otherwise(0)).as("success_count"),
+        sum(when(!col("is_success"), 1).otherwise(0)).as("failed_count"),
+        max(col("k")).as("max_k"))
+      .withColumn("success_rate", Windows.pct(col("success_count"), col("txn_count")))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val q15Sql: String = {
+    val from = Windows.duckSlidingFrom(
+      """(SELECT *,
+        |  coalesce(CAST(json_extract_string(props, '$.k') AS INT), 0) AS k,
+        |  (coalesce(CAST(json_extract_string(props, '$.k') AS INT), 0) % 10 <> 0) AS is_success
+        | FROM events)""".stripMargin, "ts", WidthSec, SlideSec)
+    s"""SELECT window_start, window_end, event_type,
+       |  count(*) AS txn_count,
+       |  floor((floor((sum(coalesce(value, 0.0))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS total_value,
+       |  floor((floor((avg(coalesce(value, 0.0))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_value,
+       |  sum(CASE WHEN is_success THEN 1 ELSE 0 END) AS success_count,
+       |  sum(CASE WHEN NOT is_success THEN 1 ELSE 0 END) AS failed_count,
+       |  max(k) AS max_k,
+       |  CASE WHEN count(*) > 0
+       |    THEN floor((floor((sum(CASE WHEN is_success THEN 1 ELSE 0 END)::DOUBLE
+       |      / count(*) * 100) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 END AS success_rate
+       |FROM $from w
+       |GROUP BY window_start, window_end, event_type
+       |ORDER BY window_start, event_type""".stripMargin
+  }
+
+  /** q16: exact dedup by event_id then aggregate — the reference's D1
+    * (dropDuplicates on event_id, stream_processor.py:138-139) in batch
+    * form. */
+  def q16DedupExact(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("unique_users"),
+        Num.r(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("event_type"))
+
+  val q16Sql: String =
+    """SELECT event_type, count(*) AS event_count,
+      |  count(DISTINCT user_id) AS unique_users,
+      |  floor((floor((sum(value)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS total_value
+      |FROM (SELECT * FROM events
+      |      QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY ts) = 1)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** q17: session windows — per-user sessionization with a 30-minute
+    * gap (engine extension; SURVEY §2.7 W2). Spark's session_window is
+    * verified against a gaps-and-islands SQL oracle. */
+  def q17Session(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("events_in_session"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("session_count"),
+        max(col("events_in_session")).as("max_session_events"),
+        sum(col("events_in_session")).as("total_events"))
+      .orderBy(col("user_id"))
+
+  val q17Sql: String =
+    """WITH marks AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marks),
+      |per_session AS (
+      |  SELECT user_id, session_id, count(*) AS events_in_session
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT user_id, count(*) AS session_count,
+      |  max(events_in_session) AS max_session_events,
+      |  sum(events_in_session) AS total_events
+      |FROM per_session
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** q18: tumbling daily rollup (W2) — the downstream dashboard
+    * regroup pattern (init_metrics.sql:199-223). */
+  def q18Tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val win = Windows.withTumblingWindow(events(spark, dir), "ts", "1 day")
+    win.groupBy(col("window_start"))
+      .agg(count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        Num.r(sum(when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0))), 2).as("daily_gmv"))
+      .orderBy(col("window_start"))
+  }
+
+  val q18Sql: String = {
+    val from = Windows.duckTumblingFrom("events", "ts", 86400L)
+    s"""SELECT window_start,
+       |  count(*) AS total_events,
+       |  count(DISTINCT user_id) AS unique_users,
+       |  floor((floor((sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS daily_gmv
+       |FROM $from w
+       |GROUP BY window_start
+       |ORDER BY window_start""".stripMargin
+  }
+
+  /** q19: approximate distinct (A2 — approx_count_distinct, HLL++).
+    * No SQL oracle: DuckDB's HLL differs; the driver records a
+    * rows-only check. The exact variants in q12/q13 pin correctness. */
+  def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .withColumn("rel_err", Windows.pct(
+        abs(col("approx_users") - col("exact_users")), col("exact_users")))
+      .orderBy(col("event_type"))
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_funnel" -> (q12Funnel _),
+    "q13_gmv" -> (q13Gmv _),
+    "q14_dropoff" -> (q14DropOff _),
+    "q15_payment" -> (q15Payment _),
+    "q16_dedup_exact" -> (q16DedupExact _),
+    "q17_session" -> (q17Session _),
+    "q18_tumbling" -> (q18Tumbling _),
+    "q19_approx_distinct" -> (q19ApproxDistinct _))
+
+  def oracles: Map[String, String] = Map(
+    "q12_funnel" -> q12Sql,
+    "q13_gmv" -> q13Sql,
+    "q14_dropoff" -> q14Sql,
+    "q15_payment" -> q15Sql,
+    "q16_dedup_exact" -> q16Sql,
+    "q17_session" -> q17Sql,
+    "q18_tumbling" -> q18Sql)
+}

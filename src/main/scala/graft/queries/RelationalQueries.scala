@@ -1,0 +1,306 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Num
+
+/** Batch relational surface of the engine.
+  *
+  * Covers the reference's projection / filter / conditional-aggregation
+  * operators (SURVEY.md §2.3–§2.6: stream_processor.py:111-133,
+  * funnel_processor.py:23-61) and the downstream SQL surface
+  * (init_metrics.sql:157-239 window-equality joins, ORDER BY+LIMIT
+  * dashboards) re-expressed over the driver testdata, plus the set/join
+  * operators the reference lacks (§2.13) that a complete engine needs.
+  *
+  * Scale notes (100 TB): every query here is declarative DataFrame API —
+  * filters/projections reach the parquet scan (PushedFilters), dimension
+  * joins are explicitly broadcast, fact-fact joins shuffle on the join
+  * key only after pushed-down filters; aggregations are partial+final
+  * hash aggregates. No collect(), no driver-side loops.
+  */
+object RelationalQueries {
+
+  /** q1: pricing summary — filter + groupBy + sum/avg/count.
+    * Reference ops: A1 count, A3 sum, A5 avg, P6 round (SURVEY §2.6). */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
+        Num.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Num.r(avg(col("l_quantity")), 2).as("avg_qty"),
+        Num.r(avg(col("l_extendedprice")), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  floor((floor((sum(l_quantity)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS sum_qty,
+      |  floor((floor((sum(l_extendedprice)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS sum_base_price,
+      |  floor((floor((sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS sum_disc_price,
+      |  floor((floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_qty,
+      |  floor((floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q2: row-level projection + derived columns + filter pushdown.
+    * Reference ops: P1 select/rename, P2 derived col, P3 cast, P9
+    * arithmetic (SURVEY §2.3; gmv_processor.py:23-26 total_value). */
+  def q2FilterProject(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_quantity") > 49 && col("l_discount") >= 0.05)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        Num.r(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        Num.r(col("l_extendedprice") + col("l_tax") * col("l_extendedprice"), 2).as("gross"),
+        col("l_quantity").cast("long").as("qty_int"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  floor((floor((l_extendedprice * (1 - l_discount)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS revenue,
+      |  floor((floor((l_extendedprice + l_tax * l_extendedprice) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS gross,
+      |  CAST(l_quantity AS BIGINT) AS qty_int
+      |FROM lineitem
+      |WHERE l_quantity > 49 AND l_discount >= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** q3: star join — fact ⋈ broadcast dims (customer, nation, region).
+    * Reference op J1 (batch joins over engine output, init_metrics.sql:175-209)
+    * generalized; dims are broadcast so the only shuffle is the final agg. */
+  def q3StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    orders
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("order_count"),
+        Num.r(sum(col("o_totalprice")), 2).as("total_revenue"),
+        Num.r(avg(col("o_totalprice")), 2).as("avg_order_value"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q3Sql: String =
+    """SELECT r_name, n_name,
+      |  count(*) AS order_count,
+      |  floor((floor((sum(o_totalprice)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS total_revenue,
+      |  floor((floor((avg(o_totalprice)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_order_value
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** q4: large fact-fact join (lineitem ⋈ orders) + agg.
+    * At 100 TB both sides shuffle on the key; AQE handles skew. The
+    * shipdate filter is pushed below the join so only matching rows
+    * shuffle. */
+  def q4FactJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val orders = Tables.load(spark, dir, "orders")
+    li.filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("line_count"),
+        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS line_count,
+      |  floor((floor((sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q5: top-k — ORDER BY + LIMIT (SURVEY §2.10 O1: Grafana's
+    * `ORDER BY window_start DESC LIMIT 50`). Spark plans this as
+    * TakeOrderedAndProject — no global sort at scale. */
+  def q5TopK(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cust = Tables.load(spark, dir, "customer")
+    orders.groupBy(col("o_custkey"))
+      .agg(Num.r(sum(col("o_totalprice")), 2).as("total_spend"),
+        count(lit(1)).as("order_count"))
+      .join(broadcast(cust), col("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("total_spend"), col("order_count"))
+      .orderBy(col("total_spend").desc, col("c_custkey"))
+      .limit(10)
+  }
+
+  val q5Sql: String =
+    """SELECT c_custkey, c_name, total_spend, order_count
+      |FROM (
+      |  SELECT o_custkey, floor((floor((sum(o_totalprice)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS total_spend,
+      |         count(*) AS order_count
+      |  FROM orders GROUP BY o_custkey
+      |) t JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_spend DESC, c_custkey
+      |LIMIT 10""".stripMargin
+
+  /** q6: conditional aggregation — the reference's funnel pattern
+    * (sum(when(cond,1).otherwise(0)), A4; funnel_processor.py:29-41)
+    * over order statuses, with derived rates (P4/P6/P9:
+    * funnel_processor.py:49-55). */
+  def q6ConditionalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    orders.groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("fulfilled"),
+        sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("open_orders"),
+        sum(when(col("o_orderstatus") =!= "F", 1).otherwise(0)).as("not_fulfilled"))
+      .withColumn("fulfill_rate",
+        Num.r(col("fulfilled").cast("double") / col("total_orders") * 100, 2))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q6Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS total_orders,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
+      |  sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS not_fulfilled,
+      |  floor((floor((sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE
+      |        / count(*) * 100) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS fulfill_rate
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q7: left-semi join (EXISTS) — §2.13 absence filled. Planned as a
+    * broadcast/shuffled semi join; no row multiplication. */
+  def q7SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val orders = Tables.load(spark, dir, "orders")
+    cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("active_customers"),
+        Num.r(sum(col("c_acctbal")), 2).as("total_balance"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q7Sql: String =
+    """SELECT c_mktsegment, count(*) AS active_customers,
+      |  floor((floor((sum(c_acctbal)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS total_balance
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q8: left-anti join (NOT EXISTS) — §2.13 absence filled: customers
+    * with no large (>400k) order. */
+  def q8AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val bigOrders = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 400000)
+    cust.join(bigOrders, cust("c_custkey") === bigOrders("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("small_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q8Sql: String =
+    """SELECT c_mktsegment, count(*) AS small_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** q9: union + distinct — §2.13 absence filled (O3). */
+  def q9Union(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.load(spark, dir, "customer")
+    val supp = Tables.load(spark, dir, "supplier")
+    val a = cust.select(col("c_nationkey").cast("int").as("nationkey"),
+      lit("customer").as("side"))
+    val b = supp.select(col("s_nationkey").cast("int").as("nationkey"),
+      lit("supplier").as("side"))
+    a.unionByName(b)
+      .groupBy(col("nationkey"))
+      .agg(countDistinct(col("side")).as("side_count"),
+        count(lit(1)).as("member_count"))
+      .orderBy(col("nationkey"))
+  }
+
+  val q9Sql: String =
+    """SELECT nationkey, count(DISTINCT side) AS side_count,
+      |  count(*) AS member_count
+      |FROM (
+      |  SELECT CAST(c_nationkey AS INT) AS nationkey, 'customer' AS side FROM customer
+      |  UNION ALL
+      |  SELECT CAST(s_nationkey AS INT) AS nationkey, 'supplier' AS side FROM supplier
+      |)
+      |GROUP BY nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** q10: analytic window functions — ranking per partition (§2.12
+    * absence filled). row_number over (customer, totalprice desc). */
+  def q10WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cust_total", Num.r(sum(col("o_totalprice"))
+        .over(Window.partitionBy(col("o_custkey"))), 2))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        Num.r(col("o_totalprice"), 2).as("order_price"), col("cust_total"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q10Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, order_price, cust_total FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    floor((floor((o_totalprice) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS order_price,
+      |    floor((floor((sum(o_totalprice) OVER (PARTITION BY o_custkey)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS cust_total
+      |  FROM orders
+      |)
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q2_filter_project" -> (q2FilterProject _),
+    "q3_star_join" -> (q3StarJoin _),
+    "q4_fact_join" -> (q4FactJoin _),
+    "q5_topk" -> (q5TopK _),
+    "q6_conditional_agg" -> (q6ConditionalAgg _),
+    "q7_semi_join" -> (q7SemiJoin _),
+    "q8_anti_join" -> (q8AntiJoin _),
+    "q9_union" -> (q9Union _),
+    "q10_window_rank" -> (q10WindowRank _))
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" -> q1Sql,
+    "q2_filter_project" -> q2Sql,
+    "q3_star_join" -> q3Sql,
+    "q4_fact_join" -> q4Sql,
+    "q5_topk" -> q5Sql,
+    "q6_conditional_agg" -> q6Sql,
+    "q7_semi_join" -> q7Sql,
+    "q8_anti_join" -> q8Sql,
+    "q9_union" -> q9Sql,
+    "q10_window_rank" -> q10Sql)
+}
