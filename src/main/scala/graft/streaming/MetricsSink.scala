@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import java.util.Properties
+
+/** Sinks (SURVEY.md §2.2, metrics_sink.py:18-51).
+  *
+  * The reference's foreachBatch does: skip-if-empty → console show(5) →
+  * JDBC append with duplicate-key errors swallowed (K1). With `update`
+  * output mode + a UNIQUE window key that makes the FIRST (partial)
+  * emission win and discards every refinement — a race the survey flags
+  * as a bug to not replicate (§7.4 risk 2). The idiomatic sink here
+  * upserts (ON CONFLICT DO UPDATE) so the last refinement wins, which
+  * equals batch semantics; `firstWriteWins = true` restores the quirk
+  * for fidelity testing.
+  */
+final case class SinkConfig(
+    triggerInterval: String = "30 seconds",
+    checkpointRoot: String = "/tmp/graft-checkpoints",
+    showRows: Int = 5,
+    console: Boolean = false)
+
+object MetricsSink {
+
+  /** Wire a metric stream to a foreachBatch writer — the per-query
+    * topology of stream_processor.py:175-231. */
+  def start(df: DataFrame, queryName: String, cfg: SinkConfig)(
+      write: (DataFrame, Long) => Unit): StreamingQuery =
+    df.writeStream
+      .outputMode("update")
+      .queryName(s"sink_$queryName")
+      .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+      .option("checkpointLocation", s"${cfg.checkpointRoot}/$queryName")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (cfg.console) batch.show(cfg.showRows, truncate = false)
+          write(batch, batchId)
+        }
+      }
+      .start()
+
+  /** Parquet-append sink — the test/offline stand-in for the JDBC sink;
+    * partitioned by nothing at test scale, by window date at 100 TB. */
+  def parquetWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch, _) => batch.write.mode("append").parquet(outDir)
+
+  /** In-memory sink for unit tests: complete/update-mode results land in
+    * a queryable temp view. */
+  def memory(df: DataFrame, queryName: String, outputMode: String = "update"): StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+
+  /** JDBC upsert writer (idiomatic mode). Builds
+    * INSERT ... ON CONFLICT (keyCols) DO UPDATE from the batch schema and
+    * executes per partition — executors connect, not the driver
+    * (mirrors the reference's executor-side JDBC, SURVEY §3.1.5).
+    * Unexercisable in this environment (no Postgres); the SQL-text
+    * construction is unit-tested. */
+  def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+    val collist = columns.mkString(", ")
+    val placeholders = columns.map(_ => "?").mkString(", ")
+    val updates = columns.filterNot(keyCols.contains)
+      .map(c => s"$c = EXCLUDED.$c").mkString(", ")
+    s"INSERT INTO $table ($collist) VALUES ($placeholders) " +
+      s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates"
+  }
+
+  def jdbcUpsertWriter(url: String, table: String, keyCols: Seq[String],
+      props: Properties, firstWriteWins: Boolean = false): (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val columns = batch.schema.fieldNames.toSeq
+      val sql =
+        if (firstWriteWins)
+          // K1 compat: plain append; duplicate-key failures are swallowed
+          // per-row, replicating metrics_sink.py:38-39 first-write-wins.
+          s"INSERT INTO $table (${columns.mkString(", ")}) " +
+            s"VALUES (${columns.map(_ => "?").mkString(", ")}) ON CONFLICT DO NOTHING"
+        else upsertSql(table, columns, keyCols)
+      batch.foreachPartition { (rows: Iterator[Row]) =>
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        try {
+          conn.setAutoCommit(false)
+          val st = conn.prepareStatement(sql)
+          var n = 0
+          rows.foreach { r =>
+            columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+            st.addBatch()
+            n += 1
+            if (n % 500 == 0) st.executeBatch()
+          }
+          st.executeBatch()
+          conn.commit()
+        } finally conn.close()
+      }
+    }
+}
