@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: opaque `binary` payloads with typed
+  * metadata, batched decode / feature-extract over partitions.
+  *
+  * The real pipeline shape (schema, partitioning, batch iteration,
+  * output contract) is implemented and tested; the codec itself is a
+  * clearly-marked deterministic STUB — image/audio libraries are not in
+  * this environment (builder brief). Swapping `StubCodec` for a real
+  * JNI/FFI decoder changes no plumbing.
+  *
+  * 100 TB notes: payloads never pass through a shuffle here — decode is
+  * a mapPartitions over the scan, so bytes stream from parquet to the
+  * codec without reserialization. Feature vectors (small) are what any
+  * downstream shuffle carries. Batch size is rows-per-iterator-chunk,
+  * bounding peak codec memory.
+  */
+object Multimodal {
+
+  /** Attach a binary payload + metadata to documents — the ingest-side
+    * shape of an image/audio table. Payload here is the utf-8 text
+    * bytes (deterministic stand-in for real media bytes). */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        octet_length(encode(col("text"), "utf-8")).as("byte_len"),
+        (col("n_chars") % 64 + 1).cast("int").as("width"),
+        (col("n_chars") % 48 + 1).cast("int").as("height")).as("meta"))
+
+  final case class MediaFeature(
+      doc_id: Long, media_type: String, byte_len: Int,
+      mean_byte: Double, max_byte: Int, frames_sampled: Int)
+
+  /** STUB codec: "decodes" a payload by reading its bytes directly.
+    * Deterministic; replace with a real decoder (libjpeg/ffmpeg FFI)
+    * in production — signature and batching stay identical. */
+  object StubCodec {
+    def decode(payload: Array[Byte]): Array[Int] = payload.map(_ & 0xff)
+  }
+
+  /** Batched per-partition decode + feature extraction. Iterator-to-
+    * iterator transform: constant memory per partition, no collect. */
+  def extractFeatures(media: DataFrame, frameStep: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("meta.media_type"),
+      col("meta.byte_len"))
+      .as[(Long, Array[Byte], String, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload, mediaType, byteLen) =>
+          val px = StubCodec.decode(payload)
+          val mean =
+            if (px.isEmpty) 0.0
+            else {
+              // fixed-point mean so the value is reproducible regardless
+              // of summation strategy
+              val s = px.foldLeft(0L)(_ + _)
+              math.floor(s.toDouble / px.length * 10000 + 0.5) / 10000
+            }
+          MediaFeature(id, mediaType, byteLen,
+            mean, if (px.isEmpty) 0 else px.max,
+            (px.length + frameStep - 1) / frameStep)
+        }
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.hash32
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — exact, O(n·q), the correctness
+  * oracle. Scale path: random-hyperplane LSH bucketing — candidates
+  * only within matching buckets, probed across `numTables` independent
+  * tables; recall is tested against brute force (SimilaritySpec).
+  *
+  * 100 TB design: embeddings stay distributed; the query set is the
+  * broadcast side (top-k per query via a windowed rank after a
+  * broadcast join). No driver-side collect of the corpus. For corpus-
+  * ×-corpus joins, LSH bucket join shuffles on bucket keys only.
+  * All vector math is `functions._` higher-order expressions — codegen
+  * handles the inner loops; a custom Catalyst Expression is the next
+  * step if profiles show the lambda allocation dominating (plans/).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (subset of the
+    * corpus selected by `queryPred`), the k nearest corpus vectors.
+    * Deterministic: rank on rounded cosine with id tie-break. */
+  def bruteForceTopK(emb: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", Num.r4(cosine(col("qv"), col("cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
+  /** All pairs above a cosine threshold (near-duplicate detection by
+    * embedding). Quadratic — verification tool; LSH is the scale path. */
+  def cosinePairs(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos", Num.r4(cosine(col("a.v"), col("b.v"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component j of plane i is
+    * ±1 by a bit of md5 — reproducible everywhere, no RNG state. */
+  private def planeSign(table: Int, plane: Int, j: Column): Column =
+    when(shiftright(hash32(concat_ws("_", lit(table), lit(plane), j)), 3)
+      .bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+
+  /** LSH bucket key for one table: `numPlanes` sign bits of dot(v, r). */
+  def lshKey(vec: Column, table: Int, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val s = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, j) => x.cast("double") * planeSign(table, p, j)),
+        lit(0.0), (acc, v) => acc + v)
+      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a + b)
+  }
+
+  /** ANN top-k via multi-table hyperplane LSH: queries probe their
+    * bucket in each table; union of candidates ranked exactly.
+    * Recall vs bruteForceTopK is property-tested. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
+      numPlanes: Int = 6, numTables: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array((0 until numTables).map(t =>
+        struct(lit(t).as("t"), lshKey(col(vecCol), t, numPlanes).as("key"))): _*)
+        .as("keys"))
+    val buckets = keyed.select(col("id"), col("v"), explode(col("keys")).as("tk"))
+      .select(col("id"), col("v"), col("tk.t").as("t"), col("tk.key").as("key"))
+    val queries = buckets.join(
+      emb.filter(queryPred).select(col(idCol).as("id")), Seq("id"))
+      .select(col("id").as("query_id"), col("v").as("qv"), col("t"), col("key"))
+    val candidates = buckets.join(queries, Seq("t", "key"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("id").as("nbr_id"), col("v"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    candidates
+      .withColumn("cos", Num.r4(cosine(col("qv"), col("v"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+}

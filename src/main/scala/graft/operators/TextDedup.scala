@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Document deduplication operators for the LLM-data-pipeline tier:
+  * exact (content hash), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup: one shuffle on a 128-bit content hash — the hash is
+  *    computed map-side so the shuffle carries (hash, id), not text.
+  *  - Jaccard: the all-pairs form is quadratic and only for small
+  *    corpora / candidate verification. The scale path is MinHash LSH:
+  *    per-doc signatures (narrow), then a shuffle on (band, key) whose
+  *    output is only the candidate pairs — O(n·K) state, no n².
+  *  - Banding joins use sort-merge on band keys; hot buckets (boiler-
+  *    plate docs) are the skew risk → AQE skew join handles it, and
+  *    the `maxBucket` guard drops degenerate buckets outright (a
+  *    bucket with 10k near-identical docs is better handled by exact
+  *    dedup upstream).
+  */
+object TextDedup {
+
+  /** Exact near-identity dedup by normalized-content fingerprint:
+    * canonical id = min doc_id per group. */
+  def contentDedup(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(
+        min(col(idCol)).as("canonical_id"),
+        count(lit(1)).as("copies"))
+
+  /** Distinct (id, shingle) pairs — shared base for Jaccard/MinHash. */
+  private def docShingles(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard similar pairs: |A∩B| / |A∪B| ≥ threshold.
+    * Quadratic in shared-shingle pairs — verification / small-corpus
+    * tool; LSH below is the scale path. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = ds.as("a")
+      .join(ds.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        Num.r4(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash parameters — fixed public constants so Spark and the
+    * DuckDB oracle compute identical signatures. p > 2^32 prime;
+    * a,b < 2^31 so a*h32+b < 2^63. */
+  val P: Long = 4294967311L
+  val A: Seq[Long] = Seq(1558711311L, 878120813L, 1696782683L, 1638584883L,
+    1647627919L, 1497186517L, 2123528257L, 1957354571L,
+    1243106675L, 1231442213L, 1073355917L, 1922236117L,
+    1176321983L, 1467911261L, 2132131777L, 1636126099L)
+  val B: Seq[Long] = Seq(161289079L, 541874839L, 373986511L, 500034517L,
+    1442400989L, 1999767523L, 205359239L, 1152543499L,
+    1913815159L, 862912897L, 609964379L, 1421323177L,
+    187234177L, 1810875859L, 975868541L, 1618374623L)
+  val NumHashes = 16
+  val BandRows = 4
+  def numBands: Int = NumHashes / BandRows
+
+  /** Per-document MinHash signature columns m0..m15. One explode + one
+    * grouped aggregation — the shuffle key is the doc id. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ds = docShingles(docs, idCol, textCol, n)
+      .withColumn("h", hash32(col("shingle")))
+    val aggs = (0 until NumHashes).map(i =>
+      min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
+    ds.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * `maxBucket` drops degenerate buckets (see scale notes). */
+  def minhashCandidates(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val bandCols = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
+          .as("key"))
+    }
+    val buckets = sigs
+      .select(col("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val bounded = buckets
+      .withColumn("bucket_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_size") <= maxBucket)
+    bounded.as("a")
+      .join(bounded.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash-LSH near-dup pipeline: signatures → banded candidate
+    * pairs → exact Jaccard verification ≥ threshold. */
+  def minhashDedup(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val candidates = minhashCandidates(minhashSignatures(docs, n, idCol, textCol))
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = candidates
+      .join(ds.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sa"), "id_a")
+      .join(ds.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sb")
+        .withColumnRenamed("sa", "sb_ignore"), Seq("id_b"))
+      .filter(col("sa") === col("sb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      .withColumn("jaccard",
+        Num.r4(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash: per bit, sign of Σ tf·(±1). One explode + one
+    * aggregation, like MinHash. */
+  def simhash(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("h", hash32(col("tok")))
+    val bitSums = (0 until 32).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s$b"))
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sim = (0 until 32).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x + y)
+    agg.select(col("id"), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with band blocking: 4 bands of 8 bits; any
+    * shared band → candidate; keep pairs with Hamming distance ≤ k. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol)
+    val bands = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    bands.as("a")
+      .join(bands.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,320 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Multimodal, Num, Similarity, TextDedup}
+
+/** LLM-data-pipeline tier (builder brief; BASELINE.json north star):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force + LSH ANN), text analysis (lang-ID, quality,
+  * tokens, fingerprints), multimodal plumbing — each as an
+  * oracle-checked query over `documents` / `embeddings`.
+  */
+object ExtensionQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  // ---- shared oracle SQL fragments (DuckDB) ----
+
+  private val sqlToks = TF.sqlTokens("text")
+  private def sqlSh(n: Int) =
+    s"list_distinct(${TF.sqlShingles("text", n)})"
+
+  /** DuckDB CTE producing distinct (id, sh) doc-shingle pairs. */
+  private def dsCte(n: Int) =
+    s"ds AS (SELECT doc_id AS id, unnest(${sqlSh(n)}) AS sh FROM documents)"
+
+  private def jaccardTail(threshold: Double): String =
+    s"""sz AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+       |inter AS (
+       |  SELECT ca.id_a, ca.id_b, count(*) AS i
+       |  FROM cand ca
+       |  JOIN ds da ON da.id = ca.id_a
+       |  JOIN ds db ON db.id = ca.id_b AND db.sh = da.sh
+       |  GROUP BY ca.id_a, ca.id_b)
+       |SELECT i.id_a, i.id_b,
+       |  ${Num.sqlR4("i.i::DOUBLE / (sa.sz + sb.sz - i.i)")} AS jaccard
+       |FROM inter i
+       |JOIN sz sa ON i.id_a = sa.id
+       |JOIN sz sb ON i.id_b = sb.id
+       |WHERE ${Num.sqlR4("i.i::DOUBLE / (sa.sz + sb.sz - i.i)")} >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q20: exact content dedup ----
+
+  def q20ContentDedup(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.contentDedup(docs(spark, dir))
+      .orderBy(col("canonical_id"))
+
+  val q20Sql: String =
+    s"""SELECT ${TF.sqlFingerprint("text")} AS fp,
+       |  min(doc_id) AS canonical_id, count(*) AS copies
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY canonical_id""".stripMargin
+
+  // ---- q21: token statistics per language ----
+
+  def q21TokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), TF.tokenCount(col("text")).as("tc"),
+        TF.meanWordLen(col("text")).as("mwl"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(col("tc")).as("total_tokens"),
+        Num.r2(avg(col("tc"))).as("avg_tokens"),
+        Num.r4(avg(col("mwl"))).as("avg_word_len"))
+      .orderBy(col("lang"))
+
+  val q21Sql: String =
+    s"""SELECT lang, count(*) AS doc_count,
+       |  sum(${TF.sqlTokenCount("text")}) AS total_tokens,
+       |  ${Num.sqlR2(s"avg(${TF.sqlTokenCount("text")})")} AS avg_tokens,
+       |  ${Num.sqlR4(s"avg(${TF.sqlMeanWordLen("text")})")} AS avg_word_len
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---- q22: per-document quality scoring ----
+
+  def q22Quality(spark: SparkSession, dir: String): DataFrame = {
+    val tc = TF.tokenCount(col("text")).cast("double")
+    val score =
+      least(tc / 100, lit(1.0)) * 0.4 +
+        TF.alphaRatio(col("text")) * 0.3 +
+        TF.stopwordRatio(col("text")) * 0.3
+    docs(spark, dir).select(
+      col("doc_id"),
+      TF.tokenCount(col("text")).as("token_count"),
+      Num.r4(TF.alphaRatio(col("text"))).as("alpha_ratio"),
+      Num.r4(TF.stopwordRatio(col("text"))).as("stopword_ratio"),
+      Num.r4(TF.meanWordLen(col("text"))).as("mean_word_len"),
+      Num.r4(score).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q22Sql: String = {
+    val tc = TF.sqlTokenCount("text")
+    val score = s"least($tc / 100.0, 1.0) * 0.4 + " +
+      s"(${TF.sqlAlphaRatio("text")}) * 0.3 + (${TF.sqlStopwordRatio("text")}) * 0.3"
+    s"""SELECT doc_id, $tc AS token_count,
+       |  ${Num.sqlR4(TF.sqlAlphaRatio("text"))} AS alpha_ratio,
+       |  ${Num.sqlR4(TF.sqlStopwordRatio("text"))} AS stopword_ratio,
+       |  ${Num.sqlR4(TF.sqlMeanWordLen("text"))} AS mean_word_len,
+       |  ${Num.sqlR4(score)} AS quality_score
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q23: language identification (marker heuristic) ----
+
+  def q23LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), TF.langId(col("text")).as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("doc_count"))
+      .orderBy(col("lang"), col("predicted"))
+
+  val q23Sql: String =
+    s"""SELECT lang, ${TF.sqlLangId("text")} AS predicted,
+       |  count(*) AS doc_count
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY lang, predicted""".stripMargin
+
+  // ---- q24: exact n-gram Jaccard near-dup pairs ----
+
+  def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.jaccardPairs(docs(spark, dir), n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q24Sql: String =
+    s"""WITH ${dsCte(3)},
+       |cand AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.id < b.id
+       |  GROUP BY 1, 2),
+       |${jaccardTail(0.5)}""".stripMargin
+
+  // ---- q25: MinHash + LSH near-dup pipeline ----
+
+  def q25MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.minhashDedup(docs(spark, dir), n = 3, threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q25Sql: String = {
+    import TextDedup.{A, B, P, NumHashes, BandRows, numBands}
+    val sigCols = (0 until NumHashes).map(i =>
+      s"min((h * ${A(i)} + ${B(i)}) % $P) AS m$i").mkString(",\n    ")
+    val bandSelects = (0 until numBands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"m${b * BandRows + r}::VARCHAR").mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH ${dsCte(3)},
+       |h AS (SELECT id, sh, ${TF.sqlHash32("sh")} AS h FROM ds),
+       |sig AS (SELECT id,
+       |    $sigCols
+       |  FROM h GROUP BY id),
+       |bands AS (
+       |  $bandSelects),
+       |bounded AS (
+       |  SELECT * FROM (
+       |    SELECT id, band, key,
+       |      count(*) OVER (PARTITION BY band, key) AS bs
+       |    FROM bands)
+       |  WHERE bs <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bounded a JOIN bounded b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |${jaccardTail(0.5)}""".stripMargin
+  }
+
+  // ---- q26: SimHash near-dup pairs ----
+
+  def q26Simhash(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.simhashPairs(docs(spark, dir), maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q26Sql: String = {
+    val bitSums = (0 until 32).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN tf ELSE -tf END) AS s$b")
+      .mkString(",\n    ")
+    val simExpr = (0 until 32).map(b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT id, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS key FROM sig")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH tf AS (
+       |  SELECT doc_id AS id, tok, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+       |  GROUP BY 1, 2),
+       |h AS (SELECT id, tf, ${TF.sqlHash32("tok")} AS h FROM tf),
+       |bits AS (SELECT id,
+       |    $bitSums
+       |  FROM h GROUP BY id),
+       |sig AS (SELECT id, $simExpr AS simhash FROM bits),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(sim_a, sim_b)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---- q27: brute-force cosine top-k ----
+
+  private val TopK = 5
+  private val QueryMod = 50
+
+  def q27CosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embs(spark, dir),
+      col("vec_id") % QueryMod === 0, TopK)
+      .orderBy(col("query_id"), col("rank"))
+
+  private val sqlDot =
+    "list_sum(list_transform(list_zip(q.e, v.e), x -> x[1] * x[2]))"
+  private val sqlNorm = (t: String) =>
+    s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
+
+  val q27Sql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id, e FROM v WHERE vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+       |    ${Num.sqlR4(s"$sqlDot / (${sqlNorm("q")} * ${sqlNorm("v")})")} AS cos
+       |  FROM q JOIN v ON q.vec_id <> v.vec_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, nbr_id, cos
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---- q28: embedding near-dup pairs (cosine threshold) ----
+
+  def q28CosinePairs(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosinePairs(embs(spark, dir), 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q28Sql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${Num.sqlR4(
+        "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))" +
+          s" / (sqrt(list_sum(list_transform(a.e, x -> x * x)))" +
+          s" * sqrt(list_sum(list_transform(b.e, x -> x * x))))")} AS cos
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE ${Num.sqlR4(
+        "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))" +
+          s" / (sqrt(list_sum(list_transform(a.e, x -> x * x)))" +
+          s" * sqrt(list_sum(list_transform(b.e, x -> x * x))))")} >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q29: LSH ANN top-k (rows-only; recall tested in specs) ----
+
+  def q29AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(embs(spark, dir), col("vec_id") % QueryMod === 0, TopK)
+      .orderBy(col("query_id"), col("rank"))
+
+  // ---- q30: multimodal column plumbing (stub codec) ----
+
+  def q30Multimodal(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.asMedia(docs(spark, dir)))
+      .orderBy(col("doc_id"))
+
+  val q30Sql: String =
+    s"""SELECT doc_id,
+       |  CASE (doc_id % 3) WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       |       ELSE 'video/mp4' END AS media_type,
+       |  octet_length(encode(text)) AS byte_len,
+       |  floor(list_sum(list_transform(range(1, length(text) + 1),
+       |      i -> ascii(text[i])))::DOUBLE / length(text) * 10000 + 0.5)
+       |    / 10000 AS mean_byte,
+       |  list_max(list_transform(range(1, length(text) + 1),
+       |      i -> ascii(text[i]))) AS max_byte,
+       |  CAST(floor((octet_length(encode(text)) + 15) / 16) AS INT) AS frames_sampled
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_content_dedup" -> (q20ContentDedup _),
+    "q21_token_stats" -> (q21TokenStats _),
+    "q22_quality" -> (q22Quality _),
+    "q23_lang_id" -> (q23LangId _),
+    "q24_ngram_jaccard" -> (q24NgramJaccard _),
+    "q25_minhash_lsh" -> (q25MinhashLsh _),
+    "q26_simhash" -> (q26Simhash _),
+    "q27_cosine_topk" -> (q27CosineTopK _),
+    "q28_cosine_pairs" -> (q28CosinePairs _),
+    "q29_ann_lsh" -> (q29AnnLsh _),
+    "q30_multimodal" -> (q30Multimodal _))
+
+  def oracles: Map[String, String] = Map(
+    "q20_content_dedup" -> q20Sql,
+    "q21_token_stats" -> q21Sql,
+    "q22_quality" -> q22Sql,
+    "q23_lang_id" -> q23Sql,
+    "q24_ngram_jaccard" -> q24Sql,
+    "q25_minhash_lsh" -> q25Sql,
+    "q26_simhash" -> q26Sql,
+    "q27_cosine_topk" -> q27Sql,
+    "q28_cosine_pairs" -> q28Sql,
+    "q30_multimodal" -> q30Sql)
+}

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** Hand-computed + cross-checked behavior of the LLM-pipeline tier
+  * operators. Everything here is deterministic: hashes are md5-derived,
+  * LSH planes are fixed constants, so assertions on the testdata are
+  * exact, not statistical. */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tokens/shingles handle empties and short docs") {
+    val df = Seq(("a b  c", 1L), ("onlyone", 2L), ("", 3L))
+      .toDF("text", "doc_id")
+    val toks = df.select(TextFunctions.tokenCount($"text")).as[Int].collect()
+    assert(toks.sameElements(Array(3, 1, 0)))
+    val sh = df.select(size(TextFunctions.shingles($"text", 3))).as[Int].collect()
+    assert(sh.sameElements(Array(1, 0, 0)))
+  }
+
+  test("langId picks marker language, und when none") {
+    val df = Seq("the quick fox", "le chat et la", "xyzzy plugh").toDF("text")
+    val out = df.select(TextFunctions.langId($"text")).as[String].collect()
+    assert(out.sameElements(Array("en", "fr", "und")))
+  }
+
+  test("content dedup groups normalized duplicates") {
+    val df = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other doc"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.contentDedup(df).orderBy("canonical_id")
+      .select("canonical_id", "copies").as[(Long, Long)].collect()
+    assert(out.sameElements(Array((1L, 2L), (3L, 1L))))
+  }
+
+  test("jaccard pairs: identical docs score 1, disjoint drop out") {
+    val df = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w q r"))
+      .toDF("doc_id", "text")
+    val out = TextDedup.jaccardPairs(df, n = 2, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.sameElements(Array((1L, 2L, 1.0))))
+  }
+
+  test("minhash LSH finds every exact-jaccard pair on testdata (τ=0.5)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val exact = TextDedup.jaccardPairs(docs, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = TextDedup.minhashDedup(docs, 3, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact) // deterministic given fixed hash constants
+  }
+
+  test("simhash of identical docs is identical, hamming 0") {
+    val df = Seq((1L, "spark scale data"), (2L, "spark scale data"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.simhashPairs(df, maxHamming = 0)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.sameElements(Array((1L, 2L, 0L))))
+  }
+
+  test("cosine: hand-computed on unit vectors") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(df, threshold = 0.5)
+      .select("id_a", "id_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // cos(v1,v3) = cos(v2,v3) = 1/√2 ≈ 0.7071; cos(v1,v2) = 0
+    assert(pairs == Set((1L, 3L, 0.7071), (2L, 3L, 0.7071)))
+  }
+
+  test("LSH ANN recall vs brute force on testdata") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, pred, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(emb, pred, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall") // deterministic for fixed planes
+  }
+
+  test("multimodal stub pipeline: features match hand computation") {
+    val df = Seq((3L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
+    val out = Multimodal.extractFeatures(Multimodal.asMedia(df)).collect().head
+    assert(out.getString(1) == "image/png") // 3 % 3 == 0
+    assert(out.getInt(2) == 3)
+    assert(out.getDouble(3) == 98.0) // mean of 'a','b','c' = (97+98+99)/3
+    assert(out.getInt(4) == 99)
+    assert(out.getInt(5) == 1)
+  }
+
+  test("multimodal decode is iterator-based, no shuffle in the plan") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = Multimodal.extractFeatures(Multimodal.asMedia(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+}
