@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions.hash32
+import graft.plans.VectorFunctions.{vec_cosine, vec_dot}
 
 /** Similarity search over embedding columns (Array[Float]).
   *
@@ -22,14 +22,15 @@ import graft.functions.TextFunctions.hash32
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Double-precision dot product of two array columns. Native codegen
+    * expression (plans.VecDot); the HOF formulation
+    * `aggregate(zip_with(...))` is semantically identical but
+    * interpreted — 40× slower on pairwise workloads (BASELINE.md). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = sqrt(vec_dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
 
   /** Brute-force cosine top-k: for each query vector (subset of the
     * corpus selected by `queryPred`), the k nearest corpus vectors.
@@ -60,20 +61,24 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: component j of plane i is
-    * ±1 by a bit of md5 — reproducible everywhere, no RNG state. */
-  private def planeSign(table: Int, plane: Int, j: Column): Column =
-    when(shiftright(hash32(concat_ws("_", lit(table), lit(plane), j)), 3)
-      .bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+  /** Deterministic pseudo-random hyperplanes: component j of plane
+    * (table, p) is ±1 by a bit of md5("table_p_j"). Computed ONCE on
+    * the driver and shipped as array literals — the earlier in-query
+    * formulation recomputed an md5 per element per plane per row. */
+  private def planeSign(table: Int, plane: Int, j: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${table}_${plane}_$j".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex, 16)
+    if (((h >> 3) & 1) == 1) 1.0 else -1.0
+  }
 
-  /** LSH bucket key for one table: `numPlanes` sign bits of dot(v, r). */
-  def lshKey(vec: Column, table: Int, numPlanes: Int): Column = {
+  /** LSH bucket key for one table: `numPlanes` sign bits of dot(v, r),
+    * each dot a codegen'd VecDot against a literal plane vector. */
+  def lshKey(vec: Column, table: Int, numPlanes: Int, dim: Int): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val s = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, j) => x.cast("double") * planeSign(table, p, j)),
-        lit(0.0), (acc, v) => acc + v)
-      when(s > 0, lit(1L << p)).otherwise(lit(0L))
+      val plane = Array.tabulate(dim)(j => planeSign(table, p, j))
+      when(vec_dot(vec, typedLit(plane)) > 0, lit(1L << p)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a + b)
   }
@@ -82,11 +87,11 @@ object Similarity {
     * bucket in each table; union of candidates ranked exactly.
     * Recall vs bruteForceTopK is property-tested. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
-      numPlanes: Int = 6, numTables: Int = 8,
+      numPlanes: Int = 6, numTables: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       array((0 until numTables).map(t =>
-        struct(lit(t).as("t"), lshKey(col(vecCol), t, numPlanes).as("key"))): _*)
+        struct(lit(t).as("t"), lshKey(col(vecCol), t, numPlanes, dim).as("key"))): _*)
         .as("keys"))
     val buckets = keyed.select(col("id"), col("v"), explode(col("keys")).as("tk"))
       .select(col("id"), col("v"), col("tk.t").as("t"), col("tk.key").as("key"))

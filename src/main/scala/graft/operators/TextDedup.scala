@@ -81,12 +81,14 @@ object TextDedup {
   /** Per-document MinHash signature columns m0..m15. One explode + one
     * grouped aggregation — the shuffle key is the doc id. */
   def minhashSignatures(docs: DataFrame, n: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n)
-      .withColumn("h", hash32(col("shingle")))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    signaturesFromShingles(docShingles(docs, idCol, textCol, n))
+
+  private def signaturesFromShingles(ds: DataFrame): DataFrame = {
+    val h = ds.withColumn("h", hash32(col("shingle")))
     val aggs = (0 until NumHashes).map(i =>
       min((col("h") * A(i) + B(i)) % P).as(s"m$i"))
-    ds.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    h.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing any band of the signature.
@@ -116,8 +118,10 @@ object TextDedup {
     * pairs → exact Jaccard verification ≥ threshold. */
   def minhashDedup(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val candidates = minhashCandidates(minhashSignatures(docs, n, idCol, textCol))
+    // one exploded-shingle pass feeds signatures, sizes, and the
+    // verification join
     val ds = docShingles(docs, idCol, textCol, n).cache()
+    val candidates = minhashCandidates(signaturesFromShingles(ds))
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = candidates
       .join(ds.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sa"), "id_a")

@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark's private[sql] Column ↔ Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils, Spark 4's column-node
+  * refactor). The standard pattern for out-of-tree Catalyst expression
+  * libraries. */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
