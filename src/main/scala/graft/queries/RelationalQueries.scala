@@ -280,6 +280,85 @@ object RelationalQueries {
       |WHERE rn <= 2
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** q11: rollup (grouping sets) — §2.13 absence filled. Subtotals per
+    * priority, per priority×status, grand total in one pass (partial
+    * aggregation covers all grouping sets before the shuffle). */
+  def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    orders.rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("order_count"),
+        Num.r(sum(col("o_totalprice")), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("order_count"), col("revenue"))
+      .orderBy(col("priority"), col("status"))
+  }
+
+  val q11Sql: String =
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  count(*) AS order_count,
+       |  ${graft.operators.Num.sqlR2("sum(o_totalprice)")} AS revenue
+       |FROM orders
+       |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+       |ORDER BY priority, status""".stripMargin
+
+  /** q11b: intersect / except — §2.13 absence filled: nations having
+    * customers vs suppliers. */
+  def q11bSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.load(spark, dir, "customer")
+      .select(col("c_nationkey").cast("int").as("nationkey"))
+    val suppNations = Tables.load(spark, dir, "supplier")
+      .select(col("s_nationkey").cast("int").as("nationkey"))
+    val both = custNations.intersect(suppNations)
+      .withColumn("set_op", lit("both"))
+    val custOnly = custNations.except(suppNations)
+      .withColumn("set_op", lit("customer_only"))
+    both.unionByName(custOnly)
+      .groupBy(col("set_op"))
+      .agg(count(lit(1)).as("nation_count"))
+      .orderBy(col("set_op"))
+  }
+
+  val q11bSql: String =
+    """SELECT set_op, count(*) AS nation_count FROM (
+      |  SELECT nationkey, 'both' AS set_op FROM (
+      |    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      |    INTERSECT
+      |    SELECT CAST(s_nationkey AS INT) FROM supplier)
+      |  UNION ALL
+      |  SELECT nationkey, 'customer_only' AS set_op FROM (
+      |    SELECT CAST(c_nationkey AS INT) AS nationkey FROM customer
+      |    EXCEPT
+      |    SELECT CAST(s_nationkey AS INT) FROM supplier)
+      |)
+      |GROUP BY set_op
+      |ORDER BY set_op""".stripMargin
+
+  /** q11c: map functions — §2.13 absence filled: props JSON parsed to a
+    * MapType, element_at + map_keys exercised. */
+  def q11cMapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+      .withColumn("m", from_json(col("props"), org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.IntegerType)))
+    ev.select(col("event_type"),
+      element_at(col("m"), "k").as("k"),
+      size(map_keys(col("m"))).as("n_keys"))
+      .groupBy(col("event_type"), (col("k") % 5).as("k_mod"))
+      .agg(count(lit(1)).as("event_count"),
+        max(col("n_keys")).as("max_keys"))
+      .orderBy(col("event_type"), col("k_mod"))
+  }
+
+  val q11cSql: String =
+    """SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) % 5 AS k_mod,
+      |  count(*) AS event_count,
+      |  max(len(json_keys(props))) AS max_keys
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY event_type, k_mod""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -290,7 +369,10 @@ object RelationalQueries {
     "q7_semi_join" -> (q7SemiJoin _),
     "q8_anti_join" -> (q8AntiJoin _),
     "q9_union" -> (q9Union _),
-    "q10_window_rank" -> (q10WindowRank _))
+    "q10_window_rank" -> (q10WindowRank _),
+    "q11_rollup" -> (q11Rollup _),
+    "q11b_set_ops" -> (q11bSetOps _),
+    "q11c_map_funcs" -> (q11cMapFuncs _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -302,5 +384,8 @@ object RelationalQueries {
     "q7_semi_join" -> q7Sql,
     "q8_anti_join" -> q8Sql,
     "q9_union" -> q9Sql,
-    "q10_window_rank" -> q10Sql)
+    "q10_window_rank" -> q10Sql,
+    "q11_rollup" -> q11Sql,
+    "q11b_set_ops" -> q11bSql,
+    "q11c_map_funcs" -> q11cSql)
 }
