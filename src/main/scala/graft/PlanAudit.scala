@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan audit — prints formatted physical plans for representative
+  * queries so scan pushdown, broadcast choices, and codegen spans can
+  * be reviewed (and regression-checked by PlanSpec).
+  * Usage: runMain graft.PlanAudit [sfDir] [query...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_agg", "q2_filter_project", "q3_star_join", "q4_fact_join",
+        "q5_topk", "q13_gmv", "q27_cosine_topk", "q25_minhash_lsh")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -276,6 +276,46 @@ object EventAnalyticsQueries {
         abs(col("approx_users") - col("exact_users")), col("exact_users")))
       .orderBy(col("event_type"))
 
+  /** q32: as-of join — for each purchase, the user's most recent view
+    * at-or-before it, within 1 hour (operators.AsOfJoin: union +
+    * last-over-window; verified against DuckDB's native ASOF JOIN). */
+  def q32AsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val views = ev.filter(col("event_type") === "view")
+    graft.operators.AsOfJoin.asOf(
+      purchases, views, "user_id", "ts", "ts",
+      leftCols = Seq("value"), rightCols = Seq("value"),
+      toleranceSec = Some(3600))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_ts"),
+        col("asof_ts").isNotNull.as("has_prior_view"),
+        when(col("asof_ts").isNotNull,
+          unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")))
+          .as("gap_seconds"),
+        Num.r(col("value"), 2).as("purchase_value"))
+      .orderBy(col("user_id"), col("purchase_ts"))
+  }
+
+  val q32Sql: String =
+    s"""WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+       |m AS (
+       |  SELECT p.user_id, p.ts AS pts, p.value, v.ts AS vts
+       |  FROM p ASOF LEFT JOIN v
+       |    ON p.user_id = v.user_id AND v.ts <= p.ts)
+       |SELECT user_id,
+       |  CAST(floor(epoch(pts)) AS BIGINT) AS purchase_ts,
+       |  (vts IS NOT NULL AND floor(epoch(pts)) - floor(epoch(vts)) <= 3600)
+       |    AS has_prior_view,
+       |  CASE WHEN vts IS NOT NULL AND floor(epoch(pts)) - floor(epoch(vts)) <= 3600
+       |       THEN CAST(floor(epoch(pts)) - floor(epoch(vts)) AS BIGINT) END
+       |    AS gap_seconds,
+       |  ${Num.sqlR2("value")} AS purchase_value
+       |FROM m
+       |ORDER BY user_id, purchase_ts""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_funnel" -> (q12Funnel _),
     "q13_gmv" -> (q13Gmv _),
@@ -284,7 +324,8 @@ object EventAnalyticsQueries {
     "q16_dedup_exact" -> (q16DedupExact _),
     "q17_session" -> (q17Session _),
     "q18_tumbling" -> (q18Tumbling _),
-    "q19_approx_distinct" -> (q19ApproxDistinct _))
+    "q19_approx_distinct" -> (q19ApproxDistinct _),
+    "q32_asof" -> (q32AsOf _))
 
   def oracles: Map[String, String] = Map(
     "q12_funnel" -> q12Sql,
@@ -293,5 +334,6 @@ object EventAnalyticsQueries {
     "q15_payment" -> q15Sql,
     "q16_dedup_exact" -> q16Sql,
     "q17_session" -> q17Sql,
-    "q18_tumbling" -> q18Sql)
+    "q18_tumbling" -> q18Sql,
+    "q32_asof" -> q32Sql)
 }

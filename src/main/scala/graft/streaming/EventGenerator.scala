@@ -62,6 +62,22 @@ object EventGenerator {
       col("o_totalprice").as("payment_value"),
       iso(col("o_orderdate")).as("timestamp"))).as("value"))
 
+  /** Kafka producer sink (SURVEY §2.2 K4, base_producer.py:23-76):
+    * key = order_id, JSON value — as a distributed Spark write, not the
+    * reference's one-synchronous-send-per-message loop. Compiles with
+    * no Kafka dependency; unexercisable in this environment (no
+    * connector jar/broker), covered by the file twin below. */
+  def toKafka(events: DataFrame, topic: String, bootstrapServers: String): Unit =
+    events
+      .select(get_json_object(col("value"), "$.order_id").as("key"), col("value"))
+      .write
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("kafka.compression.type", "gzip")
+      .option("kafka.acks", "all")
+      .save()
+
   /** Write the three streams as text files for FileEventSource replay.
     * `slices` controls files-per-stream → replay granularity
     * (micro-batches at maxFilesPerTrigger files each). */

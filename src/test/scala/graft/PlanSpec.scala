@@ -1,0 +1,60 @@
+package graft
+
+import graft.queries.{EventAnalyticsQueries, RelationalQueries}
+
+/** Plan-shape regression checks (builder brief: "explain the plan and
+  * iterate until it's the plan you'd want"). These assert the
+  * scale-critical properties — pushdown, pruning, broadcast — rather
+  * than exact plan text. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val qe = df.queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: shipdate filter reaches the parquet scan; columns pruned") {
+    val plan = formatted(RelationalQueries.q1Agg(spark, sf))
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(l_shipdate"))
+    // 6 of 11 lineitem columns read
+    assert(!plan.contains("l_partkey") && !plan.contains("l_suppkey"))
+  }
+
+  test("q3: all three dimension joins broadcast (no shuffle join)") {
+    val plan = formatted(RelationalQueries.q3StarJoin(spark, sf))
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size == 3)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q13: event_type filter pushed below the window aggregation") {
+    val plan = formatted(EventAnalyticsQueries.q13Gmv(spark, sf))
+    assert(plan.contains("EqualTo(event_type,purchase)"))
+  }
+
+  test("q5 top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = formatted(RelationalQueries.q5TopK(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("vector cosine runs inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = emb.select(graft.plans.VectorFunctions
+      .vec_cosine(col("embedding"), col("embedding")).as("c"))
+    // correctness first (also materializes the AQE final plan):
+    // cos(v, v) = 1
+    val vals = df.collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
+    val hasCodegen = df.queryExecution.executedPlan.exists {
+      case _: org.apache.spark.sql.execution.WholeStageCodegenExec => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+      case _ => false
+    }
+    assert(hasCodegen, df.queryExecution.executedPlan.toString)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.SparkSpec
+import graft.model.OrderEvent
+import graft.streaming.Processors
+
+/** Property tests (SURVEY.md §5c): invariants that must hold for any
+  * input — dedup idempotence, window containment, rate bounds, GMV
+  * reconciliation. Generators are kept small (each case spins Spark
+  * jobs); 10 cases per property. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(10).withMaxSize(30)
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val statusGen = Gen.oneOf("created", "approved", "invoiced",
+    "processing", "shipped", "delivered", "unavailable", "canceled")
+
+  private val eventsGen = Gen.listOf(for {
+    id <- Gen.chooseNum(0, 40)
+    orderId <- Gen.chooseNum(0, 20)
+    status <- statusGen
+    offsetSec <- Gen.chooseNum(0, 300)
+  } yield (OrderEvent(s"e$id", "order_created", "t", s"o$orderId",
+    Some(s"c$orderId"), Some(status), None, None, None),
+    new Timestamp(1704103200000L + offsetSec * 1000L)))
+
+  private def toDf(rows: List[(OrderEvent, Timestamp)]) =
+    rows.toDF("e", "event_timestamp").select($"e.*", $"event_timestamp")
+
+  test("dedup by event_id is idempotent and keeps one row per id") {
+    check(Prop.forAll(eventsGen) { rows =>
+      rows.isEmpty || {
+        val df = toDf(rows)
+        val once = df.dropDuplicates("event_id")
+        val twice = once.dropDuplicates("event_id")
+        once.count() == twice.count() &&
+          once.count() == rows.map(_._1.event_id).distinct.size
+      }
+    })
+  }
+
+  test("funnel rates are within [0,100] and stages never exceed totals") {
+    check(Prop.forAll(eventsGen) { rows =>
+      rows.isEmpty || {
+        val out = Processors.funnel(toDf(rows).dropDuplicates("event_id"))
+          .select("total_orders", "orders_with_items", "orders_with_payment",
+            "items_conversion_rate", "payment_conversion_rate")
+          .as[(Long, Long, Long, Double, Double)].collect()
+        out.forall { case (total, items, pay, ir, pr) =>
+          items <= total && pay <= total &&
+            ir >= 0 && ir <= 100 && pr >= 0 && pr <= 100
+        }
+      }
+    })
+  }
+
+  test("sliding windows: every event lands in exactly width/slide windows") {
+    check(Prop.forAll(eventsGen) { rows =>
+      rows.isEmpty || {
+        val df = toDf(rows).dropDuplicates("event_id")
+        val n = df.count()
+        val windowed = Windows.withSlidingWindow(df, "event_timestamp",
+          "1 minute", "30 seconds")
+        val contained = windowed.filter(
+          unix_timestamp($"event_timestamp") < $"window_start" ||
+            unix_timestamp($"event_timestamp") >= $"window_end").count() == 0
+        windowed.count() == 2 * n && contained
+      }
+    })
+  }
+
+  test("GMV reconciliation: windowed sums add to 2x total value") {
+    val itemsGen = Gen.nonEmptyListOf(for {
+      id <- Gen.chooseNum(0, 1000)
+      price <- Gen.chooseNum(1, 10000)
+      offsetSec <- Gen.chooseNum(0, 300)
+    } yield (s"i$id", price.toDouble / 100, 2.0,
+      new Timestamp(1704103200000L + offsetSec * 1000L)))
+    check(Prop.forAll(itemsGen) { rows =>
+      val df = rows.toDF("event_id", "price", "freight_value", "event_timestamp")
+        .dropDuplicates("event_id")
+      val expected = df.select("price", "freight_value").as[(Double, Double)]
+        .collect().map { case (p, f) => p + f }.sum
+      val windowedTotal = df
+        .withColumn("total_value", $"price" + $"freight_value")
+        .groupBy(window($"event_timestamp", "1 minute", "30 seconds"))
+        .agg(sum($"total_value").as("gmv"))
+        .agg(sum($"gmv")).as[Double].collect().head
+      math.abs(windowedTotal - 2 * expected) < 1e-6
+    })
+  }
+}
