@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.model.Schemas
 import graft.sources.{EventParser, EventSource}
@@ -52,6 +53,118 @@ object StreamApp {
     EventParser.parse(ordersSrc.load(spark), Schemas.order),
     EventParser.parse(itemsSrc.load(spark), Schemas.item),
     EventParser.parse(paymentsSrc.load(spark), Schemas.payment))
+
+  /** Fine-grain orders aggregate for the shared topology: ONE stateful
+    * pass at (window × order_status) grain carrying mergeable HLL
+    * sketches (Spark 4 datasketches) instead of scalar approx-distincts
+    * — so both the drop-off table (same grain) and the funnel (coarser
+    * grain) derive from it without re-reading or re-aggregating the
+    * stream. At 100 TB this halves source reads and dedup state for
+    * the orders topic (SURVEY §7.4 risk 5). */
+  def fineGrainOrders(orders: DataFrame, cfg: WindowConfig): DataFrame =
+    cfg.applyWatermark(orders)
+      .withColumn("is_dropoff",
+        col("order_status").isin("canceled", "unavailable", "created"))
+      .groupBy(cfg.windowCol, col("order_status"))
+      .agg(
+        count(lit(1)).as("status_count"),
+        hll_sketch_agg(col("order_id")).as("order_sketch"),
+        hll_sketch_agg(col("customer_id")).as("customer_sketch"),
+        first(col("is_dropoff")).as("is_dropoff_status"),
+        slice(sort_array(collect_list(col("order_id"))), 1, 3)
+          .as("sample_order_ids"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("order_status"), col("status_count"),
+        col("order_sketch"), col("customer_sketch"),
+        col("is_dropoff_status"), col("sample_order_ids"))
+
+  /** Funnel rows derived from finalized fine-grain rows (batch re-agg
+    * inside foreachBatch; HLL union preserves distinct estimation
+    * across statuses). */
+  def deriveFunnel(fine: DataFrame): DataFrame = {
+    def cnt(cond: org.apache.spark.sql.Column) =
+      sum(when(cond, col("status_count")).otherwise(0L))
+    def rate(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      when(d > 0, round(n.cast("double") / d.cast("double") * 100, 2)).otherwise(0.0)
+    fine.groupBy(col("window_start"), col("window_end"))
+      .agg(
+        sum(col("status_count")).as("total_orders"),
+        hll_sketch_estimate(hll_union_agg(col("order_sketch")))
+          .as("unique_orders"),
+        cnt(col("order_status") =!= "canceled").as("orders_with_items"),
+        cnt(col("order_status").isin("delivered", "shipped", "invoiced",
+          "processing")).as("orders_with_payment"),
+        cnt(col("order_status") === "canceled").as("canceled_orders"),
+        cnt(col("order_status").isin("created", "approved", "unavailable"))
+          .as("pending_orders"))
+      .select(
+        col("window_start"), col("window_end"), col("total_orders"),
+        col("orders_with_items"), col("orders_with_payment"),
+        rate(col("orders_with_items"), col("total_orders"))
+          .as("items_conversion_rate"),
+        rate(col("orders_with_payment"), col("orders_with_items"))
+          .as("payment_conversion_rate"),
+        col("canceled_orders").as("dropped_after_order"),
+        col("pending_orders").as("dropped_after_items"),
+        current_timestamp().as("processed_at"))
+  }
+
+  /** Drop-off rows derived 1:1 from fine-grain rows. */
+  def deriveDropOff(fine: DataFrame, alertThreshold: Int = 5): DataFrame =
+    fine.select(
+      col("window_start"), col("window_end"), col("order_status"),
+      when(col("is_dropoff_status"), col("status_count")).otherwise(lit(0L))
+        .as("dropped_orders"),
+      hll_sketch_estimate(col("customer_sketch"))
+        .as("unique_customers_affected"),
+      col("status_count").cast("double").as("drop_rate"),
+      (col("is_dropoff_status") && col("status_count") > alertThreshold)
+        .as("alert_triggered"),
+      col("sample_order_ids"),
+      current_timestamp().as("detected_at"))
+
+  /** Shared topology (100 TB mode): 3 queries instead of 4 — the orders
+    * topic is read, parsed, and deduped ONCE; funnel + drop-off both
+    * derive from its fine-grain aggregate inside one foreachBatch.
+    * Requires a watermark (append mode: rows arrive finalized). */
+  def runShared(spark: SparkSession,
+      ordersSrc: EventSource, itemsSrc: EventSource, paymentsSrc: EventSource,
+      outRoot: String,
+      cfg: WindowConfig = WindowConfig(watermark = Some("10 minutes")),
+      sink: SinkConfig = SinkConfig()): Seq[StreamingQuery] = {
+    require(cfg.watermark.isDefined, "shared topology needs a watermark")
+    val (o, i, p) = ingest(spark, ordersSrc, itemsSrc, paymentsSrc)
+    def dedup(df: DataFrame): DataFrame =
+      df.withWatermark("event_timestamp", cfg.watermark.get)
+        .dropDuplicatesWithinWatermark("event_id")
+    val fine = fineGrainOrders(dedup(o), cfg)
+    val ordersQuery = fine.writeStream
+      .outputMode("append")
+      .queryName("sink_orders_shared")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(sink.triggerInterval))
+      .option("checkpointLocation", s"${sink.checkpointRoot}/orders_shared")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val cached = batch.cache()
+          try {
+            deriveDropOff(cached).drop("sample_order_ids")
+              .write.mode("append").parquet(s"$outRoot/drop_off_analysis")
+            deriveFunnel(cached)
+              .write.mode("append").parquet(s"$outRoot/real_time_funnel")
+          } finally { cached.unpersist(); () }
+        }
+      }
+      .start()
+    val pipes = Seq(
+      MetricsSink.start(Processors.gmv(dedup(i), cfg), "gmv_metrics", sink)(
+        MetricsSink.parquetWriter(s"$outRoot/gmv_metrics")),
+      MetricsSink.start(Processors.payment(dedup(p), cfg), "payment_metrics", sink)(
+        MetricsSink.parquetWriter(s"$outRoot/payment_metrics")))
+    ordersQuery +: pipes
+  }
 
   /** Reference topology: 4 independent queries, parquet sinks. */
   def run(spark: SparkSession,
