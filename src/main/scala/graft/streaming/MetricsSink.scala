@@ -45,6 +45,29 @@ object MetricsSink {
   def parquetWriter(outDir: String): (DataFrame, Long) => Unit =
     (batch, _) => batch.write.mode("append").parquet(outDir)
 
+  /** Scale variant: partition output by window date so downstream
+    * dashboard queries (last hour / last day) prune partitions instead
+    * of scanning history. */
+  def partitionedParquetWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch, _) => batch
+      .withColumn("window_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("window_start")))
+      .write.mode("append").partitionBy("window_date").parquet(outDir)
+
+  /** Switch streaming state to RocksDB (SURVEY §4 state-store row): the
+    * default HDFS-backed store keeps state on the JVM heap — at 100 TB
+    * scale (millions of windows × keys) RocksDB keeps it off-heap +
+    * disk with incremental checkpointing. Config-level change only;
+    * call before starting queries. */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+  }
+
   /** In-memory sink for unit tests: complete/update-mode results land in
     * a queryable temp view. */
   def memory(df: DataFrame, queryName: String, outputMode: String = "update"): StreamingQuery =

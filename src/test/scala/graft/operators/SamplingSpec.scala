@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.Tables
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded sample equals sort_array+collect_list+slice on distinct values") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select($"event_type", $"user_id".cast("string").as("uid"))
+    val viaList = ev.groupBy($"event_type")
+      .agg(slice(sort_array(collect_set($"uid")), 1, 3).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    val viaAgg = ev.groupBy($"event_type")
+      .agg(Sampling.smallestK($"uid", 3).as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(viaList == viaAgg)
+  }
+
+  test("bounded sample state stays at k under heavy groups") {
+    val big = spark.range(100000)
+      .select(lit("g").as("g"), format_string("v%07d", $"id").as("v"))
+    val out = big.groupBy($"g").agg(Sampling.smallestK($"v", 5).as("s"))
+      .as[(String, Seq[String])].collect().head
+    assert(out._2 == (0 until 5).map(i => f"v$i%07d"))
+  }
+}
