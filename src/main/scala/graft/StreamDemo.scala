@@ -11,8 +11,9 @@ import graft.streaming.{EventGenerator, SinkConfig, StreamApp, WindowConfig}
   */
 object StreamDemo {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val outRoot = if (args.length > 1) args(1)
+    val positional = args.filterNot(_.startsWith("--"))
+    val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
+    val outRoot = if (positional.length > 1) positional(1)
       else java.nio.file.Files.createTempDirectory("graft-demo").toString
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -25,7 +26,10 @@ object StreamDemo {
 
     EventGenerator.writeAll(spark, sfDir, s"$outRoot/events", slices = 4)
 
-    val queries = StreamApp.run(spark,
+    val shared = args.contains("--shared")
+    val t0 = System.nanoTime()
+    val mkQueries = if (shared) StreamApp.runShared _ else StreamApp.run _
+    val queries = mkQueries(spark,
       FileEventSource(s"$outRoot/events/orders"),
       FileEventSource(s"$outRoot/events/items"),
       FileEventSource(s"$outRoot/events/payments"),
@@ -35,6 +39,12 @@ object StreamDemo {
         checkpointRoot = s"$outRoot/checkpoints"))
     queries.foreach(_.processAllAvailable())
     queries.foreach(_.stop())
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val nEvents = Seq("orders", "items", "payments")
+      .map(t => spark.read.text(s"$outRoot/events/$t").count()).sum
+    println(f"[demo] topology=${if (shared) "shared" else "reference"} " +
+      f"events=$nEvents drained in $elapsed%.1f s " +
+      f"(${nEvents / elapsed}%.0f events/s)")
 
     Seq("real_time_funnel", "gmv_metrics", "drop_off_analysis", "payment_metrics")
       .foreach { t =>

@@ -121,9 +121,11 @@ object EventAnalyticsQueries {
         count(lit(1)).as("status_count"),
         countDistinct(col("user_id")).as("unique_users"),
         first(col("is_dropoff")).as("is_dropoff"),
-        concat_ws(",", transform(
-          slice(sort_array(collect_list(col("user_id"))), 1, 3),
-          x => x.cast("string"))).as("sample_user_ids"))
+        // bounded-state sample (operators.Sampling): k smallest distinct
+        // ids with O(k) aggregation state — the scale-safe form of the
+        // reference's collect_list+slice (A8/AR1)
+        concat_ws(",", graft.operators.Sampling.smallestK(
+          col("user_id").cast("string"), 3)).as("sample_user_ids"))
       .withColumn("alert_triggered",
         col("is_dropoff") && col("status_count") > alertThreshold)
       .orderBy(col("window_start"), col("event_type"))
@@ -135,7 +137,7 @@ object EventAnalyticsQueries {
        |  count(*) AS status_count,
        |  count(DISTINCT user_id) AS unique_users,
        |  (event_type IN ('error', 'click')) AS is_dropoff,
-       |  array_to_string(list_slice(list_sort(list(user_id)), 1, 3), ',') AS sample_user_ids,
+       |  array_to_string(list_slice(list_sort(list_distinct(list(user_id::VARCHAR))), 1, 3), ',') AS sample_user_ids,
        |  ((event_type IN ('error', 'click')) AND count(*) > 50) AS alert_triggered
        |FROM $from w
        |GROUP BY window_start, window_end, event_type

@@ -156,6 +156,23 @@ object RelationalQueries {
       |ORDER BY total_spend DESC, c_custkey
       |LIMIT 10""".stripMargin
 
+  /** q5b: pagination — LIMIT + OFFSET (SURVEY §2.10 O6: the producer's
+    * iloc[start:] slice). Spark 3.4+ has a native offset operator. */
+  def q5bOffsetPage(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    orders.groupBy(col("o_custkey"))
+      .agg(Num.r(sum(col("o_totalprice")), 2).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .offset(10)
+      .limit(10)
+  }
+
+  val q5bSql: String =
+    s"""SELECT o_custkey, ${graft.operators.Num.sqlR2("sum(o_totalprice)")} AS total_spend
+       |FROM orders GROUP BY o_custkey
+       |ORDER BY total_spend DESC, o_custkey
+       |LIMIT 10 OFFSET 10""".stripMargin
+
   /** q6: conditional aggregation — the reference's funnel pattern
     * (sum(when(cond,1).otherwise(0)), A4; funnel_processor.py:29-41)
     * over order statuses, with derived rates (P4/P6/P9:
@@ -370,6 +387,7 @@ object RelationalQueries {
     "q8_anti_join" -> (q8AntiJoin _),
     "q9_union" -> (q9Union _),
     "q10_window_rank" -> (q10WindowRank _),
+    "q5b_offset_page" -> (q5bOffsetPage _),
     "q11_rollup" -> (q11Rollup _),
     "q11b_set_ops" -> (q11bSetOps _),
     "q11c_map_funcs" -> (q11cMapFuncs _))
@@ -385,6 +403,7 @@ object RelationalQueries {
     "q8_anti_join" -> q8Sql,
     "q9_union" -> q9Sql,
     "q10_window_rank" -> q10Sql,
+    "q5b_offset_page" -> q5bSql,
     "q11_rollup" -> q11Sql,
     "q11b_set_ops" -> q11bSql,
     "q11c_map_funcs" -> q11cSql)
