@@ -293,9 +293,75 @@ object ExtensionQueries {
        |FROM documents
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q21b: BPE-ish regex tokenization (builder brief: "token
+  // counting (whitespace + a BPE-ish regex)"). Explicit character
+  // classes so the Java and RE2 regex dialects agree. ----
+
+  private val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+  def q21bBpeTokens(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("toks", regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+      .groupBy(col("lang"))
+      .agg(
+        sum(size(col("toks"))).as("total_subtokens"),
+        Num.r2(avg(size(col("toks")))).as("avg_subtokens"),
+        countDistinct(col("doc_id")).as("doc_count"))
+      .orderBy(col("lang"))
+
+  val q21bSql: String =
+    s"""SELECT lang,
+       |  sum(len(regexp_extract_all(text, '$BpePattern'))) AS total_subtokens,
+       |  ${Num.sqlR2(s"avg(len(regexp_extract_all(text, '$BpePattern')))")} AS avg_subtokens,
+       |  count(DISTINCT doc_id) AS doc_count
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---- q31: winnowing fingerprints (builder brief: "document
+  // fingerprinting (rolling hash)"): min shingle-hash over every
+  // w-window of consecutive shingles; the distinct minima are the
+  // document's fingerprint set (standard winnowing, w=4). ----
+
+  private val WinnowW = 4
+
+  def q31Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs(spark, dir).select(col("doc_id"),
+      posexplode(TF.shingles(col("text"), 3)).as(Seq("pos", "shingle")))
+      .withColumn("h", TF.hash32(col("shingle")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, WinnowW - 1)
+    sh.withColumn("fp", min(col("h")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fp")).as("fingerprint_count"),
+        min(col("fp")).as("min_fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q31Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, g.i - 1 AS pos, s.sh[g.i] AS shingle
+       |  FROM (SELECT doc_id, ${TF.sqlShingles("text", 3)} AS sh
+       |        FROM documents) s,
+       |       LATERAL (SELECT unnest(range(1, len(s.sh) + 1)) AS i) g),
+       |h AS (SELECT doc_id, pos, ${TF.sqlHash32("shingle")} AS h FROM sh),
+       |fp AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinnowW - 1} FOLLOWING) AS fp
+       |  FROM h)
+       |SELECT doc_id, count(DISTINCT fp) AS fingerprint_count,
+       |  min(fp) AS min_fingerprint
+       |FROM fp
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_content_dedup" -> (q20ContentDedup _),
     "q21_token_stats" -> (q21TokenStats _),
+    "q21b_bpe_tokens" -> (q21bBpeTokens _),
+    "q31_winnowing" -> (q31Winnowing _),
     "q22_quality" -> (q22Quality _),
     "q23_lang_id" -> (q23LangId _),
     "q24_ngram_jaccard" -> (q24NgramJaccard _),
@@ -309,6 +375,8 @@ object ExtensionQueries {
   def oracles: Map[String, String] = Map(
     "q20_content_dedup" -> q20Sql,
     "q21_token_stats" -> q21Sql,
+    "q21b_bpe_tokens" -> q21bSql,
+    "q31_winnowing" -> q31Sql,
     "q22_quality" -> q22Sql,
     "q23_lang_id" -> q23Sql,
     "q24_ngram_jaccard" -> q24Sql,

@@ -45,6 +45,20 @@ object MetricsSink {
   def parquetWriter(outDir: String): (DataFrame, Long) => Unit =
     (batch, _) => batch.write.mode("append").parquet(outDir)
 
+  /** Exactly-once parquet sink (§2.13 — the reference is at-least-once
+    * with swallowed conflicts): output is laid out by batch_id and each
+    * batch overwrites ITS OWN partition (dynamic overwrite), so a
+    * replayed micro-batch after failure/restart rewrites the same
+    * partition instead of duplicating rows. foreachBatch + idempotent
+    * write = effective exactly-once. */
+  def idempotentParquetWriter(outDir: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => batch
+      .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outDir)
+
   /** Scale variant: partition output by window date so downstream
     * dashboard queries (last hour / last day) prune partitions instead
     * of scanning history. */
