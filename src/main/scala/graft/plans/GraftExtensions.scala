@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** SparkSessionExtensions entry point for the engine's Catalyst
+  * additions — the plug-in route for clusters where the session is
+  * built by the platform:
+  *
+  * {{{
+  * spark.sql.extensions=graft.plans.GraftExtensions
+  * }}}
+  *
+  * Injects the vector expressions as SQL functions and the optimizer
+  * rule below. (In-code sessions can equally call
+  * `VectorFunctions.register`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_cosine"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VecCosine].getName, "vec_cosine"),
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          VecCosine(es.head, es(1))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[VecDot].getName, "vec_dot"),
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          VecDot(es.head, es(1))))
+    ext.injectOptimizerRule(_ => SimplifySelfCosine)
+  }
+}
+
+/** Optimizer rule: cosine(x, x) ≡ 1.0 for any non-null x (up to float
+  * error the kernel itself would produce on the identical loop) — a
+  * real rewrite for normalize-then-compare pipelines where a self-join
+  * degenerates. Demonstrates the `Rule[LogicalPlan]` extension surface
+  * (SURVEY §7.3: rely on Catalyst built-ins otherwise). */
+object SimplifySelfCosine extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case VecCosine(a, b) if a.deterministic && b.deterministic &&
+          a.semanticEquals(b) && !a.nullable =>
+        Literal(1.0, DoubleType)
+    }
+}

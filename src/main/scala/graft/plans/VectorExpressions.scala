@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native Catalyst vector expressions with whole-stage codegen.
   *
@@ -29,7 +29,16 @@ abstract class VecBinaryExpression extends BinaryExpression {
   protected def elemAsDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType => a.getFloat(i).toDouble
     case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case d: DecimalType => a.getDecimal(i, d.precision, d.scale).toDouble
     case other => throw new IllegalArgumentException(s"unsupported element $other")
+  }
+
+  /** Codegen fragment converting one element access to double. */
+  protected def genElemAsDouble(access: String, t: DataType): String = t match {
+    case _: DecimalType => s"$access.toDouble()"
+    case _ => s"(double) $access"
   }
 }
 
@@ -68,8 +77,8 @@ case class VecCosine(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = (double) $getA;
-         |  double $y = (double) $getB;
+         |  double $x = ${genElemAsDouble(getA, elemType(left))};
+         |  double $y = ${genElemAsDouble(getB, elemType(right))};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -110,7 +119,8 @@ case class VecDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (double) $getA * (double) $getB;
+         |  $dot += ${genElemAsDouble(getA, elemType(left))} *
+         |    ${genElemAsDouble(getB, elemType(right))};
          |}
          |${ev.value} = $dot;
        """.stripMargin

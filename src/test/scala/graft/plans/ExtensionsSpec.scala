@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SparkSessionExtensions plug-in path: SQL-visible vector
+  * functions + the self-cosine optimizer rule, in a session built the
+  * way a platform would build it (spark.sql.extensions). */
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // a session may already exist in this JVM (shared test context);
+    // extensions only apply at session construction, so clear and
+    // rebuild (the SparkContext is reused)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // .config("spark.sql.extensions", classOf[GraftExtensions].getName) is
+    // the production route, but it is a STATIC conf read from the
+    // SparkContext — inert when a context already exists (shared test
+    // JVM). withExtensions applies the same instance programmatically.
+    SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-tests")
+      .withExtensions(new GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-ext-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+
+  test("vec_cosine / vec_dot usable from SQL via extensions") {
+    val r = spark.sql(
+      "SELECT vec_cosine(array(1.0, 0.0), array(0.0, 1.0)) AS c, " +
+        "vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d").collect().head
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("optimizer rule folds cosine(x, x) to 1.0") {
+    import spark.implicits._
+    val df = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v")
+    df.createOrReplaceTempView("vecs")
+    val q = spark.sql("SELECT vec_cosine(v, v) AS c FROM vecs WHERE v IS NOT NULL")
+    // the rewrite happens when the column is provably non-null
+    // nullable column: rule doesn't fire; kernel computes ≈1
+    val out = q.collect().head.getDouble(0)
+    assert(math.abs(out - 1.0) < 1e-9)
+    // non-foldable, non-nullable input: OUR rule (not ConstantFolding)
+    // rewrites to an exact literal 1.0
+    val nn = spark.sql(
+      "SELECT vec_cosine(array(CAST(id AS DOUBLE), 1.0), " +
+        "array(CAST(id AS DOUBLE), 1.0)) AS c FROM range(3)")
+    assert(!nn.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("veccosine"),
+      nn.queryExecution.optimizedPlan.toString)
+    assert(nn.collect().forall(_.getDouble(0) == 1.0))
+  }
+}
