@@ -43,4 +43,39 @@ object Sampling {
     * with O(k) aggregation state per group. */
   def smallestK(c: Column, k: Int): Column =
     udaf(new BoundedMinSample(k), Encoders.STRING).apply(c)
+
+  final case class Scored(id: Long, score: Double)
+
+  /** Per-key top-k by (score desc, id asc) with O(k) state — the
+    * bounded-aggregation alternative to `row_number().over(window)`,
+    * which buffers and sorts EVERY row of a partition. Map-side partial
+    * aggregation prunes to k before the shuffle, so the exchange
+    * carries ≤ k rows per key per task. */
+  final class TopKByScore(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    override def zero: Seq[Scored] = Seq.empty
+
+    private def insert(buf: Seq[Scored], v: Scored): Seq[Scored] = {
+      val merged = (v +: buf).sortWith(better)
+      if (merged.size > k) merged.take(k) else merged
+    }
+
+    override def reduce(buf: Seq[Scored], v: Scored): Seq[Scored] =
+      insert(buf, v)
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      b.foldLeft(a)(insert)
+    override def finish(buf: Seq[Scored]): Seq[Scored] = buf
+
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      ExpressionEncoder[Seq[Scored]]()
+  }
+
+  /** Column form: top-k (id, score) pairs per group. */
+  def topKByScore(id: Column, score: Column, k: Int): Column =
+    udaf(new TopKByScore(k), ExpressionEncoder[Scored]()).apply(id, score)
 }

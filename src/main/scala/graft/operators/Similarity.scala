@@ -102,12 +102,16 @@ object Similarity {
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id").as("nbr_id"), col("v"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("nbr_id"))
+    // Bounded top-k aggregation (operators.Sampling.TopKByScore): the
+    // map side prunes to k per query before the shuffle — vs the
+    // window-rank form (bruteForceTopK) which sorts every candidate.
+    // Ordering (score desc, id asc) matches the window-rank tie-break.
     candidates
       .withColumn("cos", Num.r4(cosine(col("qv"), col("v"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+      .groupBy(col("query_id"))
+      .agg(Sampling.topKByScore(col("nbr_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("nbr_id"), col("s.score").as("cos"))
   }
 }
