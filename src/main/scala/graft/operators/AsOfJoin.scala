@@ -62,4 +62,44 @@ object AsOfJoin {
         leftCols.map(c => col(s"l_$c").as(c)) ++
         rightCols.map(c => col(s"r_${c}_f").as(s"asof_$c")): _*)
   }
+
+  /** Native-operator variant: plans through graft.plans.AsOfJoinPlan /
+    * AsOfJoinExec (custom LogicalPlan + Strategy + SparkPlan) — one
+    * hash exchange + sort per side, then a streaming forward merge with
+    * O(1) state, instead of the padded union + window above. Output:
+    * every left column ++ asof_ts ++ asof_<rightCols>.
+    *
+    * Note: tolerance compares at microsecond precision (the DataFrame
+    * variant truncates to seconds via unix_timestamp). */
+  def asOfNative(leftDf: DataFrame, rightDf: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, rightCols: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val spark = leftDf.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val lPlan = GraftColumnBridge.analyzed(leftDf)
+    val rPlan0 = GraftColumnBridge.analyzed(rightDf)
+    // Self-join hygiene: DeduplicateRelations only rewrites known join
+    // nodes, so when both sides share a relation (same exprIds),
+    // re-alias the right side to fresh ids.
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).nonEmpty)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlan0.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rPlan0)
+      else rPlan0
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column $name"))
+    GraftColumnBridge.ofRows(spark, graft.plans.AsOfJoinPlan.create(
+      lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      attr(lPlan, leftTs), attr(rPlan, rightTs),
+      rightCols.map(attr(rPlan, _)),
+      toleranceSec))
+  }
 }

@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VecDot(es.head, es(1))))
     ext.injectOptimizerRule(_ => SimplifySelfCosine)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 

@@ -40,6 +40,49 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.sameElements(Array(Some(9.0))))
   }
 
+  test("native operator (custom LogicalPlan/Strategy/SparkPlan) matches " +
+      "the DataFrame formulation") {
+    val viaWindow = AsOfJoin.asOf(trades, quotes, "sym", "ts", "ts",
+      leftCols = Seq("px"), rightCols = Seq("bid"))
+      .select("sym", "px", "asof_ts", "asof_bid")
+      .as[(String, Double, Option[Timestamp], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    val native = AsOfJoin.asOfNative(trades, quotes, "sym", "ts", "ts",
+      rightCols = Seq("bid"))
+      .select("sym", "px", "asof_ts", "asof_bid")
+      .as[(String, Double, Option[Timestamp], Option[Double])]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(viaWindow.sameElements(native))
+  }
+
+  test("native operator plans one exchange + sort per side") {
+    val df = AsOfJoin.asOfNative(trades, quotes, "sym", "ts", "ts", Seq("bid"))
+    df.collect() // materialize AQE final plan
+    val full = df.queryExecution.executedPlan.toString
+    val plan = full.split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan)
+    assert(plan.contains("Sort"), plan)
+  }
+
+  test("native operator at scale grain: purchases asof views on events") {
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value")
+    val viaWindow = AsOfJoin.asOf(purchases, views, "user_id", "ts", "ts",
+      leftCols = Seq("value"), rightCols = Seq("value"))
+      .select($"user_id", $"ts", $"asof_ts")
+      .as[(Long, Timestamp, Option[Timestamp])].collect().sortBy(r => (r._1, r._2.getTime))
+    val native = AsOfJoin.asOfNative(purchases, views, "user_id", "ts", "ts",
+      rightCols = Seq("value"))
+      .select($"user_id", $"ts", $"asof_ts")
+      .as[(Long, Timestamp, Option[Timestamp])].collect().sortBy(r => (r._1, r._2.getTime))
+    assert(viaWindow.sameElements(native))
+    assert(native.length == purchases.count())
+  }
+
   test("tolerance nulls out stale matches") {
     val out = AsOfJoin.asOf(trades, quotes, "sym", "ts", "ts",
       leftCols = Seq("px"), rightCols = Seq("bid"),
