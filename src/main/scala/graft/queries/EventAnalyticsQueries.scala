@@ -318,6 +318,48 @@ object EventAnalyticsQueries {
        |FROM m
        |ORDER BY user_id, purchase_ts""".stripMargin
 
+  /** q32b: the NATIVE as-of operator (plans.AsOfJoinPlan — custom
+    * LogicalPlan/Strategy/SparkPlan) through the oracle gate. Same
+    * shape as q32; tolerance compares at full (µs) precision, so the
+    * oracle uses fractional epoch. */
+  def q32bAsOfNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"))
+    graft.operators.AsOfJoin.asOfNative(
+      purchases, views, "user_id", "ts", "ts",
+      rightCols = Seq(), toleranceSec = Some(3600))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("ts")).as("purchase_ts"),
+        col("asof_ts").isNotNull.as("has_prior_view"),
+        when(col("asof_ts").isNotNull,
+          unix_timestamp(col("ts")) - unix_timestamp(col("asof_ts")))
+          .as("gap_seconds"),
+        Num.r(col("value"), 2).as("purchase_value"))
+      .orderBy(col("user_id"), col("purchase_ts"))
+  }
+
+  val q32bSql: String =
+    s"""WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+       |m AS (
+       |  SELECT p.user_id, p.ts AS pts, p.value, v.ts AS vts
+       |  FROM p ASOF LEFT JOIN v
+       |    ON p.user_id = v.user_id AND v.ts <= p.ts)
+       |SELECT user_id,
+       |  CAST(floor(epoch(pts)) AS BIGINT) AS purchase_ts,
+       |  (vts IS NOT NULL AND epoch(pts) - epoch(vts) <= 3600.0)
+       |    AS has_prior_view,
+       |  CASE WHEN vts IS NOT NULL AND epoch(pts) - epoch(vts) <= 3600.0
+       |       THEN CAST(floor(epoch(pts)) - floor(epoch(vts)) AS BIGINT) END
+       |    AS gap_seconds,
+       |  ${Num.sqlR2("value")} AS purchase_value
+       |FROM m
+       |ORDER BY user_id, purchase_ts""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_funnel" -> (q12Funnel _),
     "q13_gmv" -> (q13Gmv _),
@@ -327,7 +369,8 @@ object EventAnalyticsQueries {
     "q17_session" -> (q17Session _),
     "q18_tumbling" -> (q18Tumbling _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
-    "q32_asof" -> (q32AsOf _))
+    "q32_asof" -> (q32AsOf _),
+    "q32b_asof_native" -> (q32bAsOfNative _))
 
   def oracles: Map[String, String] = Map(
     "q12_funnel" -> q12Sql,
@@ -337,5 +380,6 @@ object EventAnalyticsQueries {
     "q16_dedup_exact" -> q16Sql,
     "q17_session" -> q17Sql,
     "q18_tumbling" -> q18Sql,
-    "q32_asof" -> q32Sql)
+    "q32_asof" -> q32Sql,
+    "q32b_asof_native" -> q32bSql)
 }

@@ -376,6 +376,55 @@ object RelationalQueries {
       |GROUP BY 1, 2
       |ORDER BY event_type, k_mod""".stripMargin
 
+  /** q33: scalar + correlated subqueries through the spark.sql surface
+    * (Tables.registerAll → SQL text), exercising subquery decorrelation. */
+  def q33ScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.registerAll(spark, dir)
+    spark.sql(
+      s"""SELECT c_mktsegment,
+         |  count(*) AS rich_customers,
+         |  ${graft.operators.Num.sqlR2("sum(c_acctbal)")} AS total_balance
+         |FROM customer
+         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+         |  AND c_custkey IN (SELECT o_custkey FROM orders
+         |                    WHERE o_totalprice > 100000)
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  val q33Sql: String =
+    s"""SELECT c_mktsegment,
+       |  count(*) AS rich_customers,
+       |  ${graft.operators.Num.sqlR2("sum(c_acctbal)")} AS total_balance
+       |FROM customer
+       |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+       |  AND c_custkey IN (SELECT o_custkey FROM orders
+       |                    WHERE o_totalprice > 100000)
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
+  /** q34: pivot — wide conditional aggregation (groupBy().pivot() with
+    * explicit values so the plan needs no extra distinct pass). */
+  def q34Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    ev.groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(Num.r(sum(col("value")), 2))
+      .orderBy(col("user_bucket"))
+  }
+
+  val q34Sql: String = {
+    def p(t: String) = graft.operators.Num.sqlR2(
+      s"sum(value) FILTER (WHERE event_type = '$t')")
+    s"""SELECT user_id % 10 AS user_bucket,
+       |  ${p("click")} AS click, ${p("error")} AS error,
+       |  ${p("purchase")} AS purchase, ${p("signup")} AS signup,
+       |  ${p("view")} AS view
+       |FROM events
+       |GROUP BY user_id % 10
+       |ORDER BY user_bucket""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -390,7 +439,9 @@ object RelationalQueries {
     "q5b_offset_page" -> (q5bOffsetPage _),
     "q11_rollup" -> (q11Rollup _),
     "q11b_set_ops" -> (q11bSetOps _),
-    "q11c_map_funcs" -> (q11cMapFuncs _))
+    "q11c_map_funcs" -> (q11cMapFuncs _),
+    "q33_scalar_subquery" -> (q33ScalarSubquery _),
+    "q34_pivot" -> (q34Pivot _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -406,5 +457,7 @@ object RelationalQueries {
     "q5b_offset_page" -> q5bSql,
     "q11_rollup" -> q11Sql,
     "q11b_set_ops" -> q11bSql,
-    "q11c_map_funcs" -> q11cSql)
+    "q11c_map_funcs" -> q11cSql,
+    "q33_scalar_subquery" -> q33Sql,
+    "q34_pivot" -> q34Sql)
 }
