@@ -83,6 +83,52 @@ object Similarity {
     bits.reduce((a, b) => a + b)
   }
 
+  /** IVF-style ANN: a coarse quantizer of `nlist` centroid cells; each
+    * vector is indexed under its nearest centroid, queries probe the
+    * `nprobe` nearest cells and rank candidates exactly.
+    *
+    * The "training" is deterministic — centroids are the first `nlist`
+    * vectors by id (reservoir-free deterministic sample). Real k-means
+    * improves cell balance but not the operator's shape: the index is
+    * a cell-keyed table either way, and at 100 TB the cell assignment
+    * is a narrow map (centroids broadcast as literals), the probe a
+    * cell-key join — no all-pairs anywhere.
+    */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids: Array[(Int, Array[Double])] = emb
+      .orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getSeq[Float](0).map(_.toDouble).toArray)
+      }
+    // per-vector: array of (cos to centroid c, c), sorted desc
+    def cellScores(v: Column): Column = sort_array(
+      array(centroids.map { case (c, vec) =>
+        struct(Num.r4(cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
+      }: _*), asc = false)
+
+    val indexed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      cellScores(col(vecCol))(0).getField("cell").as("cell"))
+    val probes = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(cellScores(col(vecCol)), 1, nprobe).getField("cell"))
+          .as("cell"))
+    val candidates = indexed.join(probes, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("id").as("nbr_id"), col("v"))
+      .distinct()
+    candidates
+      .withColumn("cos", Num.r4(cosine(col("qv"), col("v"))))
+      .groupBy(col("query_id"))
+      .agg(Sampling.topKByScore(col("nbr_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("nbr_id"), col("s.score").as("cos"))
+  }
+
   /** ANN top-k via multi-table hyperplane LSH: queries probe their
     * bucket in each table; union of candidates ranked exactly.
     * Recall vs bruteForceTopK is property-tested. */

@@ -273,6 +273,12 @@ object ExtensionQueries {
     Similarity.lshTopK(embs(spark, dir), col("vec_id") % QueryMod === 0, TopK)
       .orderBy(col("query_id"), col("rank"))
 
+  // ---- q29b: IVF ANN (rows-only; recall tested in specs) ----
+
+  def q29bIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(embs(spark, dir), col("vec_id") % QueryMod === 0, TopK)
+      .orderBy(col("query_id"), col("rank"))
+
   // ---- q30: multimodal column plumbing (stub codec) ----
 
   def q30Multimodal(spark: SparkSession, dir: String): DataFrame =
@@ -370,6 +376,7 @@ object ExtensionQueries {
     "q27_cosine_topk" -> (q27CosineTopK _),
     "q28_cosine_pairs" -> (q28CosinePairs _),
     "q29_ann_lsh" -> (q29AnnLsh _),
+    "q29b_ann_ivf" -> (q29bIvf _),
     "q30_multimodal" -> (q30Multimodal _))
 
   def oracles: Map[String, String] = Map(

@@ -85,6 +85,17 @@ class ExtensionSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall") // deterministic for fixed planes
   }
 
+  test("IVF ANN recall vs brute force on testdata") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, pred, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, pred, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // deterministic for fixed centroids
+  }
+
   test("multimodal stub pipeline: features match hand computation") {
     val df = Seq((3L, "abc", 3L)).toDF("doc_id", "text", "n_chars")
     val out = Multimodal.extractFeatures(Multimodal.asMedia(df)).collect().head
