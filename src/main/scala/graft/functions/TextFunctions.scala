@@ -26,14 +26,21 @@ object TextFunctions {
     s"list_filter(regexp_split_to_array($text, '\\s+'), t -> t <> '')"
 
   /** Word n-gram shingles (space-joined). Empty when fewer than n
-    * tokens. */
-  def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+    * tokens.
+    *
+    * Perf note: pass an already-materialized token ARRAY column here
+    * (tokenize in a projection below), not `tokens(text)` inline — an
+    * inline tree repeats the regex split once per lambda element
+    * (O(tokens × shingles) splits per row; measured 2× on the shingle
+    * operators). */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     when(size(ts) >= n,
       transform(sequence(lit(1), size(ts) - (n - 1)),
         i => concat_ws(" ", slice(ts, i, lit(n)))))
       .otherwise(array())
-  }
+
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
   def sqlShingles(text: String, n: Int): String = {
     val ts = sqlTokens(text)
     s"""CASE WHEN len($ts) >= $n

@@ -33,11 +33,13 @@ object TextDedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("copies"))
 
-  /** Distinct (id, shingle) pairs — shared base for Jaccard/MinHash. */
+  /** Distinct (id, shingle) pairs — shared base for Jaccard/MinHash.
+    * Tokenizes in a projection below the explode so the regex split
+    * runs once per document, not once per shingle. */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), n)).as("shingle"))
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
       .distinct()
 
   /** Exact n-gram Jaccard similar pairs: |A∩B| / |A∪B| ≥ threshold.

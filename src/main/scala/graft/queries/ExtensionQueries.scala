@@ -333,8 +333,10 @@ object ExtensionQueries {
 
   def q31Winnowing(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = docs(spark, dir).select(col("doc_id"),
-      posexplode(TF.shingles(col("text"), 3)).as(Seq("pos", "shingle")))
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TF.shinglesFromTokens(col("toks"), 3)).as(Seq("pos", "shingle")))
       .withColumn("h", TF.hash32(col("shingle")))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, WinnowW - 1)
