@@ -57,11 +57,11 @@ object EventAnalyticsQueries {
     s"""SELECT window_start, window_end,
        |  count(*) AS total_events,
        |  count(DISTINCT user_id) AS unique_users,
-       |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signups,
-       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
-       |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-       |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+       |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
        |  CASE WHEN sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) > 0
        |    THEN floor((floor((sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::DOUBLE
        |      / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) * 100) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 END AS click_rate,
@@ -176,8 +176,8 @@ object EventAnalyticsQueries {
        |  count(*) AS txn_count,
        |  floor((floor((sum(coalesce(value, 0.0))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS total_value,
        |  floor((floor((avg(coalesce(value, 0.0))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_value,
-       |  sum(CASE WHEN is_success THEN 1 ELSE 0 END) AS success_count,
-       |  sum(CASE WHEN NOT is_success THEN 1 ELSE 0 END) AS failed_count,
+       |  CAST(sum(CASE WHEN is_success THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
+       |  CAST(sum(CASE WHEN NOT is_success THEN 1 ELSE 0 END) AS BIGINT) AS failed_count,
        |  max(k) AS max_k,
        |  CASE WHEN count(*) > 0
        |    THEN floor((floor((sum(CASE WHEN is_success THEN 1 ELSE 0 END)::DOUBLE
@@ -238,7 +238,7 @@ object EventAnalyticsQueries {
       |  FROM sessions GROUP BY user_id, session_id)
       |SELECT user_id, count(*) AS session_count,
       |  max(events_in_session) AS max_session_events,
-      |  sum(events_in_session) AS total_events
+      |  CAST(sum(events_in_session) AS BIGINT) AS total_events
       |FROM per_session
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin

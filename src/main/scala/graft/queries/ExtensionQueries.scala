@@ -74,7 +74,7 @@ object ExtensionQueries {
 
   val q21Sql: String =
     s"""SELECT lang, count(*) AS doc_count,
-       |  sum(${TF.sqlTokenCount("text")}) AS total_tokens,
+       |  CAST(sum(${TF.sqlTokenCount("text")}) AS BIGINT) AS total_tokens,
        |  ${Num.sqlR2(s"avg(${TF.sqlTokenCount("text")})")} AS avg_tokens,
        |  ${Num.sqlR4(s"avg(${TF.sqlMeanWordLen("text")})")} AS avg_word_len
        |FROM documents
@@ -317,7 +317,7 @@ object ExtensionQueries {
 
   val q21bSql: String =
     s"""SELECT lang,
-       |  sum(len(regexp_extract_all(text, '$BpePattern'))) AS total_subtokens,
+       |  CAST(sum(len(regexp_extract_all(text, '$BpePattern'))) AS BIGINT) AS total_subtokens,
        |  ${Num.sqlR2(s"avg(len(regexp_extract_all(text, '$BpePattern')))")} AS avg_subtokens,
        |  count(DISTINCT doc_id) AS doc_count
        |FROM documents

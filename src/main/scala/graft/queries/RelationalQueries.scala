@@ -193,9 +193,9 @@ object RelationalQueries {
   val q6Sql: String =
     """SELECT o_orderpriority,
       |  count(*) AS total_orders,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS fulfilled,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
-      |  sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS not_fulfilled,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_orders,
+      |  CAST(sum(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS not_fulfilled,
       |  floor((floor((sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::DOUBLE
       |        / count(*) * 100) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS fulfill_rate
       |FROM orders
