@@ -104,22 +104,24 @@ object Similarity {
       .map { case (r, i) =>
         (i, r.getSeq[Float](0).map(_.toDouble).toArray)
       }
-    // per-vector: array of (cos to centroid c, c), sorted desc
-    def cellScores(v: Column): Column = sort_array(
-      array(centroids.map { case (c, vec) =>
-        struct(Num.r4(cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
-      }: _*), asc = false)
-
+    // per-vector: array of (cos to centroid c, c) structs
+    def cellArr(v: Column): Column = array(centroids.map { case (c, vec) =>
+      struct(Num.r4(cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
+    }: _*)
+    // index side needs only the argmax cell — array_max, no sort
     val indexed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      cellScores(col(vecCol))(0).getField("cell").as("cell"))
+      array_max(cellArr(col(vecCol))).getField("cell").as("cell"))
+    // probe side (query-sized) sorts to take the nprobe nearest cells
     val probes = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(slice(cellScores(col(vecCol)), 1, nprobe).getField("cell"))
-          .as("cell"))
-    val candidates = indexed.join(probes, Seq("cell"))
+        explode(slice(sort_array(cellArr(col(vecCol)), asc = false), 1, nprobe)
+          .getField("cell")).as("cell"))
+    // each corpus vector lives in exactly one cell, so a (query, nbr)
+    // pair can match at most once — no distinct needed. Probes are
+    // query-sized → broadcast; the corpus side never shuffles.
+    val candidates = indexed.join(broadcast(probes), Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id").as("nbr_id"), col("v"))
-      .distinct()
     candidates
       .withColumn("cos", Num.r4(cosine(col("qv"), col("v"))))
       .groupBy(col("query_id"))
@@ -135,16 +137,18 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       numPlanes: Int = 6, numTables: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val keyed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      array((0 until numTables).map(t =>
-        struct(lit(t).as("t"), lshKey(col(vecCol), t, numPlanes, dim).as("key"))): _*)
-        .as("keys"))
-    val buckets = keyed.select(col("id"), col("v"), explode(col("keys")).as("tk"))
-      .select(col("id"), col("v"), col("tk.t").as("t"), col("tk.key").as("key"))
-    val queries = buckets.join(
-      emb.filter(queryPred).select(col(idCol).as("id")), Seq("id"))
-      .select(col("id").as("query_id"), col("v").as("qv"), col("t"), col("key"))
-    val candidates = buckets.join(queries, Seq("t", "key"))
+    def withKeys(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(id), col(v), explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"), lshKey(col(v), t, numPlanes, dim).as("key"))): _*))
+        .as("tk"))
+        .select(col(id), col(v), col("tk.t").as("t"), col("tk.key").as("key"))
+    // corpus keyed once; queries are the filtered (small) side and key
+    // themselves directly — broadcast, so the corpus never shuffles
+    val buckets = withKeys(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
+    val queries = withKeys(emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
+    val candidates = buckets.join(broadcast(queries), Seq("t", "key"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id").as("nbr_id"), col("v"))
       .distinct()

