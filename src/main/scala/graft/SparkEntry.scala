@@ -22,12 +22,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.entries ++
       EventAnalyticsQueries.entries ++
-      ExtensionQueries.entries
+      ExtensionQueries.entries ++
+      PipelineQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       EventAnalyticsQueries.oracles ++
-      ExtensionQueries.oracles
+      ExtensionQueries.oracles ++
+      PipelineQueries.oracles
 }

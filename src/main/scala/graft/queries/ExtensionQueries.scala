@@ -25,24 +25,41 @@ object ExtensionQueries {
   private def sqlSh(n: Int) =
     s"list_distinct(${TF.sqlShingles("text", n)})"
 
-  /** DuckDB CTE producing distinct (id, sh) doc-shingle pairs. */
-  private def dsCte(n: Int) =
+  /** DuckDB CTE producing distinct (id, sh) doc-shingle pairs.
+    * Shared with PipelineQueries (q36's recursive-CTE oracle). */
+  private[queries] def dsCte(n: Int) =
     s"ds AS (SELECT doc_id AS id, unnest(${sqlSh(n)}) AS sh FROM documents)"
 
-  private def jaccardTail(threshold: Double): String =
-    s"""sz AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
-       |inter AS (
-       |  SELECT ca.id_a, ca.id_b, count(*) AS i
-       |  FROM cand ca
-       |  JOIN ds da ON da.id = ca.id_a
-       |  JOIN ds db ON db.id = ca.id_b AND db.sh = da.sh
-       |  GROUP BY ca.id_a, ca.id_b)
-       |SELECT i.id_a, i.id_b,
+  /** Shingle-set sizes + candidate-pair intersections (CTE fragment
+    * following `ds` + `cand`). */
+  private[queries] val jacCtes: String =
+    """sz AS (SELECT id, count(*) AS sz FROM ds GROUP BY id),
+      |inter AS (
+      |  SELECT ca.id_a, ca.id_b, count(*) AS i
+      |  FROM cand ca
+      |  JOIN ds da ON da.id = ca.id_a
+      |  JOIN ds db ON db.id = ca.id_b AND db.sh = da.sh
+      |  GROUP BY ca.id_a, ca.id_b)""".stripMargin
+
+  /** Verified similar-pair select over `inter`/`sz` (no ORDER BY). */
+  private[queries] def jacSelect(threshold: Double): String =
+    s"""SELECT i.id_a, i.id_b,
        |  ${Num.sqlR4("i.i::DOUBLE / (sa.sz + sb.sz - i.i)")} AS jaccard
        |FROM inter i
        |JOIN sz sa ON i.id_a = sa.id
        |JOIN sz sb ON i.id_b = sb.id
-       |WHERE ${Num.sqlR4("i.i::DOUBLE / (sa.sz + sb.sz - i.i)")} >= $threshold
+       |WHERE ${Num.sqlR4("i.i::DOUBLE / (sa.sz + sb.sz - i.i)")} >= $threshold""".stripMargin
+
+  /** All-pairs-by-shared-shingle candidate CTE (exact Jaccard path). */
+  private[queries] val candCte: String =
+    """cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.id < b.id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def jaccardTail(threshold: Double): String =
+    s"""$jacCtes
+       |${jacSelect(threshold)}
        |ORDER BY id_a, id_b""".stripMargin
 
   // ---- q20: exact content dedup ----
@@ -136,10 +153,7 @@ object ExtensionQueries {
 
   val q24Sql: String =
     s"""WITH ${dsCte(3)},
-       |cand AS (
-       |  SELECT a.id AS id_a, b.id AS id_b
-       |  FROM ds a JOIN ds b ON a.sh = b.sh AND a.id < b.id
-       |  GROUP BY 1, 2),
+       |$candCte,
        |${jaccardTail(0.5)}""".stripMargin
 
   // ---- q25: MinHash + LSH near-dup pipeline ----

@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{ClusterDedup, Num, TextDedup}
+
+/** Round-2 additions: the operations a production training-data
+  * pipeline layers on top of pair generation and basic analytics —
+  * edit-distance verification, transitive dedup CLUSTERS (connected
+  * components), deterministic sampling, PII/URL scrubbing, embedding
+  * centroids — plus relational surface the round-1 inventory lacked
+  * (exact quantiles, lead/lag/ntile analytics, CUBE).
+  *
+  * Scale notes (100 TB): every query is declarative except the
+  * connected-components round loop (driver-coordinated like Pregel,
+  * data movement fully distributed — see operators.ClusterDedup).
+  * Levenshtein runs only inside tight blocking buckets (prefix+lang),
+  * never all-pairs; sampling is hash-based so it needs no coordination
+  * and no sort; centroids are one partial-aggregated shuffle keyed by
+  * (cell, dim).
+  */
+object PipelineQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  // ---- q35: edit-distance near-dup pairs (levenshtein within
+  // blocking buckets). ASCII-only guard because DuckDB's levenshtein
+  // is byte-based while Spark's is codepoint-based — they agree
+  // exactly on single-byte text. ----
+
+  private val LevBlockPrefix = 16
+  private val LevMaxFrac = 0.2
+
+  def q35Levenshtein(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .filter(length(col("text")) === octet_length(col("text")))
+      .select(col("doc_id"), col("lang"), col("text"),
+        substring(col("text"), 1, LevBlockPrefix).as("blk"))
+    d.as("a").join(d.as("b"),
+      col("a.lang") === col("b.lang") && col("a.blk") === col("b.blk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("dist", levenshtein(col("a.text"), col("b.text")))
+      .filter(col("dist") <=
+        floor(lit(LevMaxFrac) * greatest(length(col("a.text")), length(col("b.text")))))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q35Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, text, substr(text, 1, $LevBlockPrefix) AS blk
+       |  FROM documents WHERE length(text) = strlen(text))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+       |FROM d a JOIN d b
+       |  ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE levenshtein(a.text, b.text) <=
+       |  floor($LevMaxFrac * greatest(length(a.text), length(b.text)))
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q36: transitive near-dup clusters — connected components over
+  // the exact-Jaccard pair list (operators.ClusterDedup); oracle is a
+  // DuckDB recursive CTE computing min-reachable-id. ----
+
+  def q36DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextDedup.jaccardPairs(docs(spark, dir), n = 3, threshold = 0.5)
+    ClusterDedup.clusters(edges, "id_a", "id_b")
+      .select(col("cluster_id"), col("id").as("doc_id"), col("cluster_size"))
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
+  val q36Sql: String =
+    s"""WITH RECURSIVE ${ExtensionQueries.dsCte(3)},
+       |${ExtensionQueries.candCte},
+       |${ExtensionQueries.jacCtes},
+       |edges AS (SELECT id_a, id_b FROM (${ExtensionQueries.jacSelect(0.5)})),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT sym.src, r.lbl FROM sym JOIN reach r ON sym.dst = r.id),
+       |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+       |          FROM lab GROUP BY 1)
+       |SELECT l.cluster_id, l.id AS doc_id, s.cluster_size
+       |FROM lab l JOIN sizes s ON l.cluster_id = s.cluster_id
+       |ORDER BY l.cluster_id, doc_id""".stripMargin
+
+  // ---- q37: exact quantiles (percentile interpolation identical to
+  // DuckDB's quantile_cont). At 100 TB approx_percentile (q19's
+  // sketch family) is the scale path; exact percentile is the
+  // verification twin. ----
+
+  def q37Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        Num.r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        Num.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        Num.r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+        Num.r4(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
+      .orderBy(col("l_returnflag"))
+
+  val q37Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${Num.sqlR4("quantile_cont(l_extendedprice, 0.25)")} AS p25,
+       |  ${Num.sqlR4("quantile_cont(l_extendedprice, 0.5)")} AS p50,
+       |  ${Num.sqlR4("quantile_cont(l_extendedprice, 0.75)")} AS p75,
+       |  ${Num.sqlR4("quantile_cont(l_extendedprice, 0.95)")} AS p95
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q38: lead/lag/ntile/percent_rank/cume_dist over per-customer
+  // order sequences (full ordering key for determinism). ----
+
+  def q38LeadLag(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_ts"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        Num.r4(percent_rank().over(w)).as("prank"),
+        Num.r4(cume_dist().over(w)).as("cdist"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q38Sql: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS order_ts,
+       |  lag(o_totalprice, 1) OVER w AS prev_price,
+       |  lead(o_totalprice, 1) OVER w AS next_price,
+       |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       |  ${Num.sqlR4("percent_rank() OVER w")} AS prank,
+       |  ${Num.sqlR4("cume_dist() OVER w")} AS cdist
+       |FROM orders
+       |WHERE o_custkey % 50 = 0
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q11d: CUBE (rollup's sibling — adds the (null, status)
+  // cross-sections). ----
+
+  def q11dCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("order_count"),
+        Num.r2(sum(col("o_totalprice"))).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("order_count"), col("revenue"))
+      .orderBy(col("priority"), col("status"))
+
+  val q11dSql: String =
+    s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+       |  coalesce(o_orderstatus, 'ALL') AS status,
+       |  count(*) AS order_count,
+       |  ${Num.sqlR2("sum(o_totalprice)")} AS revenue
+       |FROM orders
+       |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+       |ORDER BY priority, status""".stripMargin
+
+  // ---- q39: deterministic hash sampling — the distributed form of
+  // TABLESAMPLE: a content-hash predicate needs no coordination, no
+  // sort, and reproduces exactly on any cluster layout. ----
+
+  private val SamplePct = 10
+
+  def q39HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .withColumn("hk", TF.hash60(
+        concat_ws("_", col("l_orderkey"), col("l_linenumber"))))
+      .filter(col("hk") % 100 < SamplePct)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("sample_rows"),
+        countDistinct(col("l_orderkey")).as("sample_orders"),
+        Num.r2(sum(col("l_extendedprice"))).as("sample_revenue"))
+      .orderBy(col("l_returnflag"))
+
+  val q39Sql: String =
+    s"""SELECT l_returnflag, count(*) AS sample_rows,
+       |  count(DISTINCT l_orderkey) AS sample_orders,
+       |  ${Num.sqlR2("sum(l_extendedprice)")} AS sample_revenue
+       |FROM lineitem
+       |WHERE ${TF.sqlHash60("l_orderkey::VARCHAR || '_' || l_linenumber::VARCHAR")} % 100 < $SamplePct
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---- q40: PII / URL / number scrubbing (C4-style cleanup):
+  // sequential regexp_replace passes + per-language scrub accounting.
+  // Conservative regex syntax so the Java and RE2 dialects agree. ----
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  // entity scrubbing (anonymize a known token class) — the pattern the
+  // synthetic corpus actually exercises; email/url stay as the
+  // realistic PII passes
+  private val EntityRe = "\\b(spark|customer)\\b"
+
+  def q40Scrub(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        EntityRe, "<ENT>")
+    docs(spark, dir)
+      .select(col("lang"), col("text"), scrubbed.as("clean"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("doc_count"),
+        sum(length(col("text")).cast("long")).as("chars_before"),
+        sum(length(col("clean")).cast("long")).as("chars_after"),
+        sum(size(regexp_extract_all(col("text"), lit(EmailRe), lit(0)))
+          .cast("long")).as("emails_found"),
+        sum(size(regexp_extract_all(col("text"), lit(UrlRe), lit(0)))
+          .cast("long")).as("urls_found"),
+        sum(size(regexp_extract_all(col("text"), lit(EntityRe), lit(0)))
+          .cast("long")).as("entities_found"))
+      .orderBy(col("lang"))
+  }
+
+  val q40Sql: String =
+    s"""SELECT lang, count(*) AS doc_count,
+       |  CAST(sum(length(text)) AS BIGINT) AS chars_before,
+       |  CAST(sum(length(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+       |    '$EntityRe', '<ENT>', 'g'))) AS BIGINT) AS chars_after,
+       |  CAST(sum(len(regexp_extract_all(text, '$EmailRe'))) AS BIGINT) AS emails_found,
+       |  CAST(sum(len(regexp_extract_all(text, '$UrlRe'))) AS BIGINT) AS urls_found,
+       |  CAST(sum(len(regexp_extract_all(text, '$EntityRe'))) AS BIGINT) AS entities_found
+       |FROM documents
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  // ---- q41: per-cell embedding centroids — the "training" half of
+  // IVF and the reduce step of k-means: one partial-aggregated
+  // shuffle keyed by (cell, dim). Output one row per (cell, dim) so
+  // the oracle compares scalars, not arrays. ----
+
+  private val CentroidCells = 8
+
+  def q41Centroids(spark: SparkSession, dir: String): DataFrame =
+    embs(spark, dir)
+      .select((col("vec_id") % CentroidCells).as("cell"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), (col("pos") + 1).as("dim"))
+      .agg(count(lit(1)).as("n"),
+        Num.r4(avg(col("x").cast("double"))).as("centroid"))
+      .orderBy(col("cell"), col("dim"))
+
+  val q41Sql: String =
+    s"""SELECT vec_id % $CentroidCells AS cell, g.i AS dim,
+       |  count(*) AS n,
+       |  ${Num.sqlR4("avg(embedding[g.i]::DOUBLE)")} AS centroid
+       |FROM embeddings,
+       |     LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g
+       |GROUP BY 1, 2
+       |ORDER BY cell, dim""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_levenshtein" -> (q35Levenshtein _),
+    "q36_dedup_clusters" -> (q36DedupClusters _),
+    "q37_quantiles" -> (q37Quantiles _),
+    "q38_lead_lag" -> (q38LeadLag _),
+    "q11d_cube" -> (q11dCube _),
+    "q39_hash_sample" -> (q39HashSample _),
+    "q40_scrub" -> (q40Scrub _),
+    "q41_centroids" -> (q41Centroids _))
+
+  def oracles: Map[String, String] = Map(
+    "q35_levenshtein" -> q35Sql,
+    "q36_dedup_clusters" -> q36Sql,
+    "q37_quantiles" -> q37Sql,
+    "q38_lead_lag" -> q38Sql,
+    "q11d_cube" -> q11dSql,
+    "q39_hash_sample" -> q39Sql,
+    "q40_scrub" -> q40Sql,
+    "q41_centroids" -> q41Sql)
+}
