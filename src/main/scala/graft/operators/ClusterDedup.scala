@@ -30,9 +30,11 @@ object ClusterDedup {
     * Returns (id, cluster_id) for every node appearing in `edges`. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): DataFrame = {
-    val sym = edges
-      .select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .union(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+    // materialize the edge pipeline ONCE before the symmetric union —
+    // both union branches would otherwise re-execute it
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .localCheckpoint()
+    val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
       .distinct()
       .localCheckpoint()
     var labels = sym.select(col("s").as("id")).distinct()
