@@ -57,9 +57,12 @@ object OrderLifecycle {
       }
       cur.foreach { s =>
         state.update(s)
-        // GC: no activity for 1h of event time → evict
-        if (state.getCurrentWatermarkMs() > 0)
-          state.setTimeoutTimestamp(s.lastTsMs + 3600 * 1000)
+        // GC: no activity for 1h of event time → evict (clamped above
+        // the watermark — late keys must not request a passed timeout)
+        val wm = state.getCurrentWatermarkMs()
+        if (wm > 0)
+          state.setTimeoutTimestamp(
+            math.max(s.lastTsMs + 3600 * 1000, wm + 60 * 1000))
       }
       out.result().iterator
     }
