@@ -65,7 +65,7 @@ object Similarity {
     * (table, p) is ±1 by a bit of md5("table_p_j"). Computed ONCE on
     * the driver and shipped as array literals — the earlier in-query
     * formulation recomputed an md5 per element per plane per row. */
-  private def planeSign(table: Int, plane: Int, j: Int): Double = {
+  private[graft] def planeSign(table: Int, plane: Int, j: Int): Double = {
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"${table}_${plane}_$j".getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
@@ -137,11 +137,15 @@ object Similarity {
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       numPlanes: Int = 6, numTables: Int = 8, dim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // one fused expression computes every table's key in a single
+    // vector pass (plans.VecLshKeys); posexplode recovers (t, key)
+    val planeMatrix: IndexedSeq[IndexedSeq[Double]] =
+      for (t <- 0 until numTables; p <- 0 until numPlanes)
+        yield IndexedSeq.tabulate(dim)(j => planeSign(t, p, j))
     def withKeys(df: DataFrame, id: String, v: String): DataFrame =
-      df.select(col(id), col(v), explode(array((0 until numTables).map(t =>
-        struct(lit(t).as("t"), lshKey(col(v), t, numPlanes, dim).as("key"))): _*))
-        .as("tk"))
-        .select(col(id), col(v), col("tk.t").as("t"), col("tk.key").as("key"))
+      df.select(col(id), col(v),
+        posexplode(graft.plans.VectorFunctions.vec_lsh_keys(
+          col(v), planeMatrix, numPlanes)).as(Seq("t", "key")))
     // corpus keyed once; queries are the filtered (small) side and key
     // themselves directly — broadcast, so the corpus never shuffles
     val buckets = withKeys(

@@ -139,6 +139,13 @@ object VectorFunctions {
     GraftColumnBridge.column(VecDot(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 
+  /** Array of LSH bucket keys, one per hash table (plane matrix laid
+    * out as numTables × numPlanes consecutive rows). */
+  def vec_lsh_keys(v: Column, planes: IndexedSeq[IndexedSeq[Double]],
+      numPlanes: Int): Column =
+    GraftColumnBridge.column(VecLshKeys(GraftColumnBridge.expression(v),
+      planes, numPlanes))
+
   /** SQL registration so the expressions are usable from spark.sql. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -146,4 +153,93 @@ object VectorFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", es => VecDot(es.head, es(1)), "builtin")
   }
+}
+
+/** All LSH bucket keys for one vector in a single fused pass:
+  * key(t) = Σ_p [dot(v, plane(t,p)) > 0] · 2^p for every hash table t.
+  *
+  * The composed form — numTables × numPlanes separate VecDot nodes
+  * against 64-element array literals — codegens thousands of lines and
+  * walks the vector 48× per row; this walks it once per plane with the
+  * plane matrix held as a single reference object. Plane rows are
+  * value-equal `IndexedSeq`s so expression canonicalization still
+  * dedups identical nodes.
+  */
+case class VecLshKeys(child: Expression,
+    planes: IndexedSeq[IndexedSeq[Double]], numPlanes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  @transient private lazy val matrix: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  private def numTables: Int = planes.length / numPlanes
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val t = elemType
+    val keys = new Array[Long](numTables)
+    var ti = 0
+    while (ti < numTables) {
+      var key = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val plane = matrix(ti * numPlanes + p)
+        val n = math.min(plane.length, v.numElements())
+        var dot = 0.0
+        var j = 0
+        while (j < n) {
+          dot += plane(j) * (t match {
+            case FloatType => v.getFloat(j).toDouble
+            case DoubleType => v.getDouble(j)
+            case other => throw new IllegalArgumentException(s"unsupported $other")
+          })
+          j += 1
+        }
+        if (dot > 0) key |= (1L << p)
+        p += 1
+      }
+      keys(ti) = key
+      ti += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.addReferenceObj("planes", matrix, "double[][]")
+      val keys = ctx.freshName("keys")
+      val ti = ctx.freshName("ti")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val plane = ctx.freshName("plane")
+      val key = ctx.freshName("key")
+      val getV = CodeGenerator.getValue(v, elemType, j)
+      s"""
+         |long[] $keys = new long[$numTables];
+         |for (int $ti = 0; $ti < $numTables; $ti++) {
+         |  long $key = 0L;
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    double[] $plane = $m[$ti * $numPlanes + $p];
+         |    int $n = java.lang.Math.min($plane.length, $v.numElements());
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $n; $j++) {
+         |      $dot += $plane[$j] * ((double) $getV);
+         |    }
+         |    if ($dot > 0) $key |= (1L << $p);
+         |  }
+         |  $keys[$ti] = $key;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -74,6 +74,27 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L, 0.7071), (2L, 3L, 0.7071)))
   }
 
+  test("fused VecLshKeys equals the composed per-table lshKey form") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (numTables, numPlanes, dim) = (8, 6, 64)
+    val planeMatrix: IndexedSeq[IndexedSeq[Double]] =
+      for (t <- 0 until numTables; p <- 0 until numPlanes)
+        yield IndexedSeq.tabulate(dim)(j => Similarity.planeSign(t, p, j))
+    val fused = emb.select(col("vec_id"),
+      posexplode(graft.plans.VectorFunctions.vec_lsh_keys(
+        col("embedding"), planeMatrix, numPlanes)).as(Seq("t", "key")))
+      .select(col("vec_id"), col("t"), col("key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val composed = emb.select(col("vec_id"),
+      explode(array((0 until numTables).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.lshKey(col("embedding"), t, numPlanes, dim).as("key"))): _*))
+        .as("tk"))
+      .select(col("vec_id"), col("tk.t"), col("tk.key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fused == composed)
+  }
+
   test("LSH ANN recall vs brute force on testdata") {
     val emb = Tables.load(spark, sf, "embeddings")
     val pred = col("vec_id") % 50 === 0
