@@ -279,6 +279,118 @@ object PipelineQueries {
        |GROUP BY 1, 2
        |ORDER BY cell, dim""".stripMargin
 
+  // ---- q42: window FRAMES — running totals (rows unbounded), moving
+  // average (rows 2 preceding), and a 7-day RANGE frame on the day
+  // number. Frames are order-deterministic, so double accumulation
+  // matches the oracle bit-for-bit after the Num snap. ----
+
+  def q42WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val day = (unix_timestamp(col("o_orderdate")) / 86400L).cast("long")
+    val base = Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") % 50 === 0)
+      .withColumn("day_num", day)
+    val order = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val moving = order.rowsBetween(-2, Window.currentRow)
+    val byDay = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_num")).rangeBetween(-7, 0)
+    base.select(
+      col("o_custkey"), col("o_orderkey"),
+      Num.r2(sum(col("o_totalprice")).over(running)).as("running_total"),
+      Num.r2(avg(col("o_totalprice")).over(moving)).as("moving_avg3"),
+      Num.r2(sum(col("o_totalprice")).over(byDay)).as("weekly_total"),
+      count(lit(1)).over(byDay).as("weekly_orders"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val q42Sql: String =
+    s"""SELECT o_custkey, o_orderkey,
+       |  ${Num.sqlR2("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")} AS running_total,
+       |  ${Num.sqlR2("avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS moving_avg3,
+       |  ${Num.sqlR2("sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW)")} AS weekly_total,
+       |  count(*) OVER (PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS weekly_orders
+       |FROM orders
+       |WHERE o_custkey % 50 = 0
+       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- q43: date/time scalar functions. DuckDB dayofweek is 0=Sunday
+  // vs Spark's 1=Sunday (offset in the oracle); everything else maps
+  // one-to-one. ----
+
+  def q43DateTime(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mon"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        unix_timestamp(date_trunc("month", col("o_orderdate")))
+          .as("month_start_ts"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since_95"),
+        unix_timestamp(last_day(col("o_orderdate")).cast("timestamp"))
+          .as("month_end_ts"))
+      .orderBy(col("o_orderkey"))
+
+  val q43Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+      |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      |  CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_ts,
+      |  CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since_95,
+      |  CAST(floor(epoch(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP))) AS BIGINT) AS month_end_ts
+      |FROM orders
+      |WHERE o_custkey % 100 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---- q44: string scalar functions (§2.11) — each output column one
+  // function, mapped to its DuckDB twin. ----
+
+  def q44Strings(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "customer")
+      .filter(col("c_custkey") % 100 === 0)
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        length(col("c_name")).cast("long").as("name_len"),
+        substring(col("c_name"), 10, 8).as("name_digits"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+        regexp_replace(col("c_name"), "0+", "0").as("name_squeezed"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        concat_ws("|", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+        element_at(split(col("c_name"), "#"), 2).as("name_num_part"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_trans"))
+      .orderBy(col("c_custkey"))
+
+  val q44Sql: String =
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  lower(c_name) AS name_lower,
+      |  CAST(length(c_name) AS BIGINT) AS name_len,
+      |  substr(c_name, 10, 8) AS name_digits,
+      |  lpad(c_custkey::VARCHAR, 8, '0') AS key_padded,
+      |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+      |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+      |  reverse(c_mktsegment) AS seg_rev,
+      |  c_mktsegment || '|' || c_custkey::VARCHAR AS seg_key,
+      |  string_split(c_name, '#')[2] AS name_num_part,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_trans
+      |FROM customer
+      |WHERE c_custkey % 100 = 0
+      |ORDER BY c_custkey""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),
@@ -287,7 +399,10 @@ object PipelineQueries {
     "q11d_cube" -> (q11dCube _),
     "q39_hash_sample" -> (q39HashSample _),
     "q40_scrub" -> (q40Scrub _),
-    "q41_centroids" -> (q41Centroids _))
+    "q41_centroids" -> (q41Centroids _),
+    "q42_window_frames" -> (q42WindowFrames _),
+    "q43_datetime" -> (q43DateTime _),
+    "q44_strings" -> (q44Strings _))
 
   def oracles: Map[String, String] = Map(
     "q35_levenshtein" -> q35Sql,
@@ -297,5 +412,8 @@ object PipelineQueries {
     "q11d_cube" -> q11dSql,
     "q39_hash_sample" -> q39Sql,
     "q40_scrub" -> q40Sql,
-    "q41_centroids" -> q41Sql)
+    "q41_centroids" -> q41Sql,
+    "q42_window_frames" -> q42Sql,
+    "q43_datetime" -> q43Sql,
+    "q44_strings" -> q44Sql)
 }
