@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{EventAnalyticsQueries, RelationalQueries}
+import graft.queries.{EventAnalyticsQueries, PipelineQueries, RelationalQueries}
 
 /** Plan-shape regression checks (builder brief: "explain the plan and
   * iterate until it's the plan you'd want"). These assert the
@@ -56,5 +56,35 @@ class PlanSpec extends SparkSpec {
       case _ => false
     }
     assert(hasCodegen, df.queryExecution.executedPlan.toString)
+  }
+
+  test("q35: blocking keys extracted as equi-join keys (no nested loop)") {
+    val plan = formatted(PipelineQueries.q35Levenshtein(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
+  test("q39: custkey-derived sample filter stays below the aggregate") {
+    val plan = formatted(PipelineQueries.q39HashSample(spark, sf))
+    // the hash-sample predicate is a scan-adjacent Filter, and the
+    // aggregation is partial+final (map-side combine before shuffle)
+    assert(plan.contains("HashAggregate"))
+    assert("Filter".r.findAllIn(plan).nonEmpty)
+  }
+
+  test("q43/q44 scalar-function queries: custkey filter pushed to scan") {
+    val p43 = formatted(PipelineQueries.q43DateTime(spark, sf))
+    assert(p43.contains("PushedFilters") && p43.contains("IsNotNull(o_custkey)"))
+    val p44 = formatted(PipelineQueries.q44Strings(spark, sf))
+    assert(p44.contains("PushedFilters"))
+    // column pruning: only the 3 referenced customer columns are read
+    assert(!p44.contains("c_acctbal") && !p44.contains("c_nationkey"))
+  }
+
+  test("q41 centroids: single partial+final aggregation, no extra exchange") {
+    val plan = formatted(PipelineQueries.q41Centroids(spark, sf))
+    // one shuffle for the (cell, dim) aggregate + the final orderBy sort
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$plan")
   }
 }
