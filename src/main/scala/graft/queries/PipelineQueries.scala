@@ -391,6 +391,53 @@ object PipelineQueries {
       |WHERE c_custkey % 100 = 0
       |ORDER BY c_custkey""".stripMargin
 
+  // ---- q45: one k-means training step (operators.KMeans) — argmin
+  // assignment under the deterministic init (first k vectors by id)
+  // followed by the per-cell mean update, both halves expressed in the
+  // oracle: a cross join + QUALIFY argmin, then the (cell, dim)
+  // average. Distances are Num.r4-rounded with a cell tie-break in
+  // BOTH engines so near-ties cannot flip on float ulps. ----
+
+  private val KmK = 8
+
+  def q45KmeansStep(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeans
+    val emb = embs(spark, dir)
+    val init = KMeans.initCentroids(emb, KmK)
+    KMeans.assign(emb, init)
+      .select(col("cell"), posexplode(col("v").cast("array<double>"))
+        .as(Seq("dim0", "x")))
+      .groupBy(col("cell").cast("long").as("cell"),
+        (col("dim0") + 1).cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        Num.r4(avg(col("x"))).as("centroid"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  val q45Sql: String = {
+    val sqdist = "list_sum(list_transform(list_zip(v.e, c.cv), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    s"""WITH c AS (
+       |  SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings WHERE vec_id < $KmK),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |      FROM embeddings),
+       |d AS (
+       |  SELECT v.vec_id, c.cell, v.e, ${Num.sqlR4(sqdist)} AS dist
+       |  FROM v CROSS JOIN c),
+       |a AS (
+       |  SELECT vec_id, cell, e FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rn FROM d)
+       |  WHERE rn = 1)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(g.i AS BIGINT) AS dim,
+       |  count(*) AS n_members,
+       |  ${Num.sqlR4("avg(e[g.i])")} AS centroid
+       |FROM a, LATERAL (SELECT unnest(range(1, len(a.e) + 1)) AS i) g
+       |GROUP BY 1, 2
+       |ORDER BY cell, dim""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),
@@ -402,7 +449,8 @@ object PipelineQueries {
     "q41_centroids" -> (q41Centroids _),
     "q42_window_frames" -> (q42WindowFrames _),
     "q43_datetime" -> (q43DateTime _),
-    "q44_strings" -> (q44Strings _))
+    "q44_strings" -> (q44Strings _),
+    "q45_kmeans_step" -> (q45KmeansStep _))
 
   def oracles: Map[String, String] = Map(
     "q35_levenshtein" -> q35Sql,
@@ -415,5 +463,6 @@ object PipelineQueries {
     "q41_centroids" -> q41Sql,
     "q42_window_frames" -> q42Sql,
     "q43_datetime" -> q43Sql,
-    "q44_strings" -> q44Sql)
+    "q44_strings" -> q44Sql,
+    "q45_kmeans_step" -> q45Sql)
 }
