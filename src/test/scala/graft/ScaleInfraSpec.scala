@@ -76,4 +76,56 @@ class ScaleInfraSpec extends SparkSpec {
       .filter(col("window_date") === "2024-01-01")
     assert(pruned.count() == 1)
   }
+
+  test("partition pruning reaches the scan (PartitionFilters, one dir read)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    Seq((ts("2024-01-01 10:00:00"), 5L), (ts("2024-01-02 11:00:00"), 7L),
+      (ts("2024-01-03 12:00:00"), 9L))
+      .toDF("window_start", "total_orders")
+      .withColumn("window_date", to_date(col("window_start")))
+      .write.partitionBy("window_date").parquet(dir + "/t")
+    val df = spark.read.parquet(dir + "/t")
+      .filter(col("window_date") === "2024-01-02")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    // the pruned scan reads exactly the one matching partition
+    val scanned = df.queryExecution.executedPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned.forall(_ == 1), s"partitions scanned: $scanned")
+    assert(df.count() == 1)
+  }
+
+  test("runtime bloom filter prunes the application side of a shuffle join") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+      val liPath = dir + "/li"; val ordPath = dir + "/ord"
+      Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+        .write.parquet(liPath)
+      Tables.load(spark, "/root/testdata/sf0.001", "orders")
+        .write.parquet(ordPath)
+      val li = spark.read.parquet(liPath)
+      val ord = spark.read.parquet(ordPath)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      val n = joined.count()
+      assert(n > 0)
+      val plan = joined.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.toLowerCase.contains("bloomfilter") ||
+        plan.contains("might_contain"), plan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
