@@ -45,16 +45,17 @@ object ClusterDedup {
     while (i < maxIter && !done) {
       val nbrMin = sym.join(labels, sym("d") === labels("id"))
         .groupBy(col("s")).agg(min(col("lbl")).as("nbr_lbl"))
+      // carry a changed flag through the same pass (labels only ever
+      // decrease), lazily checkpointed so ONE action per round both
+      // materializes the new labels and reads the convergence count
       val next = labels.join(nbrMin, labels("id") === nbrMin("s"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      // labels only ever decrease, so "any strictly smaller" = changed
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") < col("o.lbl"))
-        .limit(1).count() > 0
-      labels = next
+          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"),
+          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
+        .localCheckpoint(false)
+      val changed = next.agg(sum(when(col("changed"), 1L).otherwise(0L)))
+        .collect()(0).getLong(0) > 0
+      labels = next.select(col("id"), col("new_lbl").as("lbl"))
       done = !changed
       i += 1
     }

@@ -438,6 +438,21 @@ object PipelineQueries {
        |ORDER BY cell, dim""".stripMargin
   }
 
+  // ---- q37b: the sketch twin of q37 — approx_percentile (KLL-style
+  // quantile sketch, the 100 TB path: bounded memory, mergeable
+  // partials). Rows-only for the driver (DuckDB's approx sketch
+  // differs); PipelineQueriesSpec bounds its error vs exact. ----
+
+  def q37bApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        Num.r4(expr("approx_percentile(l_extendedprice, 0.5, 10000)"))
+          .as("p50_approx"),
+        Num.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_exact"))
+      .orderBy(col("l_returnflag"))
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),
@@ -450,7 +465,8 @@ object PipelineQueries {
     "q42_window_frames" -> (q42WindowFrames _),
     "q43_datetime" -> (q43DateTime _),
     "q44_strings" -> (q44Strings _),
-    "q45_kmeans_step" -> (q45KmeansStep _))
+    "q45_kmeans_step" -> (q45KmeansStep _),
+    "q37b_approx_quantiles" -> (q37bApproxQuantiles _))
 
   def oracles: Map[String, String] = Map(
     "q35_levenshtein" -> q35Sql,

@@ -35,6 +35,15 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q37b approx median stays within 1% of exact") {
+    val rows = PipelineQueries.q37bApproxQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, e) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p50_exact"))
+      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+    }
+  }
+
   test("q39 hash sample keeps roughly SamplePct of rows") {
     val total = graft.Tables.load(spark, dir, "lineitem").count()
     val sampled = PipelineQueries.q39HashSample(spark, dir)
