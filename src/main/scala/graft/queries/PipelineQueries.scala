@@ -453,6 +453,122 @@ object PipelineQueries {
         Num.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_exact"))
       .orderBy(col("l_returnflag"))
 
+  // ---- q46: RANGE JOIN — purchase attribution: every view in the
+  // hour before each purchase (not just the latest — that's the as-of
+  // join q32). Equi key (user_id) + range predicate; Spark plans the
+  // equi part as the join key and evaluates the range inside the
+  // join, so no row explosion beyond true matches. ----
+
+  def q46RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+    purchases.join(views,
+      Seq("user_id")).where(
+        col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 1 HOUR"))
+      .groupBy(col("user_id"), unix_timestamp(col("pts")).as("purchase_ts"))
+      .agg(count(lit(1)).as("views_in_window"),
+        unix_timestamp(min(col("vts"))).as("first_view_ts"),
+        unix_timestamp(max(col("vts"))).as("last_view_ts"))
+      .orderBy(col("user_id"), col("purchase_ts"))
+  }
+
+  val q46Sql: String =
+    """SELECT p.user_id AS user_id,
+      |  CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_ts,
+      |  count(*) AS views_in_window,
+      |  CAST(floor(epoch(min(v.ts))) AS BIGINT) AS first_view_ts,
+      |  CAST(floor(epoch(max(v.ts))) AS BIGINT) AS last_view_ts
+      |FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+      |GROUP BY p.user_id, CAST(floor(epoch(p.ts)) AS BIGINT)
+      |ORDER BY p.user_id, purchase_ts""".stripMargin
+
+  // ---- q47: math scalar functions (§2.11) — IEEE-exact ops raw
+  // (abs/sqrt/floor/ceil/sign/mod), libm-dependent ops (ln/exp/pow)
+  // behind the Num snap. ----
+
+  def q47Math(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 500 === 0)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - lit(0.05)).as("abs_delta"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        signum(col("l_discount") - lit(0.05)).cast("long").as("disc_sign"),
+        (col("l_orderkey") % 7).as("key_mod7"),
+        Num.r4(log(col("l_extendedprice"))).as("ln_price"),
+        Num.r4(exp(col("l_discount"))).as("exp_disc"),
+        Num.r4(pow(col("l_quantity"), 2)).as("qty_sq"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  val q47Sql: String =
+    s"""SELECT l_orderkey, l_linenumber,
+       |  abs(l_discount - 0.05) AS abs_delta,
+       |  sqrt(l_quantity) AS sqrt_qty,
+       |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       |  CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign,
+       |  l_orderkey % 7 AS key_mod7,
+       |  ${Num.sqlR4("ln(l_extendedprice)")} AS ln_price,
+       |  ${Num.sqlR4("exp(l_discount)")} AS exp_disc,
+       |  ${Num.sqlR4("pow(l_quantity, 2)")} AS qty_sq,
+       |  greatest(l_tax, l_discount) AS max_rate,
+       |  least(l_tax, l_discount) AS min_rate
+       |FROM lineitem
+       |WHERE l_orderkey % 500 = 0
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q48: array functions (§2.8) over the token arrays — each
+  // column one function with its DuckDB list twin. ----
+
+  def q48Arrays(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), TF.tokens(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).cast("long").as("n_tokens"),
+        size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
+        array_contains(col("ts"), "spark").as("has_spark"),
+        element_at(sort_array(col("ts")), 1).as("first_sorted"),
+        element_at(sort_array(col("ts"), asc = false), 1).as("last_sorted"),
+        concat_ws(" ", slice(col("ts"), 1, 5)).as("head5"),
+        element_at(col("ts"), -1).as("last_token"),
+        size(array_intersect(array_distinct(col("ts")),
+          typedLit(Seq("spark", "data", "key", "row"))).cast("array<string>"))
+          .cast("long").as("marker_hits"),
+        Num.r4(aggregate(col("ts"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("ts"))).as("mean_len"))
+      .orderBy(col("doc_id"))
+
+  val q48Sql: String = {
+    val ts = TF.sqlTokens("text")
+    s"""SELECT doc_id,
+       |  CAST(len($ts) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct($ts)) AS BIGINT) AS n_distinct,
+       |  list_contains($ts, 'spark') AS has_spark,
+       |  list_sort($ts)[1] AS first_sorted,
+       |  list_reverse_sort($ts)[1] AS last_sorted,
+       |  array_to_string(list_slice($ts, 1, 5), ' ') AS head5,
+       |  $ts[-1] AS last_token,
+       |  CAST(len(list_intersect(list_distinct($ts),
+       |    ['spark', 'data', 'key', 'row'])) AS BIGINT) AS marker_hits,
+       |  ${Num.sqlR4(s"list_sum(list_transform($ts, t -> length(t)))::DOUBLE / len($ts)")} AS mean_len
+       |FROM documents
+       |WHERE doc_id % 10 = 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),
@@ -466,7 +582,10 @@ object PipelineQueries {
     "q43_datetime" -> (q43DateTime _),
     "q44_strings" -> (q44Strings _),
     "q45_kmeans_step" -> (q45KmeansStep _),
-    "q37b_approx_quantiles" -> (q37bApproxQuantiles _))
+    "q37b_approx_quantiles" -> (q37bApproxQuantiles _),
+    "q46_range_join" -> (q46RangeJoin _),
+    "q47_math" -> (q47Math _),
+    "q48_arrays" -> (q48Arrays _))
 
   def oracles: Map[String, String] = Map(
     "q35_levenshtein" -> q35Sql,
@@ -480,5 +599,8 @@ object PipelineQueries {
     "q42_window_frames" -> q42Sql,
     "q43_datetime" -> q43Sql,
     "q44_strings" -> q44Sql,
-    "q45_kmeans_step" -> q45Sql)
+    "q45_kmeans_step" -> q45Sql,
+    "q46_range_join" -> q46Sql,
+    "q47_math" -> q47Sql,
+    "q48_arrays" -> q48Sql)
 }
