@@ -19,7 +19,12 @@ final case class SinkConfig(
     triggerInterval: String = "30 seconds",
     checkpointRoot: String = "/tmp/graft-checkpoints",
     showRows: Int = 5,
-    console: Boolean = false)
+    console: Boolean = false,
+    /** true = Trigger.AvailableNow: drain the whole backlog in rate-
+      * limited micro-batches, then stop. The catch-up / incremental-
+      * batch mode — run the same topology on a schedule instead of
+      * 24/7, with checkpointed offsets carrying over between runs. */
+    availableNow: Boolean = false)
 
 object MetricsSink {
 
@@ -30,7 +35,8 @@ object MetricsSink {
     df.writeStream
       .outputMode("update")
       .queryName(s"sink_$queryName")
-      .trigger(Trigger.ProcessingTime(cfg.triggerInterval))
+      .trigger(if (cfg.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(cfg.triggerInterval))
       .option("checkpointLocation", s"${cfg.checkpointRoot}/$queryName")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
