@@ -569,6 +569,74 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q49: TF-IDF — per-document top term by tf·idf with
+  // corpus-level document frequencies (the feature-weighting op of a
+  // text pipeline). idf = ln((N+1)/(df+1)), smoothed. Ranking uses the
+  // ROUNDED score with a term tie-break in BOTH engines so libm last-
+  // ulp differences in ln() cannot flip the argmax. ----
+
+  def q49Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+    val toks = d.select(col("doc_id"), explode(TF.tokens(col("text"))).as("term"))
+    // corpus stats over ALL docs; per-doc tf only for the output subset
+    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.count()
+    val tf = toks.filter(col("doc_id") % 10 === 0)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val scored = tf.join(dfreq, "term")
+      .withColumn("tfidf", Num.r4(col("tf") *
+        log((lit(n) + 1.0) / (col("df") + 1.0))))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q49Sql: String = {
+    val toks = s"SELECT doc_id, unnest(${TF.sqlTokens("text")}) AS term FROM documents"
+    s"""WITH toks AS ($toks),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df
+       |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM toks
+       |  WHERE doc_id % 10 = 0 GROUP BY doc_id, term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+       |    ${Num.sqlR4("tf.tf * ln(((SELECT count(*) FROM documents) + 1.0) / (dfreq.df + 1.0))")} AS tfidf
+       |  FROM tf JOIN dfreq ON tf.term = dfreq.term)
+       |SELECT doc_id, term AS top_term, tf, df, tfidf
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY tfidf DESC, term) AS rn FROM scored)
+       |WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q50: corpus n-gram frequency table — the top-k trigram stats
+  // a data-quality / contamination check reads. Fully deterministic
+  // ordering (count desc, shingle asc). ----
+
+  def q50NgramFreq(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(explode(TF.shinglesFromTokens(col("toks"), 3)).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("trigram"))
+      .limit(20)
+
+  val q50Sql: String =
+    s"""SELECT trigram, count(*) AS freq
+       |FROM (SELECT unnest(${TF.sqlShingles("text", 3)}) AS trigram
+       |      FROM documents)
+       |GROUP BY trigram
+       |ORDER BY freq DESC, trigram
+       |LIMIT 20""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),
@@ -585,7 +653,9 @@ object PipelineQueries {
     "q37b_approx_quantiles" -> (q37bApproxQuantiles _),
     "q46_range_join" -> (q46RangeJoin _),
     "q47_math" -> (q47Math _),
-    "q48_arrays" -> (q48Arrays _))
+    "q48_arrays" -> (q48Arrays _),
+    "q49_tfidf" -> (q49Tfidf _),
+    "q50_ngram_freq" -> (q50NgramFreq _))
 
   def oracles: Map[String, String] = Map(
     "q35_levenshtein" -> q35Sql,
@@ -602,5 +672,7 @@ object PipelineQueries {
     "q45_kmeans_step" -> q45Sql,
     "q46_range_join" -> q46Sql,
     "q47_math" -> q47Sql,
-    "q48_arrays" -> q48Sql)
+    "q48_arrays" -> q48Sql,
+    "q49_tfidf" -> q49Sql,
+    "q50_ngram_freq" -> q50Sql)
 }
