@@ -49,8 +49,17 @@ object TextDedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ds = docShingles(docs, idCol, textCol, n).cache()
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = ds.as("a")
-      .join(ds.as("b"), col("a.shingle") === col("b.shingle") &&
+    // inverted-index pruning: a shingle in exactly one document can't
+    // produce a pair — drop singletons before the self-join (most
+    // shingles are unique, so this shrinks the join input by far more
+    // than the extra aggregation costs; set sizes still use full ds)
+    val shared = ds.withColumn("n_docs",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shingle"))))
+      .filter(col("n_docs") > 1)
+      .select(col("id"), col("shingle"))
+    val inter = shared.as("a")
+      .join(shared.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
