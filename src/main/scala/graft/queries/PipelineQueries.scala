@@ -637,6 +637,74 @@ object PipelineQueries {
        |ORDER BY freq DESC, trigram
        |LIMIT 20""".stripMargin
 
+  // ---- q51: stratified sampling — per-stratum rates (the rebalancing
+  // op of a training mix: upsample rare languages, downsample dominant
+  // ones), still content-hash deterministic like q39. ----
+
+  private val StratRates: Map[String, Int] = // per-mille
+    Map("en" -> 50, "zh" -> 500, "de" -> 250)
+  private val StratDefault = 100
+
+  def q51StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = StratRates.foldLeft(lit(StratDefault)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs(spark, dir)
+      .withColumn("hk", TF.hash60(col("doc_id").cast("string")) % 1000)
+      .filter(col("hk") < rate)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"),
+        countDistinct(col("source")).as("sources"))
+      .orderBy(col("lang"))
+  }
+
+  val q51Sql: String = {
+    val rateCase = StratRates.foldLeft(StratDefault.toString) {
+      case (acc, (lang, r)) => s"CASE WHEN lang = '$lang' THEN $r ELSE $acc END"
+    }
+    s"""SELECT lang, count(*) AS sampled_docs,
+       |  count(DISTINCT source) AS sources
+       |FROM documents
+       |WHERE ${TF.sqlHash60("doc_id::VARCHAR")} % 1000 < $rateCase
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+  }
+
+  // ---- q52: NULL semantics — manufactured nullable columns exercise
+  // count(col) vs count(*), null-safe equality, coalesce/nvl2/nullif,
+  // aggregates ignoring nulls, and a NULL group key. ----
+
+  def q52NullSemantics(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "orders")
+      // o_totalprice -> NULL for ~1/7 of rows, priority -> NULL for '3-MEDIUM'
+      .withColumn("np", when(col("o_orderkey") % 7 =!= 0, col("o_totalprice")))
+      .withColumn("gp", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      .groupBy(col("gp"))
+      .agg(
+        count(lit(1)).as("rows_total"),
+        count(col("np")).as("rows_priced"),
+        Num.r2(sum(col("np"))).as("priced_sum"),
+        Num.r2(avg(col("np"))).as("priced_avg"),
+        sum(when(col("np") <=> lit(null), 1L).otherwise(0L)).as("null_safe_nulls"),
+        Num.r2(sum(coalesce(col("np"), lit(0.0)))).as("sum_coalesced"),
+        sum(when(col("np").isNotNull, 1L).otherwise(0L)).as("via_nvl2"))
+      .orderBy(col("gp").asc_nulls_first)
+
+  val q52Sql: String =
+    s"""SELECT nullif(o_orderpriority, '3-MEDIUM') AS gp,
+       |  count(*) AS rows_total,
+       |  count(np) AS rows_priced,
+       |  ${Num.sqlR2("sum(np)")} AS priced_sum,
+       |  ${Num.sqlR2("avg(np)")} AS priced_avg,
+       |  CAST(sum(CASE WHEN np IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_safe_nulls,
+       |  ${Num.sqlR2("sum(coalesce(np, 0.0))")} AS sum_coalesced,
+       |  CAST(sum(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS via_nvl2
+       |FROM (SELECT *,
+       |        CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS np
+       |      FROM orders)
+       |GROUP BY 1
+       |ORDER BY gp ASC NULLS FIRST""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),
@@ -655,7 +723,9 @@ object PipelineQueries {
     "q47_math" -> (q47Math _),
     "q48_arrays" -> (q48Arrays _),
     "q49_tfidf" -> (q49Tfidf _),
-    "q50_ngram_freq" -> (q50NgramFreq _))
+    "q50_ngram_freq" -> (q50NgramFreq _),
+    "q51_stratified_sample" -> (q51StratifiedSample _),
+    "q52_null_semantics" -> (q52NullSemantics _))
 
   def oracles: Map[String, String] = Map(
     "q35_levenshtein" -> q35Sql,
@@ -674,5 +744,7 @@ object PipelineQueries {
     "q47_math" -> q47Sql,
     "q48_arrays" -> q48Sql,
     "q49_tfidf" -> q49Sql,
-    "q50_ngram_freq" -> q50Sql)
+    "q50_ngram_freq" -> q50Sql,
+    "q51_stratified_sample" -> q51Sql,
+    "q52_null_semantics" -> q52Sql)
 }
