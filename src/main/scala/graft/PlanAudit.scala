@@ -12,7 +12,9 @@ object PlanAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q2_filter_project", "q3_star_join", "q4_fact_join",
-        "q5_topk", "q13_gmv", "q27_cosine_topk", "q25_minhash_lsh")
+        "q5_topk", "q13_gmv", "q27_cosine_topk", "q25_minhash_lsh",
+        "q35_levenshtein", "q39_hash_sample", "q41_centroids",
+        "q46_range_join", "q49_tfidf")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
