@@ -64,4 +64,14 @@ object StreamJoins {
         col("total_orders"), col("orders_with_real_items"),
         col("joined_gmv"))
   }
+
+  /** Stream–static enrichment: every micro-batch joins against the
+    * (broadcast) dimension snapshot — no state, no watermark needed;
+    * the planner re-resolves the static side each batch, so slowly-
+    * changing dims refresh on re-read sources. The streaming analog of
+    * the batch star join (q3). */
+  def enrichWithDim(stream: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    stream.join(broadcast(dim), keys, "left")
 }
