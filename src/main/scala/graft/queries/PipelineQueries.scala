@@ -705,6 +705,87 @@ object PipelineQueries {
        |GROUP BY 1
        |ORDER BY gp ASC NULLS FIRST""".stripMargin
 
+  // ---- q53: document CHUNKING — overlapping token windows (size 40,
+  // stride 30), the training-sample preparation step. Token array
+  // materialized below the explode (the round-1 lesson); chunk
+  // identity pinned by the cross-engine hash. ----
+
+  private val ChunkSize = 40
+  private val ChunkStride = 30
+
+  def q53Chunking(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
+          lit(ChunkStride))).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("start"), lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        TF.hash32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val q53Sql: String = {
+    val ts = TF.sqlTokens("text")
+    s"""WITH d AS (
+       |  SELECT doc_id, $ts AS toks FROM documents WHERE doc_id % 10 = 0),
+       |st AS (
+       |  SELECT doc_id, toks, g.i AS start,
+       |    CAST((g.i - 1) / $ChunkStride AS BIGINT) AS chunk_idx
+       |  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(toks), 1) + 1,
+       |    $ChunkStride)) AS i) g)
+       |SELECT doc_id, chunk_idx,
+       |  CAST(len(list_slice(toks, start, start + ${ChunkSize - 1})) AS BIGINT)
+       |    AS chunk_tokens,
+       |  ${TF.sqlHash32(s"array_to_string(list_slice(toks, start, start + ${ChunkSize - 1}), ' ')")}
+       |    AS chunk_hash
+       |FROM st
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+  }
+
+  // ---- q54: greedy sequential PACKING — documents assigned to fixed-
+  // token-budget bins by per-language running totals (the sample-
+  // packing step before batch assembly). Pure window cumsum: one
+  // shuffle on lang, no sequential driver loop. ----
+
+  private val PackBudget = 2048
+
+  def q54Packing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"), TF.tokenCount(col("text")).as("tc"))
+      .withColumn("before", coalesce(sum(col("tc")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("before").cast("double") / PackBudget)
+        .cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("docs_in_bin"),
+        sum(col("tc")).cast("long").as("bin_tokens"),
+        Num.r4(sum(col("tc")).cast("double") / PackBudget).as("fill_ratio"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val q54Sql: String = {
+    val tc = TF.sqlTokenCount("text")
+    s"""WITH d AS (
+       |  SELECT lang, doc_id, $tc AS tc FROM documents),
+       |b AS (
+       |  SELECT lang, doc_id, tc,
+       |    CAST(floor(coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+       |      / $PackBudget) AS BIGINT) AS bin
+       |  FROM d)
+       |SELECT lang, bin, count(*) AS docs_in_bin,
+       |  CAST(sum(tc) AS BIGINT) AS bin_tokens,
+       |  ${Num.sqlR4(s"sum(tc)::DOUBLE / $PackBudget")} AS fill_ratio
+       |FROM b
+       |GROUP BY lang, bin
+       |ORDER BY lang, bin""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),
@@ -725,7 +806,9 @@ object PipelineQueries {
     "q49_tfidf" -> (q49Tfidf _),
     "q50_ngram_freq" -> (q50NgramFreq _),
     "q51_stratified_sample" -> (q51StratifiedSample _),
-    "q52_null_semantics" -> (q52NullSemantics _))
+    "q52_null_semantics" -> (q52NullSemantics _),
+    "q53_chunking" -> (q53Chunking _),
+    "q54_packing" -> (q54Packing _))
 
   def oracles: Map[String, String] = Map(
     "q35_levenshtein" -> q35Sql,
@@ -746,5 +829,7 @@ object PipelineQueries {
     "q49_tfidf" -> q49Sql,
     "q50_ngram_freq" -> q50Sql,
     "q51_stratified_sample" -> q51Sql,
-    "q52_null_semantics" -> q52Sql)
+    "q52_null_semantics" -> q52Sql,
+    "q53_chunking" -> q53Sql,
+    "q54_packing" -> q54Sql)
 }
