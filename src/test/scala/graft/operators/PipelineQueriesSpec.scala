@@ -76,4 +76,28 @@ class PipelineQueriesSpec extends SparkSpec {
     val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
     assert(df.filter(col("centroid") < lo || col("centroid") > hi).isEmpty)
   }
+
+  test("q53 chunks cover every token at least once") {
+    val chunks = PipelineQueries.q53Chunking(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("chunk_tokens")).as("covered"))
+    val toks = graft.Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long")
+          .as("n"))
+    // overlapping windows: total chunk tokens >= doc tokens
+    val short = chunks.join(toks, "doc_id").filter(col("covered") < col("n"))
+    assert(short.isEmpty)
+  }
+
+  test("q54 bins respect the running-total budget layout") {
+    val bins = PipelineQueries.q54Packing(spark, dir).collect()
+    assert(bins.nonEmpty)
+    // bin ids per lang are dense from 0
+    bins.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val ids = rows.map(_.getAs[Long]("bin")).sorted
+      assert(ids.head == 0L && ids.sameElements(ids.head to ids.last))
+    }
+  }
 }
