@@ -10,56 +10,92 @@ import org.apache.spark.sql.functions._
   * pair generation — keep one representative per cluster, not per pair
   * (pairs alone under-dedup transitive chains A~B~C).
   *
-  * Algorithm: iterative min-label propagation — each round every node
-  * takes min(own label, neighbors' labels); converges in O(diameter)
-  * rounds. Near-dup clusters are shallow (duplicates of a common
-  * ancestor), so diameter is small in practice; `maxIter` bounds the
-  * loop regardless.
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  * round rewrites the edge set toward a star forest rooted at the
+  * component minimum:
+  *   - large-star(u): every strictly-larger neighbor of u re-attaches
+  *     to min(Γ(u) ∪ {u});
+  *   - small-star(u): every smaller neighbor (and u itself)
+  *     re-attaches to the minimum smaller neighbor.
+  * Converges in O(log n) rounds REGARDLESS of graph diameter — unlike
+  * plain min-label propagation (O(diameter) rounds), a long chain of
+  * near-dups cannot outrun the iteration bound. If `maxIter` is ever
+  * hit unconverged the operator THROWS rather than silently returning
+  * partially-propagated (wrong) labels; with the default bound that
+  * would take > 2^40 nodes.
   *
   * 100 TB notes: the driver only coordinates rounds (same control
-  * model as GraphX/Pregel); all data movement is distributed joins on
-  * node ids. Each round is one shuffle of the (still-shrinking) label
-  * table against the edge list; `localCheckpoint` truncates lineage so
-  * round N doesn't re-execute rounds 1..N-1, and the early-exit check
-  * reads one boolean per round. Edge lists from LSH are O(candidates),
+  * model as GraphX/Pregel); all data movement is distributed
+  * aggregations/joins keyed on node id. Each round is two shuffles of
+  * the (monotonically contracting) edge set; high-degree nodes are the
+  * case large-star exists for — their neighbor lists are split across
+  * reducers by the groupBy, never materialized per-node.
+  * `localCheckpoint` truncates lineage so round N doesn't re-execute
+  * rounds 1..N-1; the convergence check is one count + one anti-join
+  * over checkpointed data. Edge lists from LSH are O(candidates),
   * never O(n²).
   */
 object ClusterDedup {
 
   /** Connected components over an undirected edge list.
-    * Returns (id, cluster_id) for every node appearing in `edges`. */
+    * Returns (id, cluster_id) for every node appearing in `edges`,
+    * cluster_id = minimum reachable node id.
+    * @throws IllegalStateException if not converged within `maxIter`
+    *         large+small-star rounds (needs > 2^maxIter nodes). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    // materialize the edge pipeline ONCE before the symmetric union —
-    // both union branches would otherwise re-execute it
-    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .localCheckpoint()
-    val sym = e.union(e.select(col("d").as("s"), col("s").as("d")))
-      .distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("s").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+      maxIter: Int = 40): DataFrame = {
+    // node set from the RAW edges (self-loops included) so a node with
+    // only a self-loop still gets a singleton label
+    val nodes = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id")))
+      .distinct().localCheckpoint()
+    // canonical oriented representation: (u, v) with u > v, deduped;
+    // materialized ONCE so later rounds don't re-execute the (possibly
+    // expensive) pair-generation pipeline feeding this operator
+    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct().localCheckpoint()
+    var converged = e.isEmpty
     var i = 0
-    var done = false
-    while (i < maxIter && !done) {
-      val nbrMin = sym.join(labels, sym("d") === labels("id"))
-        .groupBy(col("s")).agg(min(col("lbl")).as("nbr_lbl"))
-      // carry a changed flag through the same pass (labels only ever
-      // decrease), lazily checkpointed so ONE action per round both
-      // materializes the new labels and reads the convergence count
-      val next = labels.join(nbrMin, labels("id") === nbrMin("s"), "left")
-        .select(col("id"),
-          least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("new_lbl"),
-          (coalesce(col("nbr_lbl"), col("lbl")) < col("lbl")).as("changed"))
-        .localCheckpoint(false)
-      val changed = next.agg(sum(when(col("changed"), 1L).otherwise(0L)))
-        .collect()(0).getLong(0) > 0
-      labels = next.select(col("id"), col("new_lbl").as("lbl"))
-      done = !changed
+    while (!converged && i < maxIter) {
+      // large-star: per node u, every neighbor v > u re-attaches to
+      // m = min(Γ(u) ∪ {u}). Purely relational — groupBy(min) + join,
+      // no collect_list of neighbor sets (high-degree safe).
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")) // u > v by construction
+        .distinct()
+      // small-star: edges are (u > v)-oriented, so grouping by u sees
+      // exactly the smaller neighbors; all of them plus u re-attach to
+      // the minimum one.
+      val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // converged iff the canonical edge set is unchanged: equal
+      // cardinality + empty difference (both sides are deduped sets)
+      converged = ss.count() == e.count() &&
+        ss.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = ss
       i += 1
     }
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "raise maxIter (rounds needed ≈ log2(nodes))")
+    // converged edge set is a star forest: (member, component-min);
+    // roots and self-loop-only nodes label themselves
+    nodes.join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
   }
 
   /** Cluster assignment with sizes: (cluster_id, id, cluster_size),

@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism: init takes the first k vectors by id; distances are
   * rounded (Num.r4) before the argmin with a cell-index tie-break, so
-  * near-ties cannot flip on last-ulp float differences; the update
-  * runs dim-keyed so each mean is a single-group reduction.
+  * near-ties cannot flip on last-ulp float differences; and the
+  * per-(cell, dim) means are ALSO Num.r4-snapped before they become
+  * the next iteration's centroid literals — avg() partial aggregation
+  * order depends on partition layout, so unrounded means (and every
+  * assignment derived from them) would only reproduce on a fixed
+  * partitioning.
   *
   * 100 TB notes: per iteration the corpus is touched twice (assign +
   * update), both as narrow scans; the only driver-side data is the
@@ -63,7 +67,9 @@ object KMeans {
       .select(col("cell"), posexplode(col("v").cast("array<double>"))
         .as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
-      .agg(avg(col("x")).as("m"))
+      // r4-snap the mean: partial-agg order is partition-dependent in
+      // the last ulps, and these feed back as next-round literals
+      .agg(Num.r4(avg(col("x"))).as("m"))
       .collect()
     val next = centroids.map(_.clone())
     means.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =

@@ -96,7 +96,8 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     val centroids: Array[(Int, Array[Double])] = emb
       .orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
@@ -117,9 +118,13 @@ object Similarity {
         explode(slice(sort_array(cellArr(col(vecCol)), asc = false), 1, nprobe)
           .getField("cell")).as("cell"))
     // each corpus vector lives in exactly one cell, so a (query, nbr)
-    // pair can match at most once — no distinct needed. Probes are
-    // query-sized → broadcast; the corpus side never shuffles.
-    val candidates = indexed.join(broadcast(probes), Seq("cell"))
+    // pair can match at most once — no distinct needed. With a
+    // selective queryPred the probes are query-sized → broadcast and
+    // the corpus side never shuffles; for an unselective predicate
+    // pass broadcastQueries=false and let AQE pick the strategy
+    // (forcing the hint there would broadcast a corpus-scale table).
+    val probeSide = if (broadcastQueries) broadcast(probes) else probes
+    val candidates = indexed.join(probeSide, Seq("cell"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id").as("nbr_id"), col("v"))
     candidates
@@ -136,7 +141,8 @@ object Similarity {
     * Recall vs bruteForceTopK is property-tested. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int,
       numPlanes: Int = 6, numTables: Int = 8, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
     // one fused expression computes every table's key in a single
     // vector pass (plans.VecLshKeys); posexplode recovers (t, key)
     val planeMatrix: IndexedSeq[IndexedSeq[Double]] =
@@ -147,12 +153,15 @@ object Similarity {
         posexplode(graft.plans.VectorFunctions.vec_lsh_keys(
           col(v), planeMatrix, numPlanes)).as(Seq("t", "key")))
     // corpus keyed once; queries are the filtered (small) side and key
-    // themselves directly — broadcast, so the corpus never shuffles
+    // themselves directly — broadcast (so the corpus never shuffles)
+    // when queryPred is selective; broadcastQueries=false degrades to
+    // an AQE-chosen join for corpus-scale query sides
     val buckets = withKeys(
       emb.select(col(idCol).as("id"), col(vecCol).as("v")), "id", "v")
     val queries = withKeys(emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv")), "query_id", "qv")
-    val candidates = buckets.join(broadcast(queries), Seq("t", "key"))
+    val querySide = if (broadcastQueries) broadcast(queries) else queries
+    val candidates = buckets.join(querySide, Seq("t", "key"))
       .filter(col("id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("id").as("nbr_id"), col("v"))
       .distinct()

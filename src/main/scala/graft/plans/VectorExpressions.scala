@@ -1,30 +1,35 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType}
 
-/** Native Catalyst vector expressions with whole-stage codegen.
-  *
-  * The built-in route for vector math — `aggregate(zip_with(...))` —
-  * is a CodegenFallback: every row interprets a lambda tree and
-  * allocates an intermediate array. For pairwise similarity
-  * (|pairs| ≫ |rows|) that interpretation dominates the query
-  * (measured: 80 s for 125 k cosine pairs at sf0.1; see BASELINE.md).
-  * These expressions emit a single fused loop — dot, |a|², |b|² in one
-  * pass, no allocation — and run inside WholeStageCodegen.
-  *
-  * Semantics match the HOF/DuckDB-oracle formulation exactly:
-  * left-to-right double-precision accumulation, cos = dot/(√na·√nb).
-  */
-abstract class VecBinaryExpression extends BinaryExpression {
-  override def dataType: DataType = DoubleType
+/** Shared element access for vector expressions: one supported-type
+  * list used by analysis-time validation, the interpreted path, and
+  * codegen — so the three can never disagree on what's accepted. */
+trait VecElementSupport { self: Expression =>
 
   protected def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  protected def isSupportedElem(t: DataType): Boolean = t match {
+    case FloatType | DoubleType | IntegerType | LongType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Analysis-time check: `e` must be an array of a supported numeric
+    * element type — misuse fails in checkAnalysis, not at execution. */
+  protected def checkVecInput(e: Expression, side: String): TypeCheckResult =
+    e.dataType match {
+      case ArrayType(t, _) if isSupportedElem(t) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$side of ${self.prettyName} must be ARRAY<FLOAT|DOUBLE|INT|BIGINT|DECIMAL>, got ${other.sql}")
+    }
 
   protected def elemAsDouble(a: ArrayData, i: Int, t: DataType): Double = t match {
     case FloatType => a.getFloat(i).toDouble
@@ -40,6 +45,30 @@ abstract class VecBinaryExpression extends BinaryExpression {
     case _: DecimalType => s"$access.toDouble()"
     case _ => s"(double) $access"
   }
+}
+
+/** Native Catalyst vector expressions with whole-stage codegen.
+  *
+  * The built-in route for vector math — `aggregate(zip_with(...))` —
+  * is a CodegenFallback: every row interprets a lambda tree and
+  * allocates an intermediate array. For pairwise similarity
+  * (|pairs| ≫ |rows|) that interpretation dominates the query
+  * (measured: 80 s for 125 k cosine pairs at sf0.1; see BASELINE.md).
+  * These expressions emit a single fused loop — dot, |a|², |b|² in one
+  * pass, no allocation — and run inside WholeStageCodegen.
+  *
+  * Semantics match the HOF/DuckDB-oracle formulation exactly:
+  * left-to-right double-precision accumulation, cos = dot/(√na·√nb).
+  */
+abstract class VecBinaryExpression extends BinaryExpression
+    with VecElementSupport {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecInput(left, "left input") match {
+      case TypeCheckResult.TypeCheckSuccess => checkVecInput(right, "right input")
+      case fail => fail
+    }
 }
 
 /** cosine(a, b) = Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²) in one fused pass. */
@@ -167,12 +196,13 @@ object VectorFunctions {
   */
 case class VecLshKeys(child: Expression,
     planes: IndexedSeq[IndexedSeq[Double]], numPlanes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with VecElementSupport {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  private def elemType: DataType =
-    child.dataType.asInstanceOf[ArrayType].elementType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecInput(child, "input")
 
   @transient private lazy val matrix: Array[Array[Double]] =
     planes.map(_.toArray).toArray
@@ -181,7 +211,7 @@ case class VecLshKeys(child: Expression,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    val t = elemType
+    val t = elemType(child)
     val keys = new Array[Long](numTables)
     var ti = 0
     while (ti < numTables) {
@@ -193,11 +223,7 @@ case class VecLshKeys(child: Expression,
         var dot = 0.0
         var j = 0
         while (j < n) {
-          dot += plane(j) * (t match {
-            case FloatType => v.getFloat(j).toDouble
-            case DoubleType => v.getDouble(j)
-            case other => throw new IllegalArgumentException(s"unsupported $other")
-          })
+          dot += plane(j) * elemAsDouble(v, j, t)
           j += 1
         }
         if (dot > 0) key |= (1L << p)
@@ -220,7 +246,7 @@ case class VecLshKeys(child: Expression,
       val dot = ctx.freshName("dot")
       val plane = ctx.freshName("plane")
       val key = ctx.freshName("key")
-      val getV = CodeGenerator.getValue(v, elemType, j)
+      val getV = CodeGenerator.getValue(v, elemType(child), j)
       s"""
          |long[] $keys = new long[$numTables];
          |for (int $ti = 0; $ti < $numTables; $ti++) {
@@ -230,7 +256,7 @@ case class VecLshKeys(child: Expression,
          |    int $n = java.lang.Math.min($plane.length, $v.numElements());
          |    double $dot = 0.0;
          |    for (int $j = 0; $j < $n; $j++) {
-         |      $dot += $plane[$j] * ((double) $getV);
+         |      $dot += $plane[$j] * ${genElemAsDouble(getV, elemType(child))};
          |    }
          |    if ($dot > 0) $key |= (1L << $p);
          |  }

@@ -418,8 +418,10 @@ object PipelineQueries {
     val sqdist = "list_sum(list_transform(list_zip(v.e, c.cv), " +
       "p -> (p[1] - p[2]) * (p[1] - p[2])))"
     s"""WITH c AS (
-       |  SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv
-       |  FROM embeddings WHERE vec_id < $KmK),
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $KmK),
        |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |      FROM embeddings),
        |d AS (

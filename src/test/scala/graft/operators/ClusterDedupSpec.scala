@@ -18,12 +18,37 @@ class ClusterDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
-  test("long path converges within maxIter via min propagation") {
-    // path 0-1-2-...-9: min label 0 must travel 9 hops
-    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+  test("deep chain converges in O(log n) rounds, not O(diameter)") {
+    // path 0-1-...-300: diameter 300 — min-label propagation would
+    // need 300 rounds; large-star/small-star finishes well within 12
+    val edges = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = ClusterDedup.connectedComponents(edges, "id_a", "id_b", maxIter = 12)
       .as[(Long, Long)].collect()
-    assert(got.length == 10 && got.forall(_._2 == 0L))
+    assert(got.length == 301 && got.forall(_._2 == 0L))
+  }
+
+  test("unconverged maxIter throws instead of returning wrong labels") {
+    val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      ClusterDedup.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
+    }
+  }
+
+  test("high-degree hub with reversed ids resolves to the hub min") {
+    // star around 100 with leaves 101..140 plus bridge 100-7:
+    // component min is 7, reachable only through the hub
+    val edges = ((101L to 140L).map(l => (100L, l)) :+ (100L, 7L))
+      .toDF("id_a", "id_b")
+    val got = ClusterDedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect()
+    assert(got.length == 42 && got.forall(_._2 == 7L))
+  }
+
+  test("self-loop-only node gets a singleton label") {
+    val edges = Seq((1L, 2L), (9L, 9L)).toDF("id_a", "id_b")
+    val got = ClusterDedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
 
   test("clusters attaches correct sizes") {

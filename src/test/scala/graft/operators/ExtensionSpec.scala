@@ -95,6 +95,32 @@ class ExtensionSpec extends SparkSpec {
     assert(fused == composed)
   }
 
+  test("vector expressions reject non-array input at analysis time") {
+    val df = Seq((1L, "notavector")).toDF("id", "s")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.plans.VectorFunctions.vec_lsh_keys(
+        col("s"), IndexedSeq(IndexedSeq(1.0, -1.0)), 1)).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.plans.VectorFunctions.vec_cosine(col("s"), col("s"))).collect()
+    }
+  }
+
+  test("VecLshKeys agrees between int and float element arrays") {
+    // same logical vectors in two element types must bucket identically
+    // (interpreted and codegen paths share one element-access helper)
+    val planes = IndexedSeq(
+      IndexedSeq(1.0, -1.0, 1.0), IndexedSeq(-1.0, 1.0, 1.0))
+    val fInts = Seq((1L, Array(3, -2, 5)), (2L, Array(-1, 4, 0)))
+      .toDF("id", "v")
+    val fFloats = Seq((1L, Array(3.0f, -2.0f, 5.0f)), (2L, Array(-1.0f, 4.0f, 0.0f)))
+      .toDF("id", "v")
+    def keys(df: org.apache.spark.sql.DataFrame) = df.select(col("id"),
+      graft.plans.VectorFunctions.vec_lsh_keys(col("v"), planes, 1).as("k"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(fInts) == keys(fFloats))
+  }
+
   test("LSH ANN recall vs brute force on testdata") {
     val emb = Tables.load(spark, sf, "embeddings")
     val pred = col("vec_id") % 50 === 0
@@ -115,6 +141,19 @@ class ExtensionSpec extends SparkSpec {
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     val recall = (exact & ivf).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall $recall") // deterministic for fixed centroids
+  }
+
+  test("broadcastQueries=false produces identical ANN results") {
+    // unselective query sides must be able to opt out of the broadcast
+    // hint (AQE picks the join) without changing results
+    val emb = Tables.load(spark, sf, "embeddings")
+    val pred = col("vec_id") % 50 === 0
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(rows(Similarity.lshTopK(emb, pred, 5, broadcastQueries = false)) ==
+      rows(Similarity.lshTopK(emb, pred, 5)))
+    assert(rows(Similarity.ivfTopK(emb, pred, 5, broadcastQueries = false)) ==
+      rows(Similarity.ivfTopK(emb, pred, 5)))
   }
 
   test("multimodal stub pipeline: features match hand computation") {
