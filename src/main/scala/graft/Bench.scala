@@ -33,13 +33,22 @@ object Bench {
 
     // min of two timed runs per query: the second run reuses codegen +
     // broadcast caches, so min approximates steady-state latency and
-    // damps JIT/GC noise between bench invocations
+    // damps JIT/GC noise between bench invocations.
+    //
+    // Between queries, drop everything the query pinned in the block
+    // manager (`.cache()` inside operators, `localCheckpoint` blocks
+    // from iterative ones). Without this the storage pool grows
+    // monotonically across 63 queries × 2 runs and the LRU-eviction /
+    // GC churn makes a random subset of queries 5–10× slower from
+    // round to round (r3 vs r4 swings on identical code).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

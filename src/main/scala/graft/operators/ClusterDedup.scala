@@ -44,23 +44,59 @@ object ClusterDedup {
     * @throws IllegalStateException if not converged within `maxIter`
     *         large+small-star rounds (needs > 2^maxIter nodes). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 40): DataFrame = {
+      maxIter: Int = 40, localFinishEdges: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = edges.schema(srcCol).dataType
+    val integralIds =
+      idType == LongType || idType == IntegerType || idType == ShortType || idType == ByteType
+    // The (possibly expensive) pair-generation pipeline feeding this
+    // operator executes exactly ONCE: checkpoint the raw projection,
+    // then derive both the node set and the canonical edge set from it
+    // (previously each derivation re-ran the upstream pipeline).
+    val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint()
     // node set from the RAW edges (self-loops included) so a node with
     // only a self-loop still gets a singleton label
-    val nodes = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id")))
-      .distinct().localCheckpoint()
-    // canonical oriented representation: (u, v) with u > v, deduped;
-    // materialized ONCE so later rounds don't re-execute the (possibly
-    // expensive) pair-generation pipeline feeding this operator
-    var e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id")))
+      .distinct()
+    // canonical oriented representation: (u, v) with u > v, deduped
+    var e = raw
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct().localCheckpoint()
-    var converged = e.isEmpty
+    // (count, xor of xxhash64(u,v)) over the canonical deduped edge
+    // set — a one-job fingerprint used to SKIP the exact convergence
+    // anti-join on rounds that visibly changed the edge set (xor, not
+    // sum: order-independent and cannot overflow under ANSI mode).
+    // Equality of the fingerprint is only ever a trigger for the
+    // exact check, never a substitute for it.
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eFp = fingerprint(e)
+    var converged = eFp._1 == 0L
     var i = 0
     while (!converged && i < maxIter) {
+      // Local finish: once the (monotonically contracting) edge set
+      // fits in driver memory, complete with an exact union-find
+      // instead of paying O(log n) more multi-shuffle rounds — the
+      // same small-side escape hatch as AQE's broadcast threshold. At
+      // 100 TB this engages only after distributed rounds have
+      // contracted the graph; the labels it produces are identical
+      // (min reachable id) by construction.
+      if (integralIds && eFp._1 <= localFinishEdges) {
+        val labels = localUnionFind(
+          e.select(col("u").cast(LongType), col("v").cast(LongType))
+            .collect().map(r => (r.getLong(0), r.getLong(1))))
+        val spark = edges.sparkSession
+        import spark.implicits._
+        e = spark.createDataset(labels.toSeq).toDF("u", "v")
+          .select(col("u").cast(idType), col("v").cast(idType))
+        converged = true
+      } else {
       // large-star: per node u, every neighbor v > u re-attaches to
       // m = min(Γ(u) ∪ {u}). Purely relational — groupBy(min) + join,
       // no collect_list of neighbor sets (high-degree safe).
@@ -82,11 +118,17 @@ object ClusterDedup {
         .distinct()
         .localCheckpoint()
       // converged iff the canonical edge set is unchanged: equal
-      // cardinality + empty difference (both sides are deduped sets)
-      converged = ss.count() == e.count() &&
+      // cardinality + empty difference (both sides are deduped sets).
+      // The exact (anti-join) check only runs when the one-job
+      // fingerprint matches — i.e. at most on the final round plus a
+      // ~2^-64 false-trigger — instead of 3 extra jobs every round.
+      val ssFp = fingerprint(ss)
+      converged = ssFp == eFp &&
         ss.join(e, Seq("u", "v"), "left_anti").isEmpty
       e = ss
+      eFp = ssFp
       i += 1
+      }
     }
     if (!converged)
       throw new IllegalStateException(
@@ -96,6 +138,28 @@ object ClusterDedup {
     // roots and self-loop-only nodes label themselves
     nodes.join(e.select(col("u").as("id"), col("v").as("root")), Seq("id"), "left")
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+  }
+
+  /** Exact driver-side union-find over a collected edge list: returns
+    * (id, min reachable id) for every id whose label differs from
+    * itself. Roots attach under the smaller root, so each tree's root
+    * IS the component minimum. */
+  private def localUnionFind(pairs: Array[(Long, Long)]): Array[(Long, Long)] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val ids = scala.collection.mutable.LinkedHashSet.empty[Long]
+    pairs.foreach { case (a, b) => ids += a; ids += b }
+    ids.iterator.map(id => (id, find(id))).filter { case (id, r) => id != r }.toArray
   }
 
   /** Cluster assignment with sizes: (cluster_id, id, cluster_size),

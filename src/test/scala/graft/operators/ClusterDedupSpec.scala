@@ -20,9 +20,12 @@ class ClusterDedupSpec extends SparkSpec {
 
   test("deep chain converges in O(log n) rounds, not O(diameter)") {
     // path 0-1-...-300: diameter 300 — min-label propagation would
-    // need 300 rounds; large-star/small-star finishes well within 12
+    // need 300 rounds; large-star/small-star finishes well within 12.
+    // localFinishEdges = 0 forces the distributed path (the default
+    // would resolve a graph this small driver-side).
     val edges = (0L until 300L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = ClusterDedup.connectedComponents(edges, "id_a", "id_b", maxIter = 12)
+    val got = ClusterDedup.connectedComponents(edges, "id_a", "id_b",
+      maxIter = 12, localFinishEdges = 0L)
       .as[(Long, Long)].collect()
     assert(got.length == 301 && got.forall(_._2 == 0L))
   }
@@ -30,8 +33,24 @@ class ClusterDedupSpec extends SparkSpec {
   test("unconverged maxIter throws instead of returning wrong labels") {
     val edges = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     intercept[IllegalStateException] {
-      ClusterDedup.connectedComponents(edges, "id_a", "id_b", maxIter = 1)
+      ClusterDedup.connectedComponents(edges, "id_a", "id_b",
+        maxIter = 1, localFinishEdges = 0L)
     }
+  }
+
+  test("driver-side local finish matches the distributed rounds exactly") {
+    // pseudo-random sparse graph: chains, merges, hubs, self-loops
+    val edges = (0L until 400L).map { i =>
+      val a = (i * 2654435761L) % 97L
+      val b = (i * 40503L + 7L) % 97L
+      (a, b)
+    }.toDF("id_a", "id_b")
+    val local = ClusterDedup.connectedComponents(edges, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val dist = ClusterDedup.connectedComponents(edges, "id_a", "id_b",
+      localFinishEdges = 0L)
+      .as[(Long, Long)].collect().toSet
+    assert(local == dist)
   }
 
   test("high-degree hub with reversed ids resolves to the hub min") {
