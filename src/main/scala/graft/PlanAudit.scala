@@ -14,7 +14,8 @@ object PlanAudit {
       else Seq("q1_agg", "q2_filter_project", "q3_star_join", "q4_fact_join",
         "q5_topk", "q13_gmv", "q27_cosine_topk", "q25_minhash_lsh",
         "q35_levenshtein", "q39_hash_sample", "q41_centroids",
-        "q46_range_join", "q49_tfidf")
+        "q46_range_join", "q49_tfidf",
+        "q55_contamination", "q57_embed_quantize", "q58_shuffle_shard")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

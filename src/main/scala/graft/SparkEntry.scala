@@ -23,7 +23,8 @@ object SparkEntry {
     RelationalQueries.entries ++
       EventAnalyticsQueries.entries ++
       ExtensionQueries.entries ++
-      PipelineQueries.entries
+      PipelineQueries.entries ++
+      CurationQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
     RelationalQueries.oracles ++
       EventAnalyticsQueries.oracles ++
       ExtensionQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      CurationQueries.oracles
 }

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.Num
+
+/** Round-5 additions: corpus-curation operations a training-data
+  * pipeline runs between dedup and export — benchmark-contamination
+  * detection, deterministic train/val/test split assignment, int8
+  * embedding quantization with error accounting, and deterministic
+  * shuffle-sharding of the training order.
+  *
+  * Scale notes (100 TB): contamination joins the corpus' n-grams
+  * against the (small) eval-set n-gram dictionary — broadcast, never
+  * shuffled-by-corpus; splits and shuffle order derive from content
+  * hashes, so they reproduce on any cluster layout with zero
+  * coordination; quantization is embarrassingly parallel per row;
+  * shard-local ordering uses a window PARTITIONED by shard (no global
+  * single-partition sort anywhere).
+  */
+object CurationQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  // ---- q55: benchmark contamination check. Hold out a hash-sampled
+  // eval split, build its distinct n-gram dictionary, and score every
+  // training document by the fraction of its distinct n-grams that
+  // appear in the eval dictionary (the decontamination signal used
+  // before training). The dictionary side is small by construction
+  // (benchmarks are tiny next to the corpus) — broadcast it. ----
+
+  private val EvalPct = 5
+  private val ContamN = 3
+
+  def q55Contamination(spark: SparkSession, dir: String): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("doc_id"),
+        (TF.hash60(col("doc_id").cast("string")) % 100).as("hk"),
+        TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("hk"),
+        explode(TF.shinglesFromTokens(col("toks"), ContamN)).as("g"))
+      .distinct()
+    val evalGrams = g.filter(col("hk") < EvalPct).select(col("g")).distinct()
+    g.filter(col("hk") >= EvalPct)
+      .join(broadcast(evalGrams.withColumn("hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(col("doc_id"), col("ngrams"), col("hits"),
+        Num.r4(col("hits").cast("double") / col("ngrams")).as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q55Sql: String =
+    s"""WITH g AS (
+       |  SELECT DISTINCT doc_id, hk, g FROM (
+       |    SELECT doc_id,
+       |      ${TF.sqlHash60("doc_id::VARCHAR")} % 100 AS hk,
+       |      unnest(${TF.sqlShingles("text", ContamN)}) AS g
+       |    FROM documents)),
+       |ev AS (SELECT DISTINCT g FROM g WHERE hk < $EvalPct)
+       |SELECT t.doc_id, count(*) AS ngrams,
+       |  CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  ${Num.sqlR4("sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)")} AS contamination
+       |FROM (SELECT doc_id, g FROM g WHERE hk >= $EvalPct) t
+       |LEFT JOIN ev ON t.g = ev.g
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q56: deterministic train/val/test split assignment —
+  // content-hash bucketing (80/10/10) with per-split-per-language
+  // accounting. Hash-derived splits reproduce identically on any
+  // cluster and survive corpus re-partitioning, unlike randomSplit. ----
+
+  def q56SplitAssign(spark: SparkSession, dir: String): DataFrame = {
+    val hk = TF.hash60(col("doc_id").cast("string")) % 100
+    docs(spark, dir)
+      .withColumn("split",
+        when(hk < 80, "train").when(hk < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("chars"),
+        Num.r2(avg(col("n_chars"))).as("avg_chars"))
+      .orderBy(col("split"), col("lang"))
+  }
+
+  val q56Sql: String =
+    s"""SELECT CASE WHEN hk < 80 THEN 'train' WHEN hk < 90 THEN 'val'
+       |    ELSE 'test' END AS split,
+       |  lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
+       |  ${Num.sqlR2("avg(n_chars)")} AS avg_chars
+       |FROM (SELECT lang, n_chars,
+       |        ${TF.sqlHash60("doc_id::VARCHAR")} % 100 AS hk
+       |      FROM documents)
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+
+  // ---- q57: int8 symmetric quantization of the embedding column
+  // (the storage/serving format of a vector corpus) with dequantization
+  // error accounting per label. Per-vector max-abs scale; round-half-up
+  // via floor(x/scale + 0.5) — identical IEEE double arithmetic in
+  // both engines (library `round` half-even vs half-up differences
+  // never enter). maxabs = 0 vectors are excluded (nothing to
+  // quantize; avoids 0/0). ----
+
+  def q57EmbedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    embs(spark, dir)
+      .withColumn("maxabs", maxabs)
+      .filter(col("maxabs") > 0)
+      .withColumn("scale", col("maxabs") / 127.0d)
+      .withColumn("sse",
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => {
+            val xd = x.cast("double")
+            val q = floor(xd / col("scale") + 0.5d)
+            acc + (xd - q * col("scale")) * (xd - q * col("scale"))
+          }))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("vecs"),
+        Num.r4(avg(col("maxabs"))).as("avg_maxabs"),
+        Num.r4(avg(col("sse"))).as("avg_sse"))
+      .orderBy(col("label"))
+  }
+
+  val q57Sql: String =
+    s"""WITH v AS (
+       |  SELECT label,
+       |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS maxabs,
+       |    embedding
+       |  FROM embeddings),
+       |q AS (
+       |  SELECT label, maxabs,
+       |    list_sum(list_transform(embedding,
+       |      x -> (x::DOUBLE - floor(x::DOUBLE / (maxabs / 127.0) + 0.5)
+       |              * (maxabs / 127.0))
+       |         * (x::DOUBLE - floor(x::DOUBLE / (maxabs / 127.0) + 0.5)
+       |              * (maxabs / 127.0)))) AS sse
+       |  FROM v WHERE maxabs > 0)
+       |SELECT label, count(*) AS vecs,
+       |  ${Num.sqlR4("avg(maxabs)")} AS avg_maxabs,
+       |  ${Num.sqlR4("avg(sse)")} AS avg_sse
+       |FROM q
+       |GROUP BY label
+       |ORDER BY label""".stripMargin
+
+  // ---- q58: deterministic corpus shuffle + sharding — the export
+  // step that fixes a pseudo-random training order: shard by one
+  // content hash, order within the shard by an independent second
+  // hash. The window is PARTITIONED by shard (each shard sorts
+  // locally; at 100 TB this is a plain repartition + per-partition
+  // sort, no global single-partition window). Emits the head of each
+  // shard's order — the rows a training-run manifest records. ----
+
+  private val NumShards = 8
+  private val ShardHead = 5
+
+  def q58ShuffleShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (TF.hash60(col("doc_id").cast("string")) % NumShards).as("shard"),
+        TF.hash60(concat(col("doc_id").cast("string"), lit("#ord"))).as("ord"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .filter(col("pos") <= ShardHead)
+      .select(col("shard"), col("pos"), col("doc_id"), col("lang"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val q58Sql: String =
+    s"""SELECT shard, pos, doc_id, lang
+       |FROM (
+       |  SELECT shard, doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+       |      AS BIGINT) AS pos
+       |  FROM (SELECT doc_id, lang,
+       |          ${TF.sqlHash60("doc_id::VARCHAR")} % $NumShards AS shard,
+       |          ${TF.sqlHash60("doc_id::VARCHAR || '#ord'")} AS ord
+       |        FROM documents))
+       |WHERE pos <= $ShardHead
+       |ORDER BY shard, pos""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_contamination" -> (q55Contamination _),
+    "q56_split_assign" -> (q56SplitAssign _),
+    "q57_embed_quantize" -> (q57EmbedQuantize _),
+    "q58_shuffle_shard" -> (q58ShuffleShard _))
+
+  def oracles: Map[String, String] = Map(
+    "q55_contamination" -> q55Sql,
+    "q56_split_assign" -> q56Sql,
+    "q57_embed_quantize" -> q57Sql,
+    "q58_shuffle_shard" -> q58Sql)
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the round-5 curation queries (value-level
+  * correctness is the DuckDB oracle's job — these pin structural
+  * properties at sf0.001). */
+class CurationQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q55 contamination ratios are in [0,1] and hits never exceed ngrams") {
+    val df = CurationQueries.q55Contamination(spark, dir).cache()
+    assert(df.count() > 0)
+    assert(df.filter(col("hits") > col("ngrams")).isEmpty)
+    assert(df.filter(col("contamination") < 0 || col("contamination") > 1).isEmpty)
+    // eval docs (hash bucket < EvalPct) must not be scored as train docs
+    val scored = df.select(col("doc_id"))
+    val evalIds = graft.Tables.load(spark, dir, "documents")
+      .filter(graft.functions.TextFunctions.hash60(col("doc_id").cast("string")) % 100 < 5)
+      .select(col("doc_id"))
+    assert(scored.intersect(evalIds).isEmpty)
+  }
+
+  test("q55 eval-dictionary side is broadcast, not shuffled") {
+    val plan = CurationQueries.q55Contamination(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("q56 split counts partition the corpus") {
+    val df = CurationQueries.q56SplitAssign(spark, dir).cache()
+    val splits = df.select(col("split")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    val total = df.agg(sum(col("docs"))).head().getLong(0)
+    assert(total == graft.Tables.load(spark, dir, "documents").count())
+    // hash split is deterministic: two runs agree exactly
+    val again = CurationQueries.q56SplitAssign(spark, dir)
+    assert(df.except(again).isEmpty && again.except(df).isEmpty)
+  }
+
+  test("q57 quantization error is bounded by the int8 step size") {
+    val rows = CurationQueries.q57EmbedQuantize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val dims = graft.Tables.load(spark, dir, "embeddings")
+      .select(size(col("embedding"))).head().getInt(0)
+    rows.foreach { r =>
+      val maxabs = r.getAs[Double]("avg_maxabs")
+      val sse = r.getAs[Double]("avg_sse")
+      // per-element error ≤ (scale/2); sse ≤ dims * (scale/2)^2 (use
+      // avg_maxabs as the scale proxy with slack for averaging)
+      assert(sse >= 0.0)
+      assert(sse <= dims * math.pow(maxabs / 127.0, 2))
+    }
+  }
+
+  test("q58 emits exactly the head of every shard in deterministic order") {
+    val df = CurationQueries.q58ShuffleShard(spark, dir).cache()
+    val perShard = df.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), collect_list(col("pos")).as("ps"))
+      .collect()
+    assert(perShard.nonEmpty)
+    perShard.foreach { r =>
+      val n = r.getAs[Long]("n")
+      val ps = r.getAs[scala.collection.Seq[Long]]("ps")
+      assert(n <= 5 && ps.sorted == (1L to n).toSeq)
+    }
+    val again = CurationQueries.q58ShuffleShard(spark, dir)
+    assert(df.except(again).isEmpty && again.except(df).isEmpty)
+  }
+}
