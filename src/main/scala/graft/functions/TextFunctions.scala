@@ -1,7 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.functions._
+import graft.plans.Md5PrefixHash
 
 /** Text-analysis primitives for the LLM-data-pipeline tier (builder
   * brief; BASELINE.json north star): tokenization, shingling,
@@ -49,17 +51,20 @@ object TextFunctions {
        | ELSE [] END""".stripMargin
   }
 
-  /** 60-bit hash from the md5 hex prefix — identical in Spark
-    * (conv base 16) and DuckDB (hex cast). Non-negative, < 2^60. */
+  /** 60-bit hash from the md5 hex prefix — identical in Spark and
+    * DuckDB (hex cast). Non-negative, < 2^60. Spark side is the fused
+    * codegen expression (md5 bytes → long, no hex-string round-trip —
+    * see plans.Md5PrefixHash); bit-equivalence with the composed
+    * `conv(substring(md5(x),1,15),16,10)` form is spec-pinned. */
   def hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    GraftColumnBridge.column(Md5PrefixHash(GraftColumnBridge.expression(c), 15))
   def sqlHash60(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
   /** 32-bit variant for modular minhash arithmetic (a*h+b stays in
     * 63 bits). */
   def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    GraftColumnBridge.column(Md5PrefixHash(GraftColumnBridge.expression(c), 8))
   def sqlHash32(e: String): String =
     s"('0x' || substr(md5($e), 1, 8))::BIGINT"
 
