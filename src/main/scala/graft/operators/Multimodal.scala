@@ -46,6 +46,44 @@ object Multimodal {
     def decode(payload: Array[Byte]): Array[Int] = payload.map(_ & 0xff)
   }
 
+  /** One row per sampled frame: stride `frameStep` over the decoded
+    * byte stream (the video/audio frame-sampling step). Generator
+    * shape (1 → N rows) as an iterator-to-iterator flatMap — frames
+    * never buffer per document, payloads never shuffle. */
+  def sampleFrames(media: DataFrame, frameStep: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        val px = StubCodec.decode(payload)
+        Iterator.range(0, px.length, frameStep).zipWithIndex.map {
+          case (pos, fi) => (id, fi.toLong, px(pos))
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_val")
+  }
+
+  /** Nearest-neighbor resize STUB to a fixed output length: out[j] =
+    * px[⌊j·n/outLen⌋] — the 1-D form of image downscaling, integer
+    * arithmetic only so any engine reproduces it exactly. Emits the
+    * resized length and a checksum (what a real pipeline would verify
+    * after a codec swap). */
+  def resizeStub(media: DataFrame, outLen: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val px = StubCodec.decode(payload)
+        val checksum =
+          if (px.isEmpty) 0L
+          else (0 until outLen).foldLeft(0L)((s, j) => s + px(j * px.length / outLen))
+        (id, outLen.toLong, checksum)
+      }
+      .toDF("doc_id", "out_len", "checksum")
+  }
+
   /** Batched per-partition decode + feature extraction. Iterator-to-
     * iterator transform: constant memory per partition, no collect. */
   def extractFeatures(media: DataFrame, frameStep: Int = 16): DataFrame = {

@@ -187,15 +187,59 @@ object CurationQueries {
        |WHERE pos <= $ShardHead
        |ORDER BY shard, pos""".stripMargin
 
+  // ---- q59/q60: the remaining multimodal verbs (builder brief):
+  // frame-sampling (1 → N generator over the decoded byte stream) and
+  // nearest-neighbor resize, both through the stub codec. ASCII-only
+  // guard so the DuckDB twin's codepoint indexing equals the codec's
+  // byte indexing exactly (same technique as q35). ----
+
+  private val FrameStep = 16
+  private val ResizeLen = 64
+
+  private def asciiMedia(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.asMedia(
+      docs(spark, dir).filter(length(col("text")) === octet_length(col("text"))))
+
+  def q59FrameSample(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.sampleFrames(
+      asciiMedia(spark, dir).filter(col("doc_id") % 50 === 0), FrameStep)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val q59Sql: String =
+    s"""SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+       |  ascii(text[CAST(j * $FrameStep + 1 AS INT)]) AS frame_val
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, (strlen(text) + ${FrameStep - 1}) // $FrameStep)) AS j
+       |      FROM documents
+       |      WHERE doc_id % 50 = 0 AND length(text) = strlen(text))
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  def q60Resize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Multimodal.resizeStub(asciiMedia(spark, dir), ResizeLen)
+      .orderBy(col("doc_id"))
+
+  val q60Sql: String =
+    s"""SELECT doc_id, CAST($ResizeLen AS BIGINT) AS out_len,
+       |  CAST(list_sum(list_transform(range(0, $ResizeLen),
+       |    j -> ascii(text[CAST((j * strlen(text)) // $ResizeLen + 1 AS INT)])))
+       |    AS BIGINT) AS checksum
+       |FROM documents
+       |WHERE length(text) = strlen(text)
+       |ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_contamination" -> (q55Contamination _),
     "q56_split_assign" -> (q56SplitAssign _),
     "q57_embed_quantize" -> (q57EmbedQuantize _),
-    "q58_shuffle_shard" -> (q58ShuffleShard _))
+    "q58_shuffle_shard" -> (q58ShuffleShard _),
+    "q59_frame_sample" -> (q59FrameSample _),
+    "q60_resize" -> (q60Resize _))
 
   def oracles: Map[String, String] = Map(
     "q55_contamination" -> q55Sql,
     "q56_split_assign" -> q56Sql,
     "q57_embed_quantize" -> q57Sql,
-    "q58_shuffle_shard" -> q58Sql)
+    "q58_shuffle_shard" -> q58Sql,
+    "q59_frame_sample" -> q59Sql,
+    "q60_resize" -> q60Sql)
 }

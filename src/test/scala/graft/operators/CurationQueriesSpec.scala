@@ -57,6 +57,31 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q59 frame positions tile the payload at the stride") {
+    val df = CurationQueries.q59FrameSample(spark, dir).cache()
+    assert(df.count() > 0)
+    // per doc: frame_idx is 0..n-1 dense, and n = ceil(bytes/16)
+    val docsTbl = graft.Tables.load(spark, dir, "documents")
+      .filter(length(col("text")) === octet_length(col("text")))
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), octet_length(col("text")).as("bytes"))
+    val frames = df.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), max(col("frame_idx")).as("maxi"))
+    val bad = frames.join(docsTbl, "doc_id")
+      .filter(col("n") =!= ceil(col("bytes") / 16.0).cast("long") ||
+        col("maxi") =!= col("n") - 1)
+    assert(bad.isEmpty)
+  }
+
+  test("q60 checksum is bounded by out_len * max byte value") {
+    val rows = CurationQueries.q60Resize(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cs = r.getAs[Long]("checksum")
+      assert(cs >= 0 && cs <= 64L * 255L)
+    }
+  }
+
   test("q58 emits exactly the head of every shard in deterministic order") {
     val df = CurationQueries.q58ShuffleShard(spark, dir).cache()
     val perShard = df.groupBy(col("shard"))
