@@ -42,14 +42,19 @@ object Bench {
     // GC churn makes a random subset of queries 5–10× slower from
     // round to round (r3 vs r4 swings on identical code).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      val times = Seq(once(), once())
+      // a >1.5× disagreement between the two runs means one of them ate
+      // a GC/compilation pause — settle it with a third run
+      val settled =
+        if (times.max / times.min > 1.5) times :+ once() else times
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> times.min
+      name -> settled.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
