@@ -715,19 +715,26 @@ object PipelineQueries {
   private val ChunkSize = 40
   private val ChunkStride = 30
 
-  def q53Chunking(spark: SparkSession, dir: String): DataFrame =
+  // Chunk generation is the custom `TokenWindows` Generator (UDTF
+  // tier — plans/Generators.scala): one pass over the token array,
+  // streaming (idx, tokens, text) rows out of GenerateExec with no
+  // intermediate start-index/slice arrays. Equivalence with the
+  // compositional posexplode(sequence)+slice form is spec-pinned
+  // (GeneratorsSpec), and this query keeps it behind the DuckDB
+  // oracle gate.
+  def q53Chunking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     docs(spark, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        posexplode(sequence(lit(1), greatest(size(col("toks")), lit(1)),
-          lit(ChunkStride))).as(Seq("chunk_idx", "start")))
-      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
-        slice(col("toks"), col("start"), lit(ChunkSize)).as("chunk"))
-      .select(col("doc_id"), col("chunk_idx"),
-        size(col("chunk")).cast("long").as("chunk_tokens"),
-        TF.hash32(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .select(col("doc_id"),
+        GraftColumnBridge.column(graft.plans.TokenWindows(
+          GraftColumnBridge.expression(col("toks")), ChunkSize, ChunkStride)))
+      .toDF("doc_id", "chunk_idx", "chunk_tokens", "chunk_text")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        TF.hash32(col("chunk_text")).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
 
   val q53Sql: String = {
     val ts = TF.sqlTokens("text")
