@@ -227,13 +227,55 @@ object CurationQueries {
        |WHERE length(text) = strlen(text)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q61: the composed end-to-end curation pipeline (scrub →
+  // quality gate → exact dedup → split), one declarative plan against
+  // a DuckDB CTE chain of the same stages. See
+  // operators.CurationPipeline for the stage/scale breakdown. ----
+
+  private val MinTokens = 20
+
+  def q61CuratePipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.CurationPipeline.stats(
+      graft.operators.CurationPipeline.curate(docs(spark, dir), MinTokens))
+
+  val q61Sql: String = {
+    import graft.operators.CurationPipeline.{EmailRe, EntityRe, UrlRe}
+    val cleanExpr =
+      s"""regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$UrlRe', '<URL>', 'g'),
+         |    '$EntityRe', '<ENT>', 'g')""".stripMargin
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, $cleanExpr AS clean FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, clean,
+       |    len(${TF.sqlTokens("clean")}) AS toks
+       |  FROM s),
+       |g AS (SELECT * FROM q WHERE toks >= $MinTokens),
+       |d AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY ${TF.sqlFingerprint("clean")} ORDER BY doc_id) AS rn
+       |    FROM g) WHERE rn = 1),
+       |sp AS (
+       |  SELECT *, CASE WHEN hk < 80 THEN 'train' WHEN hk < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM (SELECT *, ${TF.sqlHash60("doc_id::VARCHAR")} % 100 AS hk FROM d))
+       |SELECT split, lang, count(*) AS docs,
+       |  CAST(sum(toks) AS BIGINT) AS tokens,
+       |  ${Num.sqlR2("avg(toks)")} AS avg_tokens
+       |FROM sp
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_contamination" -> (q55Contamination _),
     "q56_split_assign" -> (q56SplitAssign _),
     "q57_embed_quantize" -> (q57EmbedQuantize _),
     "q58_shuffle_shard" -> (q58ShuffleShard _),
     "q59_frame_sample" -> (q59FrameSample _),
-    "q60_resize" -> (q60Resize _))
+    "q60_resize" -> (q60Resize _),
+    "q61_curate_pipeline" -> (q61CuratePipeline _))
 
   def oracles: Map[String, String] = Map(
     "q55_contamination" -> q55Sql,
@@ -241,5 +283,6 @@ object CurationQueries {
     "q57_embed_quantize" -> q57Sql,
     "q58_shuffle_shard" -> q58Sql,
     "q59_frame_sample" -> q59Sql,
-    "q60_resize" -> q60Sql)
+    "q60_resize" -> q60Sql,
+    "q61_curate_pipeline" -> q61Sql)
 }

@@ -211,12 +211,12 @@ object PipelineQueries {
   // sequential regexp_replace passes + per-language scrub accounting.
   // Conservative regex syntax so the Java and RE2 dialects agree. ----
 
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[queries] val UrlRe = "https?://[A-Za-z0-9./_-]+"
   // entity scrubbing (anonymize a known token class) — the pattern the
   // synthetic corpus actually exercises; email/url stay as the
   // realistic PII passes
-  private val EntityRe = "\\b(spark|customer)\\b"
+  private[queries] val EntityRe = "\\b(spark|customer)\\b"
 
   def q40Scrub(spark: SparkSession, dir: String): DataFrame = {
     val scrubbed =

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.queries.CurationQueries
+import graft.operators.CurationPipeline
 import org.apache.spark.sql.functions._
 
 /** Invariant checks for the round-5 curation queries (value-level
@@ -55,6 +56,27 @@ class CurationQueriesSpec extends SparkSpec {
       assert(sse >= 0.0)
       assert(sse <= dims * math.pow(maxabs / 127.0, 2))
     }
+  }
+
+  test("curation pipeline stages shrink monotonically and dedup keeps first copies") {
+    val raw = graft.Tables.load(spark, dir, "documents")
+    val curated = CurationPipeline.curate(raw).cache()
+    assert(curated.count() > 0 && curated.count() <= raw.count())
+    // exact dedup: fingerprints unique, survivors are per-group minima
+    val fps = curated.select(
+      graft.functions.TextFunctions.fingerprint(col("clean")).as("fp"),
+      col("doc_id"))
+    assert(fps.groupBy(col("fp")).count().filter(col("count") > 1).isEmpty)
+    // quality gate: all survivors meet the token floor
+    assert(curated.filter(col("toks") < 20).isEmpty)
+    // the single wide stage is the fingerprint shuffle: one Exchange
+    // before the dedup window (plus the stats agg downstream)
+    val plan = curated.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("Exchange"))
+    // re-curating the curated output is a no-op on membership
+    val again = CurationPipeline.curate(
+      curated.select(col("doc_id"), col("lang"), col("clean").as("text")))
+    assert(again.count() == curated.count())
   }
 
   test("q59 frame positions tile the payload at the stride") {
