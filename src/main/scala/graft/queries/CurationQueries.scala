@@ -268,6 +268,41 @@ object CurationQueries {
        |ORDER BY split, lang""".stripMargin
   }
 
+  // ---- q62: intra-document repetition scoring (the Gopher/C4-style
+  // quality rule: a document whose n-grams repeat heavily is
+  // boilerplate/spam). duplicate-trigram fraction = 1 − distinct/total,
+  // computed per row (narrow, no shuffle) — the aggregation to flagged
+  // docs is the only wide stage. ----
+
+  private val RepThreshold = 0.01
+
+  def q62Repetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"),
+        TF.shinglesFromTokens(col("toks"), 3).as("gs"))
+      .filter(size(col("gs")) > 0)
+      .select(col("doc_id"), col("lang"),
+        size(col("gs")).cast("long").as("trigrams"),
+        size(array_distinct(col("gs"))).cast("long").as("distinct_trigrams"))
+      .withColumn("dup_frac",
+        Num.r4(lit(1.0) - col("distinct_trigrams").cast("double") / col("trigrams")))
+      .filter(col("dup_frac") >= RepThreshold)
+      .orderBy(col("doc_id"))
+
+  val q62Sql: String =
+    s"""SELECT doc_id, lang, trigrams, distinct_trigrams,
+       |  ${Num.sqlR4("1.0 - distinct_trigrams::DOUBLE / trigrams")} AS dup_frac
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(len(gs) AS BIGINT) AS trigrams,
+       |    CAST(len(list_distinct(gs)) AS BIGINT) AS distinct_trigrams
+       |  FROM (SELECT doc_id, lang, ${TF.sqlShingles("text", 3)} AS gs
+       |        FROM documents)
+       |  WHERE len(gs) > 0)
+       |WHERE ${Num.sqlR4("1.0 - distinct_trigrams::DOUBLE / trigrams")} >= $RepThreshold
+       |ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_contamination" -> (q55Contamination _),
     "q56_split_assign" -> (q56SplitAssign _),
@@ -275,7 +310,8 @@ object CurationQueries {
     "q58_shuffle_shard" -> (q58ShuffleShard _),
     "q59_frame_sample" -> (q59FrameSample _),
     "q60_resize" -> (q60Resize _),
-    "q61_curate_pipeline" -> (q61CuratePipeline _))
+    "q61_curate_pipeline" -> (q61CuratePipeline _),
+    "q62_repetition" -> (q62Repetition _))
 
   def oracles: Map[String, String] = Map(
     "q55_contamination" -> q55Sql,
@@ -284,5 +320,6 @@ object CurationQueries {
     "q58_shuffle_shard" -> q58Sql,
     "q59_frame_sample" -> q59Sql,
     "q60_resize" -> q60Sql,
-    "q61_curate_pipeline" -> q61Sql)
+    "q61_curate_pipeline" -> q61Sql,
+    "q62_repetition" -> q62Sql)
 }

@@ -79,6 +79,18 @@ class CurationQueriesSpec extends SparkSpec {
     assert(again.count() == curated.count())
   }
 
+  test("q62 repetition scores are consistent fractions") {
+    val df = CurationQueries.q62Repetition(spark, dir).cache()
+    assert(df.filter(col("distinct_trigrams") > col("trigrams")).isEmpty)
+    assert(df.filter(col("dup_frac") < 0 || col("dup_frac") >= 1).isEmpty)
+    // flagged docs really repeat: recomputing the fraction from the
+    // reported counts matches the reported score
+    assert(df.filter(
+      graft.operators.Num.r4(lit(1.0) -
+        col("distinct_trigrams").cast("double") / col("trigrams"))
+        =!= col("dup_frac")).isEmpty)
+  }
+
   test("q59 frame positions tile the payload at the stride") {
     val df = CurationQueries.q59FrameSample(spark, dir).cache()
     assert(df.count() > 0)
