@@ -211,12 +211,14 @@ object PipelineQueries {
   // sequential regexp_replace passes + per-language scrub accounting.
   // Conservative regex syntax so the Java and RE2 dialects agree. ----
 
-  private[queries] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private[queries] val UrlRe = "https?://[A-Za-z0-9./_-]+"
+  // single source of truth for the scrub regexes lives with the
+  // composed pipeline (operators.CurationPipeline)
+  private[queries] val EmailRe = graft.operators.CurationPipeline.EmailRe
+  private[queries] val UrlRe = graft.operators.CurationPipeline.UrlRe
   // entity scrubbing (anonymize a known token class) — the pattern the
   // synthetic corpus actually exercises; email/url stay as the
   // realistic PII passes
-  private[queries] val EntityRe = "\\b(spark|customer)\\b"
+  private[queries] val EntityRe = graft.operators.CurationPipeline.EntityRe
 
   def q40Scrub(spark: SparkSession, dir: String): DataFrame = {
     val scrubbed =

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.SparkSpec
 import graft.queries.CurationQueries
-import graft.operators.CurationPipeline
 import org.apache.spark.sql.functions._
 
 /** Invariant checks for the round-5 curation queries (value-level
