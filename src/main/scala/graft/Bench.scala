@@ -48,10 +48,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val times = Seq(once(), once())
-      // a >1.5× disagreement between the two runs means one of them ate
-      // a GC/compilation pause — settle it with a third run
-      val settled =
-        if (times.max / times.min > 1.5) times :+ once() else times
+      // run 1 is cold (codegen compile, no broadcast reuse), so run 2
+      // beating it is NORMAL and needs no re-run. The anomaly worth a
+      // third run is the warm run losing to the cold one — that means
+      // run 2 ate a GC/compilation pause and the min may be inflated.
+      val settled = if (times(1) > times(0)) times :+ once() else times
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       name -> settled.min

@@ -61,6 +61,23 @@ object TextFunctions {
   def sqlHash60(e: String): String =
     s"('0x' || substr(md5($e), 1, 15))::BIGINT"
 
+  /** Deterministic train/val/test split: content-hash buckets with
+    * single-sourced thresholds (80/10/10) — used by the standalone
+    * split query (q56) AND the composed curation pipeline (q61), so
+    * a ratio change cannot desynchronize them. */
+  val SplitTrainPct = 80
+  val SplitValPct = 90
+  def splitAssign(docId: Column): Column = {
+    val hk = hash60(docId.cast("string")) % 100
+    when(hk < SplitTrainPct, "train")
+      .when(hk < SplitValPct, "val")
+      .otherwise("test")
+  }
+  /** DuckDB twin over a precomputed hash-bucket expression. */
+  def sqlSplitCase(hk: String): String =
+    s"CASE WHEN $hk < $SplitTrainPct THEN 'train' " +
+      s"WHEN $hk < $SplitValPct THEN 'val' ELSE 'test' END"
+
   /** 32-bit variant for modular minhash arithmetic (a*h+b stays in
     * 63 bits). */
   def hash32(c: Column): Column =

@@ -51,10 +51,7 @@ object CurationPipeline {
       .withColumn("fp", fingerprint(col("clean")))
       .withColumn("rn", row_number().over(dedupW))
       .filter(col("rn") === 1)
-      .withColumn("split",
-        when(hash60(col("doc_id").cast("string")) % 100 < 80, "train")
-          .when(hash60(col("doc_id").cast("string")) % 100 < 90, "val")
-          .otherwise("test"))
+      .withColumn("split", splitAssign(col("doc_id")))
       .select(col("doc_id"), col("lang"), col("split"), col("toks"), col("clean"))
   }
 

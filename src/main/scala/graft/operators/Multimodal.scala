@@ -78,7 +78,10 @@ object Multimodal {
         val px = StubCodec.decode(payload)
         val checksum =
           if (px.isEmpty) 0L
-          else (0 until outLen).foldLeft(0L)((s, j) => s + px(j * px.length / outLen))
+          // index math in Long: j * px.length overflows Int for
+          // payloads ≥ ~34 MB (real media sizes)
+          else (0 until outLen).foldLeft(0L)((s, j) =>
+            s + px((j.toLong * px.length / outLen).toInt))
         (id, outLen.toLong, checksum)
       }
       .toDF("doc_id", "out_len", "checksum")

@@ -77,21 +77,17 @@ object CurationQueries {
   // accounting. Hash-derived splits reproduce identically on any
   // cluster and survive corpus re-partitioning, unlike randomSplit. ----
 
-  def q56SplitAssign(spark: SparkSession, dir: String): DataFrame = {
-    val hk = TF.hash60(col("doc_id").cast("string")) % 100
+  def q56SplitAssign(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
-      .withColumn("split",
-        when(hk < 80, "train").when(hk < 90, "val").otherwise("test"))
+      .withColumn("split", TF.splitAssign(col("doc_id")))
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("docs"),
         sum(col("n_chars")).as("chars"),
         Num.r2(avg(col("n_chars"))).as("avg_chars"))
       .orderBy(col("split"), col("lang"))
-  }
 
   val q56Sql: String =
-    s"""SELECT CASE WHEN hk < 80 THEN 'train' WHEN hk < 90 THEN 'val'
-       |    ELSE 'test' END AS split,
+    s"""SELECT ${TF.sqlSplitCase("hk")} AS split,
        |  lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
        |  ${Num.sqlR2("avg(n_chars)")} AS avg_chars
        |FROM (SELECT lang, n_chars,
@@ -257,8 +253,7 @@ object CurationQueries {
        |      PARTITION BY ${TF.sqlFingerprint("clean")} ORDER BY doc_id) AS rn
        |    FROM g) WHERE rn = 1),
        |sp AS (
-       |  SELECT *, CASE WHEN hk < 80 THEN 'train' WHEN hk < 90 THEN 'val'
-       |      ELSE 'test' END AS split
+       |  SELECT *, ${TF.sqlSplitCase("hk")} AS split
        |  FROM (SELECT *, ${TF.sqlHash60("doc_id::VARCHAR")} % 100 AS hk FROM d))
        |SELECT split, lang, count(*) AS docs,
        |  CAST(sum(toks) AS BIGINT) AS tokens,

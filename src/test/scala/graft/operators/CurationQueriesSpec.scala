@@ -45,15 +45,26 @@ class CurationQueriesSpec extends SparkSpec {
   test("q57 quantization error is bounded by the int8 step size") {
     val rows = CurationQueries.q57EmbedQuantize(spark, dir).collect()
     assert(rows.nonEmpty)
-    val dims = graft.Tables.load(spark, dir, "embeddings")
-      .select(size(col("embedding"))).head().getInt(0)
+    // the sound bound is per-vector: sse_i ≤ dims/4 · (maxabs_i/127)²,
+    // so avg_sse ≤ dims/4 · avg(maxabs²). avg(maxabs²) is NOT
+    // derivable from the query's avg_maxabs (Jensen) — recompute it
+    // from the embeddings table per label.
+    val maxabs2 = graft.Tables.load(spark, dir, "embeddings")
+      .select(col("label"),
+        array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          .as("maxabs"),
+        size(col("embedding")).as("dims"))
+      .filter(col("maxabs") > 0)
+      .groupBy(col("label"))
+      .agg(avg(col("maxabs") * col("maxabs")).as("avg_maxabs2"),
+        max(col("dims")).as("dims"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        (r.getAs[Double]("avg_maxabs2"), r.getAs[Int]("dims"))).toMap
     rows.foreach { r =>
-      val maxabs = r.getAs[Double]("avg_maxabs")
       val sse = r.getAs[Double]("avg_sse")
-      // per-element error ≤ (scale/2); sse ≤ dims * (scale/2)^2 (use
-      // avg_maxabs as the scale proxy with slack for averaging)
+      val (am2, dims) = maxabs2(r.getAs[Int]("label"))
       assert(sse >= 0.0)
-      assert(sse <= dims * math.pow(maxabs / 127.0, 2))
+      assert(sse <= dims / 4.0 * am2 / (127.0 * 127.0) * 1.0001)
     }
   }
 
