@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
@@ -301,6 +301,68 @@ object CurationQueries {
        |WHERE ${Num.sqlR4("1.0 - distinct_trigrams::DOUBLE / trigrams")} >= $RepThreshold
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q63: Z-order (Morton) clustering key — the multi-dimensional
+  // data-layout primitive (Delta/Iceberg Z-ORDER BY): interleaving the
+  // bits of two dimensions gives a single sort key under which ranges
+  // of rows are simultaneously tight in BOTH dimensions, so per-file
+  // min/max skip indexes prune on either predicate. Pure bit
+  // arithmetic (shifts + masks) — exact in any engine. Here: 4-bit
+  // length bucket × 3-bit language code; the query reports per-z-range
+  // bounding boxes, i.e. exactly the file-skipping statistics a
+  // z-ordered write would produce. ----
+
+  private val ZBits = 4
+
+  /** Morton interleave of two ZBits-wide ints: a→even bits, b→odd. */
+  private def zInterleave(a: Column, b: Column): Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  private def sqlZInterleave(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1})"
+    }.mkString("(", " + ", ")")
+
+  private val LangCode =
+    "CASE lang WHEN 'en' THEN 0 WHEN 'fr' THEN 1 WHEN 'es' THEN 2 " +
+      "WHEN 'de' THEN 3 WHEN 'zh' THEN 4 ELSE 5 END"
+
+  def q63Zorder(spark: SparkSession, dir: String): DataFrame = {
+    val lenBucket = least(floor(col("n_chars") / 64).cast("int"), lit(15))
+    val langCode = when(col("lang") === "en", 0).when(col("lang") === "fr", 1)
+      .when(col("lang") === "es", 2).when(col("lang") === "de", 3)
+      .when(col("lang") === "zh", 4).otherwise(5)
+    docs(spark, dir)
+      .select(col("doc_id"), lenBucket.as("len_b"), langCode.as("lang_c"))
+      .withColumn("z", zInterleave(col("len_b"), col("lang_c")).cast("long"))
+      // z-ranges of 16 codes each = the "file" granularity
+      .withColumn("zrange", (col("z") / 16).cast("long"))
+      .groupBy(col("zrange"))
+      .agg(count(lit(1)).as("docs"),
+        min(col("len_b")).cast("long").as("min_len_b"),
+        max(col("len_b")).cast("long").as("max_len_b"),
+        min(col("lang_c")).cast("long").as("min_lang_c"),
+        max(col("lang_c")).cast("long").as("max_lang_c"))
+      .orderBy(col("zrange"))
+  }
+
+  val q63Sql: String =
+    s"""SELECT zrange, count(*) AS docs,
+       |  CAST(min(len_b) AS BIGINT) AS min_len_b,
+       |  CAST(max(len_b) AS BIGINT) AS max_len_b,
+       |  CAST(min(lang_c) AS BIGINT) AS min_lang_c,
+       |  CAST(max(lang_c) AS BIGINT) AS max_lang_c
+       |FROM (
+       |  SELECT CAST(${sqlZInterleave("len_b", "lang_c")} // 16 AS BIGINT) AS zrange,
+       |    len_b, lang_c
+       |  FROM (SELECT least(CAST(floor(n_chars / 64) AS INT), 15) AS len_b,
+       |          $LangCode AS lang_c
+       |        FROM documents))
+       |GROUP BY zrange
+       |ORDER BY zrange""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_contamination" -> (q55Contamination _),
     "q56_split_assign" -> (q56SplitAssign _),
@@ -309,7 +371,8 @@ object CurationQueries {
     "q59_frame_sample" -> (q59FrameSample _),
     "q60_resize" -> (q60Resize _),
     "q61_curate_pipeline" -> (q61CuratePipeline _),
-    "q62_repetition" -> (q62Repetition _))
+    "q62_repetition" -> (q62Repetition _),
+    "q63_zorder" -> (q63Zorder _))
 
   def oracles: Map[String, String] = Map(
     "q55_contamination" -> q55Sql,
@@ -319,5 +382,6 @@ object CurationQueries {
     "q59_frame_sample" -> q59Sql,
     "q60_resize" -> q60Sql,
     "q61_curate_pipeline" -> q61Sql,
-    "q62_repetition" -> q62Sql)
+    "q62_repetition" -> q62Sql,
+    "q63_zorder" -> q63Sql)
 }

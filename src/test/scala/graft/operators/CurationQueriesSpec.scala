@@ -101,6 +101,19 @@ class CurationQueriesSpec extends SparkSpec {
         =!= col("dup_frac")).isEmpty)
   }
 
+  test("q63 z-ranges are tight in BOTH dimensions (the point of z-ordering)") {
+    val rows = CurationQueries.q63Zorder(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // an aligned 16-code Morton block covers exactly a 4×4 tile of
+    // (len_bucket, lang_code) space, so each range's bounding box can
+    // spread at most 3 in EACH dimension — a single-dimension sort
+    // cannot bound the other dimension at all
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_len_b") - r.getAs[Long]("min_len_b") <= 3)
+      assert(r.getAs[Long]("max_lang_c") - r.getAs[Long]("min_lang_c") <= 3)
+    }
+  }
+
   test("q59 frame positions tile the payload at the stride") {
     val df = CurationQueries.q59FrameSample(spark, dir).cache()
     assert(df.count() > 0)
