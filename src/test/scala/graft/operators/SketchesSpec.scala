@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch: one-sided error guarantee checked against exact
+  * trigram counts on the corpus. */
+class SketchesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CMS estimates dominate exact counts and stay within eps * total") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val cms = Sketches.readSketch(Sketches.trigramSketch(docs))
+    val exact = docs
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(explode(TF.shinglesFromTokens(col("toks"), 3)).as("g"))
+      .groupBy(col("g")).count()
+      .orderBy(col("count").desc, col("g"))
+      .limit(50)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(exact.nonEmpty)
+    val total = cms.totalCount()
+    exact.foreach { case (term, n) =>
+      val est = cms.estimateCount(term)
+      assert(est >= n, s"CMS must never under-count: $term est=$est exact=$n")
+      assert(est <= n + (Sketches.Eps * total).toLong,
+        s"over-estimate beyond eps*N: $term est=$est exact=$n total=$total")
+    }
+  }
+
+  test("sketch is deterministic and mergeable across partitionings") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val a = Sketches.readSketch(Sketches.trigramSketch(docs))
+    val b = Sketches.readSketch(Sketches.trigramSketch(docs.repartition(7)))
+    // same seed + same data => identical counters regardless of how
+    // partial sketches were folded and merged
+    assert(a.totalCount() == b.totalCount())
+    val probe = docs
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(explode(TF.shinglesFromTokens(col("toks"), 3)).as("g"))
+      .limit(100).collect().map(_.getString(0))
+    probe.foreach { t =>
+      assert(a.estimateCount(t) == b.estimateCount(t))
+    }
+  }
+}
