@@ -34,4 +34,19 @@ object Sketches {
     * sketch (the serving-side read path). */
   def readSketch(sketchRow: DataFrame): CountMinSketch =
     CountMinSketch.readFrom(sketchRow.head().getAs[Array[Byte]]("cms"))
+
+  /** Bloom filter over a string column (distributed build via
+    * df.stat — partials merge like any algebraic aggregate). */
+  def bloomOf(df: DataFrame, colName: String,
+      expectedItems: Long, fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    df.stat.bloomFilter(colName, expectedItems, fpp)
+
+  /** Probe column: true iff the value MIGHT be in the filter (never a
+    * false negative). Runs inside whole-stage codegen with the bitset
+    * as a plan reference object — see plans.BloomMightContain. */
+  def mightContain(c: org.apache.spark.sql.Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.BloomMightContain(
+        org.apache.spark.sql.GraftColumnBridge.expression(c), bloom))
 }

@@ -30,6 +30,26 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("bloom probe: zero false negatives, bounded false positives, codegen'd") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+    // "eval set" = 20% of fingerprints; filter the rest through the bloom
+    val evalSet = docs.filter(col("doc_id") % 5 === 0)
+    val bloom = Sketches.bloomOf(evalSet, "fp", expectedItems = 1000, fpp = 0.01)
+    // no false negatives: every eval fingerprint must probe true
+    assert(evalSet.filter(!Sketches.mightContain(col("fp"), bloom)).isEmpty)
+    // bounded false positives on definite non-members (distinct keys)
+    val nonMembers = docs.filter(col("doc_id") % 5 =!= 0)
+      .join(evalSet.select(col("fp")), Seq("fp"), "left_anti")
+    val n = nonMembers.count()
+    val falsePos = nonMembers.filter(Sketches.mightContain(col("fp"), bloom)).count()
+    assert(n > 0 && falsePos.toDouble / n <= 0.05)
+    // the probe runs inside a WholeStageCodegen span
+    val plan = docs.filter(Sketches.mightContain(col("fp"), bloom))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain") && plan.contains("*("))
+  }
+
   test("sketch is deterministic and mergeable across partitionings") {
     val docs = graft.Tables.load(spark, dir, "documents")
     val a = Sketches.readSketch(Sketches.trigramSketch(docs))
