@@ -15,7 +15,8 @@ object PlanAudit {
         "q5_topk", "q13_gmv", "q27_cosine_topk", "q25_minhash_lsh",
         "q35_levenshtein", "q39_hash_sample", "q41_centroids",
         "q46_range_join", "q49_tfidf",
-        "q55_contamination", "q57_embed_quantize", "q58_shuffle_shard")
+        "q55_contamination", "q57_embed_quantize", "q58_shuffle_shard",
+        "q61_curate_pipeline", "q62_repetition", "q63_zorder")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
