@@ -16,7 +16,9 @@ object PlanAudit {
         "q35_levenshtein", "q39_hash_sample", "q41_centroids",
         "q46_range_join", "q49_tfidf",
         "q55_contamination", "q57_embed_quantize", "q58_shuffle_shard",
-        "q61_curate_pipeline", "q62_repetition", "q63_zorder")
+        "q61_curate_pipeline", "q62_repetition", "q63_zorder",
+        "q64_boilerplate", "q65_merge_upsert", "q66_scd2",
+        "q67_heavy_hitters", "q68_pq_adc", "q69_profile")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -24,7 +24,8 @@ object SparkEntry {
       EventAnalyticsQueries.entries ++
       ExtensionQueries.entries ++
       PipelineQueries.entries ++
-      CurationQueries.entries
+      CurationQueries.entries ++
+      LakehouseQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       EventAnalyticsQueries.oracles ++
       ExtensionQueries.oracles ++
       PipelineQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      LakehouseQueries.oracles
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass data profiling — the QC step a pipeline runs before
+  * trusting a new drop of data: per column, non-null/null counts,
+  * exact distinct cardinality, and min/max (numeric, timestamp, and
+  * lexicographic string forms kept in separate typed columns so the
+  * output schema is stable).
+  *
+  * 100 TB notes: ONE aggregation job for all columns — the naive
+  * per-column loop scans the table N times. The exact countDistincts
+  * plan through Catalyst's Expand (one scan, ×cols shuffle mass);
+  * at extreme scale swap `exactDistinct = false` to HLL
+  * (approx_count_distinct) and the whole profile becomes a plain
+  * one-pass algebraic aggregate.
+  */
+object Profiler {
+
+  sealed trait Kind
+  case object KNum extends Kind
+  case object KStr extends Kind
+  case object KTs extends Kind
+
+  final case class ColSpec(name: String, kind: Kind)
+
+  def profile(df: DataFrame, cols: Seq[ColSpec],
+      exactDistinct: Boolean = true): DataFrame = {
+    val aggs: Seq[Column] = cols.flatMap { cs =>
+      val c = col(cs.name)
+      // numeric view of the column for min/max: timestamps → epoch
+      // seconds (cross-engine stable), strings → null
+      val numView: Column = cs.kind match {
+        case KNum => c.cast("double")
+        case KTs => unix_timestamp(c).cast("double")
+        case KStr => lit(null).cast("double")
+      }
+      val strView: Column = cs.kind match {
+        case KStr => c
+        case _ => lit(null).cast("string")
+      }
+      val dist =
+        if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
+      Seq(
+        count(c).as(s"${cs.name}__n"),
+        count(when(c.isNull, 1)).as(s"${cs.name}__nulls"),
+        dist.as(s"${cs.name}__distinct"),
+        min(numView).as(s"${cs.name}__min_num"),
+        max(numView).as(s"${cs.name}__max_num"),
+        min(strView).as(s"${cs.name}__min_str"),
+        max(strView).as(s"${cs.name}__max_str"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single stats row to one output row per column —
+    // driver-side cheap (the input is one row)
+    cols.map { cs =>
+      row.select(
+        lit(cs.name).as("col_name"),
+        col(s"${cs.name}__n").as("n"),
+        col(s"${cs.name}__nulls").as("nulls"),
+        col(s"${cs.name}__distinct").as("n_distinct"),
+        col(s"${cs.name}__min_num").as("min_num"),
+        col(s"${cs.name}__max_num").as("max_num"),
+        col(s"${cs.name}__min_str").as("min_str"),
+        col(s"${cs.name}__max_str").as("max_str"))
+    }.reduce(_.unionByName(_))
+  }
+}

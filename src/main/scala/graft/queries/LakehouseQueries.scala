@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{HeavyHitters, Merge, Num, ProductQuantizer, Profiler}
+
+/** Round-5 continuation: lakehouse-maintenance and corpus-hygiene
+  * operators — cross-document boilerplate detection, MERGE INTO
+  * (upsert), SCD2 history construction, sketch-guided exact top-k,
+  * product-quantized ANN, and single-pass data profiling.
+  *
+  * Scale notes (100 TB): boilerplate is two shuffles keyed by
+  * (source, span) — the same keying both times, so Catalyst reuses the
+  * partitioning; MERGE is one anti-join with the CDC batch broadcast;
+  * SCD2 is two windows over one (key, ts) sort; heavy-hitters ships
+  * fixed-size sketch partials instead of shuffling every distinct
+  * term; PQ scans a 32×-compressed code table and only re-ranks
+  * candidates against full vectors; the profiler reads the table
+  * exactly once for every column's stats.
+  */
+object LakehouseQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  // ---- q64: cross-document boilerplate detection (the C4/CCNet
+  // template-removal rule, span form — this corpus has no line
+  // structure, so the unit is a word 5-gram): a span is boilerplate
+  // when it appears in ≥2 documents of the same source; report each
+  // document's boilerplate-span fraction. ----
+
+  private val BoilerN = 5
+  private val BoilerMinDf = 2
+
+  def q64Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val t = docs(spark, dir)
+      .select(col("doc_id"), col("source"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TF.shinglesFromTokens(col("toks"), BoilerN))).as("g"))
+    // spans are per-doc distinct, so count(*) = document frequency
+    val byDf = t.groupBy(col("source"), col("g")).agg(count(lit(1)).as("df"))
+    t.join(byDf, Seq("source", "g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("spans"),
+        sum(when(col("df") >= BoilerMinDf, 1L).otherwise(0L)).as("bp_spans"))
+      .withColumn("bp_frac",
+        Num.r4(col("bp_spans").cast("double") / col("spans")))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_distinct(${TF.sqlShingles("text", BoilerN)})) AS g
+       |  FROM documents),
+       |c AS (SELECT source, g, count(*) AS df FROM t GROUP BY source, g)
+       |SELECT t.doc_id, count(*) AS spans,
+       |  CAST(sum(CASE WHEN c.df >= $BoilerMinDf THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS bp_spans,
+       |  ${Num.sqlR4(s"sum(CASE WHEN c.df >= $BoilerMinDf THEN 1 ELSE 0 END)::DOUBLE / count(*)")}
+       |    AS bp_frac
+       |FROM t JOIN c ON t.source = c.source AND t.g = c.g
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q65: MERGE INTO (upsert) — a CDC batch of updates (10% of
+  // orders repriced, status 'U') and inserts (new keys offset past the
+  // key space, status 'N') merged into the orders snapshot; verified
+  // via the per-status aggregate of the merged table. ----
+
+  def q65MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val updates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", Num.r2(col("o_totalprice") * 1.1))
+    val inserts = orders.filter(col("o_orderkey") % 1000 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L))
+      .withColumn("o_orderstatus", lit("N"))
+    val merged = Merge.upsert(orders, updates.unionByName(inserts), Seq("o_orderkey"))
+    merged.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("orders"),
+        Num.r2(sum(col("o_totalprice"))).as("revenue"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q65Sql: String =
+    s"""WITH upd AS (
+       |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+       |    ${Num.sqlR2("o_totalprice * 1.1")} AS o_totalprice,
+       |    o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 10 = 0),
+       |ins AS (
+       |  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+       |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 1000 = 0),
+       |ch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+       |merged AS (
+       |  SELECT * FROM orders o
+       |  WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = o.o_orderkey)
+       |  UNION ALL SELECT * FROM ch)
+       |SELECT o_orderstatus, count(*) AS orders,
+       |  ${Num.sqlR2("sum(o_totalprice)")} AS revenue,
+       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+       |FROM merged GROUP BY o_orderstatus
+       |ORDER BY o_orderstatus""".stripMargin
+
+  // ---- q66: SCD Type-2 history — per user, consecutive equal event
+  // types collapse into one versioned state row with its validity
+  // interval ([effective_from, effective_to), open-ended for the
+  // current state). ----
+
+  def q66Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables.load(spark, dir, "events").filter(col("user_id") % 25 === 0)
+    Merge.scd2(log, "user_id", "event_type", "ts", "event_id")
+      .select(col("user_id"), col("version"), col("state"),
+        unix_timestamp(col("effective_from")).as("eff_from"),
+        unix_timestamp(col("effective_to")).as("eff_to"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  val q66Sql: String =
+    """WITH f AS (SELECT * FROM events WHERE user_id % 25 = 0),
+      |c AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_state
+      |  FROM f),
+      |ch AS (SELECT * FROM c WHERE prev_state IS DISTINCT FROM event_type)
+      |SELECT user_id,
+      |  CAST(row_number() OVER w AS BIGINT) AS version,
+      |  event_type AS state,
+      |  CAST(floor(epoch(ts)) AS BIGINT) AS eff_from,
+      |  CAST(floor(epoch(lead(ts) OVER w)) AS BIGINT) AS eff_to
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, version""".stripMargin
+
+  // ---- q67: sketch-guided exact top-k terms — pass 1 builds a
+  // Misra–Gries summary (fixed-size partials, no keyed shuffle),
+  // pass 2 recounts ONLY the sketch's candidates exactly. Exact
+  // whenever the true top-k clear the N/(cap+1) bound — cap 256 ≫ the
+  // corpus vocabulary here; the bound itself is property-tested in
+  // HeavyHittersSpec. ----
+
+  private val TopTerms = 20
+  private val MgCap = 256
+
+  def q67HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+    HeavyHitters.exactTopK(toks, col("tok"), TopTerms, MgCap)
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
+  val q67Sql: String =
+    s"""SELECT tok AS item, count(*) AS cnt
+       |FROM (SELECT unnest(${TF.sqlTokens("text")}) AS tok FROM documents)
+       |GROUP BY tok
+       |ORDER BY cnt DESC, item
+       |LIMIT $TopTerms""".stripMargin
+
+  // ---- q68: product-quantized ANN (rows-only; recall +
+  // reconstruction-error bounds in ProductQuantizerSpec): the corpus
+  // is scanned as an (id, 8-code) table — 32× smaller than the float
+  // vectors — candidates ranked by ADC table lookup, then re-ranked
+  // exactly against full vectors. Same (query, k) contract as
+  // q27/q29/q29b for cross-checking. ----
+
+  private val PqM = 8
+  private val PqK = 16
+  private val TopK = 5
+  private val QueryMod = 50
+
+  def q68PqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val cb = ProductQuantizer.train(e, PqM, PqK)
+    ProductQuantizer.adcTopK(e, cb, col("vec_id") % QueryMod === 0, TopK, candN = 64)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- q69: single-pass column profiling of the orders snapshot —
+  // one aggregation job computes every column's null/distinct/min/max
+  // stats (numeric, epoch, and lexicographic views in typed columns). ----
+
+  import graft.operators.Profiler.{ColSpec, KNum, KStr, KTs}
+
+  private val OrdersProfile = Seq(
+    ColSpec("o_orderkey", KNum), ColSpec("o_custkey", KNum),
+    ColSpec("o_orderstatus", KStr), ColSpec("o_totalprice", KNum),
+    ColSpec("o_orderdate", KTs), ColSpec("o_orderpriority", KStr))
+
+  def q69Profile(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.load(spark, dir, "orders"), OrdersProfile)
+      .orderBy(col("col_name"))
+
+  val q69Sql: String = {
+    def one(c: ColSpec): String = {
+      val (minNum, maxNum) = c.kind match {
+        case KNum => (s"min(${c.name})::DOUBLE", s"max(${c.name})::DOUBLE")
+        case KTs => (s"floor(epoch(min(${c.name})))::DOUBLE",
+          s"floor(epoch(max(${c.name})))::DOUBLE")
+        case KStr => ("NULL::DOUBLE", "NULL::DOUBLE")
+      }
+      val (minStr, maxStr) = c.kind match {
+        case KStr => (s"min(${c.name})", s"max(${c.name})")
+        case _ => ("NULL::VARCHAR", "NULL::VARCHAR")
+      }
+      s"""SELECT '${c.name}' AS col_name, count(${c.name}) AS n,
+         |  count(*) - count(${c.name}) AS nulls,
+         |  count(DISTINCT ${c.name}) AS n_distinct,
+         |  $minNum AS min_num, $maxNum AS max_num,
+         |  $minStr AS min_str, $maxStr AS max_str
+         |FROM orders""".stripMargin
+    }
+    OrdersProfile.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_boilerplate" -> (q64Boilerplate _),
+    "q65_merge_upsert" -> (q65MergeUpsert _),
+    "q66_scd2" -> (q66Scd2 _),
+    "q67_heavy_hitters" -> (q67HeavyHitters _),
+    "q68_pq_adc" -> (q68PqAdc _),
+    "q69_profile" -> (q69Profile _))
+
+  def oracles: Map[String, String] = Map(
+    "q64_boilerplate" -> q64Sql,
+    "q65_merge_upsert" -> q65Sql,
+    "q66_scd2" -> q66Sql,
+    "q67_heavy_hitters" -> q67Sql,
+    "q69_profile" -> q69Sql)
+}

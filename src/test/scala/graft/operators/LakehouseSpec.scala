@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Merge (upsert + SCD2), HeavyHitters (Misra–Gries), Profiler. */
+class LakehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Merge.upsert ----
+
+  test("upsert: matched rows update, unmatched keep, new keys insert") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "v", "x")
+    val changes = Seq((2L, "B", 99.0), (9L, "z", 1.0)).toDF("k", "v", "x")
+    val got = Merge.upsert(base, changes, Seq("k"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "a", 10.0), (2L, "B", 99.0),
+      (3L, "c", 30.0), (9L, "z", 1.0)))
+  }
+
+  test("upsert: shuffle-join path (broadcastChanges=false) is identical") {
+    val base = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val changes = (0L until 100L by 3).map(i => (i, s"u$i")).toDF("k", "v")
+    val a = Merge.upsert(base, changes, Seq("k")).as[(Long, String)].collect().toSet
+    val b = Merge.upsert(base, changes, Seq("k"), broadcastChanges = false)
+      .as[(Long, String)].collect().toSet
+    assert(a == b && a.size == 100)
+  }
+
+  // ---- Merge.scd2 ----
+
+  test("scd2: consecutive repeats collapse; intervals chain; last is open") {
+    val log = Seq(
+      ("u1", "x", 10L, 1L), ("u1", "x", 20L, 2L), ("u1", "y", 30L, 3L),
+      ("u1", "y", 40L, 4L), ("u1", "x", 50L, 5L),
+      ("u2", "a", 15L, 6L))
+      .toDF("k", "state", "ts", "id")
+    val got = Merge.scd2(log, "k", "state", "ts", "id")
+      .select("k", "version", "state", "effective_from", "effective_to")
+      .as[(String, Long, String, Long, Option[Long])].collect().toSet
+    assert(got == Set(
+      ("u1", 1L, "x", 10L, Some(30L)),
+      ("u1", 2L, "y", 30L, Some(50L)),
+      ("u1", 3L, "x", 50L, None),
+      ("u2", 1L, "a", 15L, None)))
+  }
+
+  test("scd2Current returns exactly the open version per key") {
+    val log = Seq(("u1", "x", 1L, 1L), ("u1", "y", 2L, 2L),
+      ("u2", "a", 1L, 3L)).toDF("k", "state", "ts", "id")
+    val cur = Merge.scd2Current(Merge.scd2(log, "k", "state", "ts", "id"), "k")
+      .select("k", "state").as[(String, String)].collect().toSet
+    assert(cur == Set(("u1", "y"), ("u2", "a")))
+  }
+
+  // ---- HeavyHitters ----
+
+  /** Zipf-ish corpus: item i (1 ≤ i ≤ 50) appears 1000/i times, plus
+    * 500 singleton items. */
+  private def zipfDf = {
+    val rows = (1 to 50).flatMap(i => Seq.fill(1000 / i)(f"w$i%03d")) ++
+      (0 until 500).map(i => f"rare$i%03d")
+    rows.toDF("item")
+  }
+
+  test("Misra–Gries bound: f − N/(cap+1) ≤ estimate ≤ f; heavy items present") {
+    val cap = 20
+    val df = zipfDf.repartition(7)
+    val n = df.count()
+    val exact = df.groupBy("item").count()
+      .as[(String, Long)].collect().toMap
+    val mg = df.agg(HeavyHitters.sketch(col("item"), cap).as("mg"))
+      .head().getMap[String, Long](0)
+    val slack = n / (cap + 1)
+    assert(mg.size <= cap)
+    mg.foreach { case (k, est) =>
+      val f = exact(k)
+      assert(est <= f && est >= f - slack, s"$k: est=$est f=$f slack=$slack")
+    }
+    exact.filter(_._2 > slack).keys.foreach { k =>
+      assert(mg.contains(k), s"heavy item $k (f=${exact(k)}) missing")
+    }
+  }
+
+  test("two-pass exactTopK equals the direct exact top-k, any partitioning") {
+    // cap 200 ⇒ slack N/201 ≈ 25 < f(top-10) = 100 ⇒ exactness guaranteed
+    val df = zipfDf
+    val expected = df.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    for (parts <- Seq(1, 7)) {
+      val got = HeavyHitters.exactTopK(df.repartition(parts), col("item"), 10, 200)
+        .as[(String, Long)].collect().toSeq
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  // ---- Profiler ----
+
+  test("profile: nulls, distincts, typed min/max per column kind") {
+    import graft.operators.Profiler._
+    val df = Seq(
+      (Some(1L), Some("b"), Some("2024-01-01 00:00:10")),
+      (Some(3L), None, Some("2024-01-02 00:00:10")),
+      (None, Some("a"), None),
+      (Some(3L), Some("a"), Some("2024-01-02 00:00:10")))
+      .toDF("num", "str", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val got = profile(df, Seq(ColSpec("num", KNum), ColSpec("str", KStr),
+      ColSpec("ts", KTs)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val num = got("num")
+    assert(num.getLong(1) == 3 && num.getLong(2) == 1 && num.getLong(3) == 2)
+    assert(num.getDouble(4) == 1.0 && num.getDouble(5) == 3.0)
+    assert(num.isNullAt(6) && num.isNullAt(7))
+    val str = got("str")
+    assert(str.getLong(1) == 3 && str.getLong(2) == 1 && str.getLong(3) == 2)
+    assert(str.isNullAt(4) && str.getString(6) == "a" && str.getString(7) == "b")
+    val ts = got("ts")
+    assert(ts.getLong(1) == 3 && ts.getLong(2) == 1 && ts.getLong(3) == 2)
+    // epoch seconds, UTC session timezone
+    assert(ts.getDouble(4) == 1704067210.0 && ts.getDouble(5) == 1704153610.0)
+  }
+}
