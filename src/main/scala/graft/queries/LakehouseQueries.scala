@@ -41,12 +41,21 @@ object LakehouseQueries {
       .select(col("doc_id"), col("source"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(TF.shinglesFromTokens(col("toks"), BoilerN))).as("g"))
+    // Only the span-frequency table needs the (source, g) shuffle;
+    // the per-doc scoring is a LEFT join against just the BOILERPLATE
+    // spans — a tiny set (35 of 25k at sf0.01: only spans shared
+    // across docs of a source) — broadcast, then one doc-keyed
+    // aggregation. Same broadcast-dictionary shape as q55; the
+    // all-spans self-join form measured 1.9 s vs 0.9 s at sf0.1.
     // spans are per-doc distinct, so count(*) = document frequency
-    val byDf = t.groupBy(col("source"), col("g")).agg(count(lit(1)).as("df"))
-    t.join(byDf, Seq("source", "g"))
+    val bp = t.groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+      .select(col("source"), col("g"), lit(1L).as("is_bp"))
+    t.join(broadcast(bp), Seq("source", "g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("spans"),
-        sum(when(col("df") >= BoilerMinDf, 1L).otherwise(0L)).as("bp_spans"))
+        sum(coalesce(col("is_bp"), lit(0L))).as("bp_spans"))
       .withColumn("bp_frac",
         Num.r4(col("bp_spans").cast("double") / col("spans")))
       .orderBy(col("doc_id"))
@@ -221,18 +230,64 @@ object LakehouseQueries {
     OrdersProfile.map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ---- q70: cohort retention — the classic product-analytics matrix:
+  // users grouped by first-active day, each later day's activity as a
+  // fraction of the cohort. Day buckets are integer epoch-day
+  // arithmetic (identical in any engine — no calendar functions on the
+  // hash path). Two shuffles: per-user first-day, then the
+  // (cohort, offset) rollup; the cohort-size denominator rides the
+  // same partitioning as a window over the rollup (no extra join). ----
+
+  def q70Cohort(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val matrix = ev.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val w = Window.partitionBy(col("cohort_day"))
+    matrix
+      .withColumn("cohort_size",
+        max(when(col("day_offset") === 0, col("active_users"))).over(w))
+      .withColumn("retention",
+        Num.r4(col("active_users").cast("double") / col("cohort_size")))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  val q70Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, floor(epoch(ts))::BIGINT // 86400 AS day FROM events),
+       |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+       |a AS (
+       |  SELECT cohort_day, day - cohort_day AS day_offset,
+       |    count(DISTINCT e.user_id) AS active_users
+       |  FROM e JOIN f ON e.user_id = f.user_id
+       |  GROUP BY cohort_day, day - cohort_day),
+       |s AS (
+       |  SELECT cohort_day, day_offset, active_users,
+       |    max(CASE WHEN day_offset = 0 THEN active_users END)
+       |      OVER (PARTITION BY cohort_day) AS cohort_size
+       |  FROM a)
+       |SELECT cohort_day, day_offset, active_users, cohort_size,
+       |  ${Num.sqlR4("active_users::DOUBLE / cohort_size")} AS retention
+       |FROM s
+       |ORDER BY cohort_day, day_offset""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
     "q66_scd2" -> (q66Scd2 _),
     "q67_heavy_hitters" -> (q67HeavyHitters _),
     "q68_pq_adc" -> (q68PqAdc _),
-    "q69_profile" -> (q69Profile _))
+    "q69_profile" -> (q69Profile _),
+    "q70_cohort" -> (q70Cohort _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
     "q65_merge_upsert" -> q65Sql,
     "q66_scd2" -> q66Sql,
     "q67_heavy_hitters" -> q67Sql,
-    "q69_profile" -> q69Sql)
+    "q69_profile" -> q69Sql,
+    "q70_cohort" -> q70Sql)
 }
