@@ -52,10 +52,12 @@ object Profiler {
         max(strView).as(s"${cs.name}__max_str"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the single stats row to one output row per column —
-    // driver-side cheap (the input is one row)
-    cols.map { cs =>
-      row.select(
+    // Unpivot the single stats row via ONE explode-of-structs
+    // projection. (A union of per-column projections re-plans the
+    // whole aggregation once per branch — N scans of the table; the
+    // plan audit caught exactly that.)
+    val entries = array(cols.map { cs =>
+      struct(
         lit(cs.name).as("col_name"),
         col(s"${cs.name}__n").as("n"),
         col(s"${cs.name}__nulls").as("nulls"),
@@ -64,6 +66,7 @@ object Profiler {
         col(s"${cs.name}__max_num").as("max_num"),
         col(s"${cs.name}__min_str").as("min_str"),
         col(s"${cs.name}__max_str").as("max_str"))
-    }.reduce(_.unionByName(_))
+    }: _*)
+    row.select(explode(entries).as("s")).select(col("s.*"))
   }
 }
