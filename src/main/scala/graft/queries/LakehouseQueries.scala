@@ -274,6 +274,63 @@ object LakehouseQueries {
        |FROM s
        |ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---- q71: verbatim duplicated-substring spans — the "exact
+  // substring dedup" signal (suffix-array dedup à la Lee et al.,
+  // "Deduplicating Training Data...", re-expressed relationally):
+  // positions whose L-gram occurs in ≥2 documents are "duplicated";
+  // maximal runs of consecutive duplicated positions are the verbatim
+  // spans a dedup pass would cut. Gaps-and-islands over positions
+  // (island = pos − row_number), doc-keyed windows. The df≥2 filter
+  // doubles as the q24-style inverted-index prune: singleton shingles
+  // never join back. ----
+
+  private val SpanL = 8
+
+  def q71DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(TF.shinglesFromTokens(col("toks"), SpanL)).as(Seq("pos", "g")))
+    val dup = t.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"))
+    val marked = t.join(dup, Seq("g"), "left_semi")
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked
+      .withColumn("isl", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_spans"),
+        sum(col("p1") - col("p0") + SpanL).as("dup_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q71Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, j AS pos, gs[j + 1] AS g
+       |  FROM (SELECT doc_id, gs, unnest(range(0, len(gs))) AS j
+       |        FROM (SELECT doc_id, ${TF.sqlShingles("text", SpanL)} AS gs
+       |              FROM documents))),
+       |dup AS (
+       |  SELECT g FROM (
+       |    SELECT g, count(DISTINCT doc_id) AS df FROM t GROUP BY g)
+       |  WHERE df >= 2),
+       |d AS (SELECT doc_id, pos FROM t WHERE g IN (SELECT g FROM dup)),
+       |i AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, isl, min(pos) AS p0, max(pos) AS p1
+       |  FROM i GROUP BY doc_id, isl)
+       |SELECT doc_id, count(*) AS dup_spans,
+       |  CAST(sum(p1 - p0 + $SpanL) AS BIGINT) AS dup_tokens
+       |FROM s GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -281,7 +338,8 @@ object LakehouseQueries {
     "q67_heavy_hitters" -> (q67HeavyHitters _),
     "q68_pq_adc" -> (q68PqAdc _),
     "q69_profile" -> (q69Profile _),
-    "q70_cohort" -> (q70Cohort _))
+    "q70_cohort" -> (q70Cohort _),
+    "q71_dup_spans" -> (q71DupSpans _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -289,5 +347,6 @@ object LakehouseQueries {
     "q66_scd2" -> q66Sql,
     "q67_heavy_hitters" -> q67Sql,
     "q69_profile" -> q69Sql,
-    "q70_cohort" -> q70Sql)
+    "q70_cohort" -> q70Sql,
+    "q71_dup_spans" -> q71Sql)
 }

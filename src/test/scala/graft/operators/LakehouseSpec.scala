@@ -96,6 +96,32 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  // ---- q71 duplicated-substring spans ----
+
+  test("q71: span boundaries, multiplicity, and full-copy coverage are exact") {
+    // synthetic corpus with known duplicated-substring structure
+    def toks(prefix: String, n: Int) = (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val a20 = toks("a", 20)
+    val a8 = toks("a", 8)
+    val docs = Seq(
+      (1L, a20), // verbatim copy of 2 → one full-document span
+      (2L, a20),
+      (3L, s"${toks("b", 10)} $a8 ${toks("c", 10)}"), // one interior 8-token run
+      (4L, toks("d", 30)), // no duplicated 8-gram → absent
+      (5L, s"$a8 ${toks("e", 5)} $a8")) // two separated runs → two islands
+      .map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("q71spec").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LakehouseQueries.q71DupSpans(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 20L), // every 8-gram shared → island covers all tokens
+      (2L, 1L, 20L),
+      (3L, 1L, 8L), // only the a1..a8 window; boundary 8-grams unique
+      (5L, 2L, 16L))) // two islands of 8 tokens each
+  }
+
   // ---- Profiler ----
 
   test("profile: nulls, distincts, typed min/max per column kind") {
