@@ -32,8 +32,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           classOf[VecDot].getName, "vec_dot"),
         (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
           VecDot(es.head, es(1))))
+    // cross-engine 60/32-bit hashing (fingerprints, splits, sampling)
+    // and the streaming chunk generator, for pure-SQL pipelines:
+    //   SELECT md5_prefix_hash(doc_id::STRING, 15) % 100 ...
+    //   SELECT ... FROM docs LATERAL VIEW token_windows(toks, 40, 30) w
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("md5_prefix_hash"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[Md5PrefixHash].getName, "md5_prefix_hash"),
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          Md5PrefixHash(es.head, foldedInt(es(1), "md5_prefix_hash(_, hexChars)"))))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("token_windows"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[TokenWindows].getName, "token_windows"),
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          TokenWindows(es.head,
+            foldedInt(es(1), "token_windows(_, size, _)"),
+            foldedInt(es(2), "token_windows(_, _, stride)"))))
     ext.injectOptimizerRule(_ => SimplifySelfCosine)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+
+  /** Extract a literal int argument at function-resolution time —
+    * these expressions take compile-time parameters, not columns. */
+  private def foldedInt(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      where: String): Int = {
+    require(e.foldable, s"$where must be a literal integer")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$where must be a literal integer, got $other")
+    }
   }
 }
 

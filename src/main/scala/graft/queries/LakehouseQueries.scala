@@ -331,6 +331,41 @@ object LakehouseQueries {
        |FROM s GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q72: bottom-k uniform sampling — the EXACT-size counterpart
+  // of the hash-threshold samplers (q39 expected-size, q51 stratified):
+  // per group, the k items with the smallest independent content hash
+  // form a uniform without-replacement sample of exactly k, with no
+  // coordination and no scan of group sizes. The hash is the "random
+  // tape", so the sample reproduces on any cluster layout; the
+  // bounded TopKByScore aggregation prunes to k on the map side, so
+  // the shuffle carries ≤ k rows per group per task (vs the window
+  // form, which sorts every row of the group). hash32, not hash60:
+  // the score rides a double and 2^60 exceeds its 53-bit mantissa. ----
+
+  private val SampleK = 3
+
+  def q72BottomkSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        TF.hash32(concat(col("doc_id").cast("string"), lit("#smp"))).as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.operators.Sampling
+        .topKByScore(col("doc_id"), -col("h").cast("double"), SampleK).as("smp"))
+      .select(col("lang"), posexplode(col("smp")).as(Seq("pos", "s")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("doc_id"))
+      .orderBy(col("lang"), col("rank"))
+
+  val q72Sql: String =
+    s"""SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id
+       |FROM (
+       |  SELECT lang, doc_id,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${TF.sqlHash32("doc_id::VARCHAR || '#smp'")}, doc_id) AS rank
+       |  FROM documents)
+       |WHERE rank <= $SampleK
+       |ORDER BY lang, rank""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -339,7 +374,8 @@ object LakehouseQueries {
     "q68_pq_adc" -> (q68PqAdc _),
     "q69_profile" -> (q69Profile _),
     "q70_cohort" -> (q70Cohort _),
-    "q71_dup_spans" -> (q71DupSpans _))
+    "q71_dup_spans" -> (q71DupSpans _),
+    "q72_bottomk_sample" -> (q72BottomkSample _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -348,5 +384,6 @@ object LakehouseQueries {
     "q67_heavy_hitters" -> q67Sql,
     "q69_profile" -> q69Sql,
     "q70_cohort" -> q70Sql,
-    "q71_dup_spans" -> q71Sql)
+    "q71_dup_spans" -> q71Sql,
+    "q72_bottomk_sample" -> q72Sql)
 }

@@ -37,6 +37,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("md5_prefix_hash / token_windows usable from SQL via extensions") {
+    // hash matches the hex-cast twin the DuckDB oracle uses
+    val h = spark.sql(
+      "SELECT md5_prefix_hash('abc', 15) AS h, " +
+        "conv(substring(md5('abc'), 1, 15), 16, 10) AS twin").collect().head
+    assert(h.getLong(0) == h.getString(1).toLong)
+    // generator: 5 tokens, size 3, stride 2 → starts 0, 2, 4
+    val w = spark.sql(
+      "SELECT ci, txt FROM (SELECT array('a','b','c','d','e') AS t) " +
+        "LATERAL VIEW token_windows(t, 3, 2) w AS ci, ct, txt ORDER BY ci")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(w.toSeq == Seq((0L, "a b c"), (1L, "c d e"), (2L, "e")))
+    // non-literal parameter is rejected at resolution, not at runtime
+    val err = intercept[Exception] {
+      spark.sql("SELECT md5_prefix_hash('abc', CAST(rand() * 4 AS INT))").collect()
+    }
+    assert(err.getMessage.contains("literal integer"))
+  }
+
   test("optimizer rule folds cosine(x, x) to 1.0") {
     import spark.implicits._
     val df = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v")
