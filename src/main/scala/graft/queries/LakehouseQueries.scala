@@ -288,10 +288,15 @@ object LakehouseQueries {
 
   def q71DupSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // localCheckpoint: the tokenize+explode pipeline feeds BOTH the
+    // dup-gram aggregation and the semi-join probe side — without the
+    // checkpoint each branch re-runs it (same double-evaluation
+    // ClusterDedup hit; measured ~25% of query time here).
     val t = docs(spark, dir)
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(TF.shinglesFromTokens(col("toks"), SpanL)).as(Seq("pos", "g")))
+      .localCheckpoint()
     val dup = t.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
