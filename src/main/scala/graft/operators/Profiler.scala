@@ -52,6 +52,10 @@ object Profiler {
         max(strView).as(s"${cs.name}__max_str"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
+    unpivot(row, cols)
+  }
+
+  private def unpivot(row: DataFrame, cols: Seq[ColSpec]): DataFrame = {
     // Unpivot the single stats row via ONE explode-of-structs
     // projection. (A union of per-column projections re-plans the
     // whole aggregation once per branch — N scans of the table; the
@@ -68,5 +72,23 @@ object Profiler {
         col(s"${cs.name}__max_str").as("max_str"))
     }: _*)
     row.select(explode(entries).as("s")).select(col("s.*"))
+  }
+
+  /** Fixed-width histogram of a numeric column, optionally per group:
+    * bucket = min(⌊x / width⌋, maxBucket) — explicit floor arithmetic,
+    * not width_bucket(), so the bucket edges are identical IEEE
+    * operations in any engine. One aggregation; empty buckets are
+    * absent (sparse form — at 100 TB a dense grid would be a driver
+    * materialization).
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double,
+      maxBucket: Int, groupCols: Seq[String] = Nil): DataFrame = {
+    val bucket = least(floor(col(valueCol) / width), lit(maxBucket))
+      .cast("long").as("bucket")
+    val keys = groupCols.map(col) :+ col("bucket")
+    df.select(groupCols.map(col) :+ bucket: _*)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(keys: _*)
   }
 }

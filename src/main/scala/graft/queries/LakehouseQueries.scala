@@ -371,6 +371,69 @@ object LakehouseQueries {
        |WHERE rank <= $SampleK
        |ORDER BY lang, rank""".stripMargin
 
+  // ---- q73: fixed-width histogram (distribution profiling, the
+  // binned complement of q69's min/max and q37's quantiles): order
+  // totals bucketed at 50k per status. Explicit floor arithmetic, not
+  // width_bucket() — identical IEEE ops in any engine. ----
+
+  private val HistWidth = 50000.0
+  private val HistMax = 9
+
+  def q73Histogram(spark: SparkSession, dir: String): DataFrame =
+    Profiler.histogram(Tables.load(spark, dir, "orders"),
+      "o_totalprice", HistWidth, HistMax, Seq("o_orderstatus"))
+
+  val q73Sql: String =
+    s"""SELECT o_orderstatus, bucket, count(*) AS cnt
+       |FROM (SELECT o_orderstatus,
+       |        CAST(least(floor(o_totalprice / $HistWidth), $HistMax) AS BIGINT)
+       |          AS bucket
+       |      FROM orders)
+       |GROUP BY o_orderstatus, bucket
+       |ORDER BY o_orderstatus, bucket""".stripMargin
+
+  // ---- q74: IQR outlier detection (Tukey fences — the standard
+  // data-quality rule): per order priority, flag orders above
+  // q3 + 1.5·IQR. Exact percentiles (q37 proved Spark percentile ≡
+  // DuckDB quantile_cont interpolation); the fence is the same double
+  // arithmetic in both engines, so the comparison is NOT rounded —
+  // rounding could itself flip a boundary row. Group stats broadcast
+  // back; one scan + one tiny join. ----
+
+  def q74IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val fences = orders.groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
+        expr("percentile(o_totalprice, 0.75)").as("q3"))
+      .withColumn("fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+    orders.join(broadcast(fences), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("orders"),
+        sum(when(col("o_totalprice") > col("fence"), 1L).otherwise(0L))
+          .as("outliers"),
+        Num.r2(first(col("fence"))).as("fence_r"))
+      .withColumn("outlier_frac",
+        Num.r4(col("outliers").cast("double") / col("orders")))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q74Sql: String =
+    s"""WITH f AS (
+       |  SELECT o_orderpriority,
+       |    quantile_cont(o_totalprice, 0.25) AS q1,
+       |    quantile_cont(o_totalprice, 0.75) AS q3
+       |  FROM orders GROUP BY o_orderpriority),
+       |ff AS (SELECT o_orderpriority, q3 + (q3 - q1) * 1.5 AS fence FROM f)
+       |SELECT o.o_orderpriority, count(*) AS orders,
+       |  CAST(sum(CASE WHEN o.o_totalprice > ff.fence THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS outliers,
+       |  ${Num.sqlR2("any_value(ff.fence)")} AS fence_r,
+       |  ${Num.sqlR4("sum(CASE WHEN o.o_totalprice > ff.fence THEN 1 ELSE 0 END)::DOUBLE / count(*)")}
+       |    AS outlier_frac
+       |FROM orders o JOIN ff ON o.o_orderpriority = ff.o_orderpriority
+       |GROUP BY o.o_orderpriority
+       |ORDER BY o.o_orderpriority""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -380,7 +443,9 @@ object LakehouseQueries {
     "q69_profile" -> (q69Profile _),
     "q70_cohort" -> (q70Cohort _),
     "q71_dup_spans" -> (q71DupSpans _),
-    "q72_bottomk_sample" -> (q72BottomkSample _))
+    "q72_bottomk_sample" -> (q72BottomkSample _),
+    "q73_histogram" -> (q73Histogram _),
+    "q74_iqr_outliers" -> (q74IqrOutliers _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -390,5 +455,7 @@ object LakehouseQueries {
     "q69_profile" -> q69Sql,
     "q70_cohort" -> q70Sql,
     "q71_dup_spans" -> q71Sql,
-    "q72_bottomk_sample" -> q72Sql)
+    "q72_bottomk_sample" -> q72Sql,
+    "q73_histogram" -> q73Sql,
+    "q74_iqr_outliers" -> q74Sql)
 }
