@@ -434,6 +434,51 @@ object LakehouseQueries {
        |GROUP BY o.o_orderpriority
        |ORDER BY o.o_orderpriority""".stripMargin
 
+  // ---- q75: time-series densification (gap filling) — resample a
+  // sparse per-hour event series onto the full hour grid with
+  // zero-filled buckets, then a rolling window over the DENSE series
+  // (rolling stats over a sparse series silently skip empty buckets —
+  // densify-first is the correct order). The grid is generated
+  // (sequence × distinct keys), never scanned: time-range × key
+  // cardinality, independent of fact volume. ----
+
+  def q75Densify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), expr("unix_timestamp(ts) div 3600").as("h"))
+    val counts = ev.groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .crossJoin(ev.select(col("event_type")).distinct())
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-2, Window.currentRow)
+    grid.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .withColumn("avg3h", Num.r2(avg(col("cnt")).over(w)))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val q75Sql: String =
+    s"""WITH e AS (
+       |  SELECT event_type, floor(epoch(ts))::BIGINT // 3600 AS h FROM events),
+       |c AS (SELECT event_type, h, count(*) AS cnt FROM e GROUP BY event_type, h),
+       |g AS (
+       |  SELECT t.event_type, gs.h
+       |  FROM (SELECT DISTINCT event_type FROM e) t
+       |  CROSS JOIN (
+       |    SELECT unnest(generate_series((SELECT min(h) FROM e),
+       |                                  (SELECT max(h) FROM e))) AS h) gs),
+       |d AS (
+       |  SELECT g.event_type, g.h, coalesce(c.cnt, 0) AS cnt
+       |  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h)
+       |SELECT event_type, h, cnt,
+       |  ${Num.sqlR2("avg(cnt) OVER (PARTITION BY event_type ORDER BY h ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")}
+       |    AS avg3h
+       |FROM d
+       |ORDER BY event_type, h""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -445,7 +490,8 @@ object LakehouseQueries {
     "q71_dup_spans" -> (q71DupSpans _),
     "q72_bottomk_sample" -> (q72BottomkSample _),
     "q73_histogram" -> (q73Histogram _),
-    "q74_iqr_outliers" -> (q74IqrOutliers _))
+    "q74_iqr_outliers" -> (q74IqrOutliers _),
+    "q75_densify" -> (q75Densify _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -457,5 +503,6 @@ object LakehouseQueries {
     "q71_dup_spans" -> q71Sql,
     "q72_bottomk_sample" -> q72Sql,
     "q73_histogram" -> q73Sql,
-    "q74_iqr_outliers" -> q74Sql)
+    "q74_iqr_outliers" -> q74Sql,
+    "q75_densify" -> q75Sql)
 }
