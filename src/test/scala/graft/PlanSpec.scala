@@ -87,4 +87,31 @@ class PlanSpec extends SparkSpec {
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$plan")
   }
+
+  test("q64 boilerplate: dictionary side broadcast, corpus side never reshuffled by span") {
+    val plan = formatted(graft.queries.LakehouseQueries.q64Boilerplate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("LeftOuter"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q65 merge upsert: anti-join against the broadcast CDC key set") {
+    val plan = formatted(graft.queries.LakehouseQueries.q65MergeUpsert(spark, sf))
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q66 scd2: both windows share one sort — a single exchange below them") {
+    val plan = formatted(graft.queries.LakehouseQueries.q66Scd2(spark, sf))
+    // two Window operators, but only the (key) exchange + final orderBy
+    assert("\\(\\d+\\) Window".r.findAllIn(plan).size == 2, plan)
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges\n$plan")
+    assert("\\(\\d+\\) Sort".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("q69 profile: one scan feeds every column's stats") {
+    val plan = formatted(graft.queries.LakehouseQueries.q69Profile(spark, sf))
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
 }

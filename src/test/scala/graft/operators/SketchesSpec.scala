@@ -50,6 +50,27 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("bloom_might_contain") && plan.contains("*("))
   }
 
+  test("incremental dedup: bloom prefilter + exact confirm ≡ full anti-join") {
+    import spark.implicits._
+    // the snapshot-maintenance pattern at 100 TB: probe the new batch
+    // against the HISTORY's bloom (O(bits) broadcast, no join for the
+    // definite-new rows); only the maybe-set pays the exact anti-join
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val bloom = Sketches.bloomOf(history, "fp", expectedItems = 1000, fpp = 0.03)
+    val definitelyNew = batch.filter(!Sketches.mightContain(col("fp"), bloom))
+    val confirmedNew = batch.filter(Sketches.mightContain(col("fp"), bloom))
+      .join(history.select("fp"), Seq("fp"), "left_anti")
+    val got = definitelyNew.select("doc_id")
+      .unionByName(confirmedNew.select("doc_id")).as[Long].collect().toSet
+    val expected = batch.join(history.select("fp"), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("sketch is deterministic and mergeable across partitionings") {
     val docs = graft.Tables.load(spark, dir, "documents")
     val a = Sketches.readSketch(Sketches.trigramSketch(docs))
