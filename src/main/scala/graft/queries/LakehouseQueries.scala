@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
@@ -479,6 +479,63 @@ object LakehouseQueries {
        |FROM d
        |ORDER BY event_type, h""".stripMargin
 
+  // ---- q76: semantic dedup, cluster-scoped (SemDeDup, Abbas et al.
+  // 2023): assign embeddings to coarse cells (deterministic centroids,
+  // same convention as Similarity.ivfTopK), then find near-duplicate
+  // pairs ONLY within a cell — the O(n²) pair scan becomes
+  // Σ O(|cell|²), and at scale the cell count grows with the corpus so
+  // cells stay bounded. The cell join shuffles by cell key only; the
+  // q28 all-pairs form is this query's correctness ceiling. ----
+
+  private val SemCells = 16
+  private val SemTau = 0.35
+
+  def q76SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorFunctions.vec_cosine
+    val emb = embs(spark, dir)
+    val centroids: Array[(Int, Array[Double])] = emb
+      .orderBy(col("vec_id")).limit(SemCells)
+      .select(col("embedding")).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    def cellArr(v: Column): Column = array(centroids.map { case (c, vec) =>
+      struct(Num.r4(vec_cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
+    }: _*)
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+      array_max(cellArr(col("embedding"))).getField("cell").as("cell"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cos", Num.r4(vec_cosine(col("a.v"), col("b.v"))))
+      .filter(col("cos") >= SemTau)
+      .select(col("a.cell").as("cell"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"), col("cos"))
+      .orderBy(col("cell"), col("id_a"), col("id_b"))
+  }
+
+  val q76Sql: String = {
+    val dot = "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))"
+    val norm = (t: String) => s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
+    val pairCos = Num.sqlR4(s"$dot / (${norm("a")} * ${norm("b")})")
+    val cDot = "list_sum(list_transform(list_zip(v.e, c.e), x -> x[1] * x[2]))"
+    val cCos = Num.sqlR4(s"$cDot / (${norm("v")} * ${norm("c")})")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |c AS (
+       |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, e
+       |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT $SemCells)),
+       |assigned AS (
+       |  SELECT v.vec_id, v.e, c.cell
+       |  FROM v CROSS JOIN c
+       |  QUALIFY row_number() OVER (PARTITION BY v.vec_id
+       |    ORDER BY $cCos DESC, c.cell DESC) = 1)
+       |SELECT a.cell AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  $pairCos AS cos
+       |FROM assigned a JOIN assigned b
+       |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |WHERE $pairCos >= $SemTau
+       |ORDER BY a.cell, id_a, id_b""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -491,7 +548,8 @@ object LakehouseQueries {
     "q72_bottomk_sample" -> (q72BottomkSample _),
     "q73_histogram" -> (q73Histogram _),
     "q74_iqr_outliers" -> (q74IqrOutliers _),
-    "q75_densify" -> (q75Densify _))
+    "q75_densify" -> (q75Densify _),
+    "q76_semdedup" -> (q76SemDedup _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -504,5 +562,6 @@ object LakehouseQueries {
     "q72_bottomk_sample" -> q72Sql,
     "q73_histogram" -> q73Sql,
     "q74_iqr_outliers" -> q74Sql,
-    "q75_densify" -> q75Sql)
+    "q75_densify" -> q75Sql,
+    "q76_semdedup" -> q76Sql)
 }

@@ -122,6 +122,20 @@ class LakehouseSpec extends SparkSpec {
       (5L, 2L, 16L))) // two islands of 8 tokens each
   }
 
+  // ---- q76 semantic dedup ----
+
+  test("q76: cluster-scoped pairs are a subset of the all-pairs scan") {
+    val dir = "/root/testdata/sf0.001"
+    val scoped = graft.queries.LakehouseQueries.q76SemDedup(spark, dir)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val all = Similarity.cosinePairs(
+      graft.Tables.load(spark, dir, "embeddings"), 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(scoped.nonEmpty && scoped.subsetOf(all))
+    // scoping must actually prune (otherwise it's the quadratic scan)
+    assert(scoped.size < all.size)
+  }
+
   // ---- Profiler ----
 
   test("profile: nulls, distincts, typed min/max per column kind") {
