@@ -536,6 +536,37 @@ object LakehouseQueries {
        |ORDER BY a.cell, id_a, id_b""".stripMargin
   }
 
+  // ---- q77: weighted sampling without replacement (Efraimidis–
+  // Spirakis A-ES): key = u^(1/w) with u uniform from the content-hash
+  // tape; the top-k keys are a weighted sample — here weight = doc
+  // length, the "sample long documents more" training-mix knob.
+  // Computed in log space (ln(u)/w, monotone in u^(1/w)) and snapped
+  // at 1e-8 (ln is libm — the q47 convention; 1e-4 would collide keys
+  // into tie-break order and silently unweight the sample). One
+  // narrow pass + a top-k — coordination-free like every sampler
+  // here. ----
+
+  private val WSampleK = 10
+
+  def q77WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val u = (TF.hash32(concat(col("doc_id").cast("string"), lit("#w"))) + 1)
+      .cast("double") / 4294967296.0d
+    docs(spark, dir)
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        Num.r(log(u) / col("n_chars"), 8).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(WSampleK)
+  }
+
+  val q77Sql: String =
+    s"""SELECT doc_id, lang, n_chars,
+       |  ${Num.sqlR(s"ln((${TF.sqlHash32("doc_id::VARCHAR || '#w'")} + 1) / 4294967296.0) / n_chars", 8)} AS k
+       |FROM documents
+       |WHERE n_chars > 0
+       |ORDER BY k DESC, doc_id
+       |LIMIT $WSampleK""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -549,7 +580,8 @@ object LakehouseQueries {
     "q73_histogram" -> (q73Histogram _),
     "q74_iqr_outliers" -> (q74IqrOutliers _),
     "q75_densify" -> (q75Densify _),
-    "q76_semdedup" -> (q76SemDedup _))
+    "q76_semdedup" -> (q76SemDedup _),
+    "q77_weighted_sample" -> (q77WeightedSample _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -563,5 +595,6 @@ object LakehouseQueries {
     "q73_histogram" -> q73Sql,
     "q74_iqr_outliers" -> q74Sql,
     "q75_densify" -> q75Sql,
-    "q76_semdedup" -> q76Sql)
+    "q76_semdedup" -> q76Sql,
+    "q77_weighted_sample" -> q77Sql)
 }
