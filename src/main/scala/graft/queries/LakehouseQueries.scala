@@ -567,6 +567,26 @@ object LakehouseQueries {
        |ORDER BY k DESC, doc_id
        |LIMIT $WSampleK""".stripMargin
 
+  // ---- q78: BPE pair statistics — the inner aggregation of tokenizer
+  // training (operators.Bpe learns merges by iterating exactly this):
+  // adjacent-pair corpus frequencies, ranked as the trainer ranks them
+  // (count desc, pair asc = the deterministic merge order). ----
+
+  def q78BpePairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.pairCounts(
+      docs(spark, dir).select(TF.tokens(col("text")).as("toks")))
+      .orderBy(col("cnt").desc, col("a"), col("b"))
+      .limit(20)
+
+  val q78Sql: String =
+    s"""SELECT toks[j] AS a, toks[j + 1] AS b, count(*) AS cnt
+       |FROM (SELECT toks, unnest(range(1, len(toks))) AS j
+       |      FROM (SELECT ${TF.sqlTokens("text")} AS toks FROM documents)
+       |      WHERE len(toks) >= 2)
+       |GROUP BY a, b
+       |ORDER BY cnt DESC, a, b
+       |LIMIT 20""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -581,7 +601,8 @@ object LakehouseQueries {
     "q74_iqr_outliers" -> (q74IqrOutliers _),
     "q75_densify" -> (q75Densify _),
     "q76_semdedup" -> (q76SemDedup _),
-    "q77_weighted_sample" -> (q77WeightedSample _))
+    "q77_weighted_sample" -> (q77WeightedSample _),
+    "q78_bpe_pairs" -> (q78BpePairs _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -596,5 +617,6 @@ object LakehouseQueries {
     "q74_iqr_outliers" -> q74Sql,
     "q75_densify" -> q75Sql,
     "q76_semdedup" -> q76Sql,
-    "q77_weighted_sample" -> q77Sql)
+    "q77_weighted_sample" -> q77Sql,
+    "q78_bpe_pairs" -> q78Sql)
 }
