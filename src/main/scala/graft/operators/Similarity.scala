@@ -94,21 +94,30 @@ object Similarity {
     * is a narrow map (centroids broadcast as literals), the probe a
     * cell-key join — no all-pairs anywhere.
     */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      broadcastQueries: Boolean = true): DataFrame = {
-    val centroids: Array[(Int, Array[Double])] = emb
-      .orderBy(col(idCol)).limit(nlist)
+  /** Deterministic IVF coarse centroids: the first `nlist` vectors by
+    * id (shared by ivfTopK and streaming.StreamAnn). */
+  private[graft] def ivfCentroids(emb: DataFrame, nlist: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Double])] =
+    emb.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()
       .zipWithIndex
       .map { case (r, i) =>
         (i, r.getSeq[Float](0).map(_.toDouble).toArray)
       }
-    // per-vector: array of (cos to centroid c, c) structs
-    def cellArr(v: Column): Column = array(centroids.map { case (c, vec) =>
+
+  /** Per-vector array of (cos to centroid c, c) structs — argmax/sort
+    * over it picks assignment/probe cells. */
+  private[graft] def ivfCellArr(centroids: Array[(Int, Array[Double])])(v: Column): Column =
+    array(centroids.map { case (c, vec) =>
       struct(Num.r4(cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
     }: _*)
+
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
+    val centroids = ivfCentroids(emb, nlist, idCol, vecCol)
+    def cellArr(v: Column): Column = ivfCellArr(centroids)(v)
     // index side needs only the argmax cell — array_max, no sort
     val indexed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       array_max(cellArr(col(vecCol))).getField("cell").as("cell"))
