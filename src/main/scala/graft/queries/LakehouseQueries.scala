@@ -587,6 +587,40 @@ object LakehouseQueries {
        |ORDER BY cnt DESC, a, b
        |LIMIT 20""".stripMargin
 
+  // ---- q79: triangle counts over the embedding near-dup graph —
+  // graph analytics beyond connected components (ClusterDedup): the
+  // cluster-density QC signal. Edges = q28's cosine pairs (canonical
+  // id_a < id_b orientation ⇒ each triangle enumerated once). ----
+
+  def q79Triangles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleCounts(
+      graft.operators.Similarity.cosinePairs(embs(spark, dir), SemTau)
+        .select(col("id_a"), col("id_b")))
+      .orderBy(col("tri_cnt").desc, col("node"))
+      .limit(10)
+
+  val q79Sql: String = {
+    val dot = "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))"
+    val norm = (t: String) => s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
+    val pairCos = Num.sqlR4(s"$dot / (${norm("a")} * ${norm("b")})")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |edges AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  WHERE $pairCos >= $SemTau),
+       |tri AS (
+       |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |  FROM edges e1
+       |  JOIN edges e2 ON e1.id_b = e2.id_a
+       |  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b)
+       |SELECT node, count(*) AS tri_cnt
+       |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+       |GROUP BY node
+       |ORDER BY tri_cnt DESC, node
+       |LIMIT 10""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -602,7 +636,8 @@ object LakehouseQueries {
     "q75_densify" -> (q75Densify _),
     "q76_semdedup" -> (q76SemDedup _),
     "q77_weighted_sample" -> (q77WeightedSample _),
-    "q78_bpe_pairs" -> (q78BpePairs _))
+    "q78_bpe_pairs" -> (q78BpePairs _),
+    "q79_triangles" -> (q79Triangles _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -618,5 +653,6 @@ object LakehouseQueries {
     "q75_densify" -> q75Sql,
     "q76_semdedup" -> q76Sql,
     "q77_weighted_sample" -> q77Sql,
-    "q78_bpe_pairs" -> q78Sql)
+    "q78_bpe_pairs" -> q78Sql,
+    "q79_triangles" -> q79Sql)
 }

@@ -136,6 +136,25 @@ class LakehouseSpec extends SparkSpec {
     assert(scoped.size < all.size)
   }
 
+  // ---- Graph triangles ----
+
+  test("triangles: each enumerated once; per-node membership exact") {
+    // K4 on {1,2,3,4} (4 triangles) + a pendant edge (4,5) + an
+    // isolated triangle {10,11,12}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (10L, 11L), (10L, 12L), (11L, 12L))
+      .toDF("id_a", "id_b")
+    val tris = Graph.triangles(edges)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tris == Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L),
+      (2L, 3L, 4L), (10L, 11L, 12L)))
+    val counts = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    // each K4 node is in C(3,2)=3 triangles; pendant node 5 in none
+    assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
   // ---- Profiler ----
 
   test("profile: nulls, distincts, typed min/max per column kind") {
