@@ -21,7 +21,8 @@ object PlanAudit {
         "q67_heavy_hitters", "q68_pq_adc", "q69_profile", "q70_cohort",
         "q71_dup_spans", "q72_bottomk_sample", "q73_histogram",
         "q74_iqr_outliers", "q75_densify", "q76_semdedup",
-        "q77_weighted_sample", "q78_bpe_pairs", "q79_triangles")
+        "q77_weighted_sample", "q78_bpe_pairs", "q79_triangles",
+        "q80_zscore", "q81_kmeans_train")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

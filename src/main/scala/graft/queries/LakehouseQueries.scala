@@ -621,6 +621,117 @@ object LakehouseQueries {
        |LIMIT 10""".stripMargin
   }
 
+  // ---- q80: per-group z-score standardization — the feature-
+  // engineering normalization step (and q74's per-row sibling): group
+  // stats broadcast back, per-row standardized value, tail rows
+  // |z| ≥ 1.5 reported. The FILTER runs on the snapped z (both
+  // engines agree on the snapped value; filtering the raw double
+  // could flip a boundary row on a 1e-12 engine difference). ----
+
+  private val ZTail = 1.5
+
+  def q80Zscore(spark: SparkSession, dir: String): DataFrame = {
+    val stats = docs(spark, dir).groupBy(col("lang"))
+      .agg(avg(col("n_chars")).as("m"), stddev(col("n_chars")).as("sd"))
+    docs(spark, dir)
+      .join(broadcast(stats), Seq("lang"))
+      .withColumn("z", Num.r2((col("n_chars") - col("m")) / col("sd")))
+      .filter(abs(col("z")) >= ZTail)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q80Sql: String =
+    s"""WITH s AS (
+       |  SELECT lang, avg(n_chars) AS m, stddev(n_chars) AS sd
+       |  FROM documents GROUP BY lang)
+       |SELECT doc_id, d.lang AS lang, n_chars,
+       |  ${Num.sqlR2("(n_chars - s.m) / s.sd")} AS z
+       |FROM documents d JOIN s ON d.lang = s.lang
+       |WHERE abs(${Num.sqlR2("(n_chars - s.m) / s.sd")}) >= $ZTail
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q81: MULTI-iteration k-means training, oracle-checked end to
+  // end (q45 is the single step): 3 assignment+update rounds, then a
+  // final assignment for membership counts. Cross-engine equality
+  // round over round holds because each round's means are Num.r4-
+  // snapped BEFORE they become the next round's centroid literals
+  // (operators.KMeans's determinism contract) — both engines then
+  // compute round N+1 from IDENTICAL centroid values with identical
+  // arithmetic. The DuckDB twin unrolls the loop as generated CTE
+  // pairs. ----
+
+  private val KmIters = 3
+  private val KmTrainK = 8
+
+  def q81KmeansTrain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeans
+    val emb = embs(spark, dir)
+    var centroids = KMeans.initCentroids(emb, KmTrainK)
+    for (_ <- 1 to KmIters)
+      centroids = KMeans.step(emb, centroids)._1
+    val counts = KMeans.assign(emb, centroids)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val model = centroids.zipWithIndex.flatMap { case (cv, cell) =>
+      cv.zipWithIndex.map { case (x, d) => (cell.toLong, (d + 1).toLong, x) }
+    }.toSeq
+    import spark.implicits._
+    model.toDF("cell", "dim", "centroid")
+      .join(counts, Seq("cell"))
+      .select(col("cell"), col("dim"), col("centroid"), col("n_members"))
+      .orderBy(col("cell"), col("dim"))
+  }
+
+  val q81Sql: String = {
+    val sqdist = "list_sum(list_transform(list_zip(v.e, c.cv), " +
+      "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    // one assignment + update round: centroids c{i-1} → assignment
+    // a{i} → snapped means m{i} → centroids c{i} (empty cells carry)
+    def round(i: Int): String =
+      s"""d$i AS (
+         |  SELECT v.vec_id, c.cell, v.e, ${Num.sqlR4(sqdist)} AS dist
+         |  FROM v CROSS JOIN c${i - 1} c),
+         |a$i AS (
+         |  SELECT vec_id, cell, e FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cell) AS rn FROM d$i)
+         |  WHERE rn = 1),
+         |m$i AS (
+         |  SELECT cell, g.i AS dim, ${Num.sqlR4("avg(e[g.i])")} AS m
+         |  FROM a$i, LATERAL (SELECT unnest(range(1, len(a$i.e) + 1)) AS i) g
+         |  GROUP BY cell, g.i),
+         |c$i AS (
+         |  SELECT cell, list(m ORDER BY dim) AS cv FROM m$i GROUP BY cell
+         |  UNION ALL
+         |  SELECT c.cell, c.cv FROM c${i - 1} c
+         |  WHERE c.cell NOT IN (SELECT cell FROM m$i))""".stripMargin
+    val rounds = (1 to KmIters).map(round).mkString(",\n")
+    s"""WITH c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |    list_transform(embedding, x -> x::DOUBLE) AS cv
+       |  FROM embeddings
+       |  QUALIFY row_number() OVER (ORDER BY vec_id) <= $KmTrainK),
+       |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |      FROM embeddings),
+       |$rounds,
+       |dF AS (
+       |  SELECT v.vec_id, c.cell, ${Num.sqlR4(sqdist)} AS dist
+       |  FROM v CROSS JOIN c$KmIters c),
+       |aF AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cell) AS rn FROM dF)
+       |  WHERE rn = 1),
+       |n AS (SELECT cell, count(*) AS n_members FROM aF GROUP BY cell)
+       |SELECT CAST(c.cell AS BIGINT) AS cell, CAST(g.i AS BIGINT) AS dim,
+       |  c.cv[g.i] AS centroid, n.n_members AS n_members
+       |FROM c$KmIters c
+       |JOIN n ON c.cell = n.cell,
+       |LATERAL (SELECT unnest(range(1, len(c.cv) + 1)) AS i) g
+       |ORDER BY cell, dim""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
@@ -637,7 +748,9 @@ object LakehouseQueries {
     "q76_semdedup" -> (q76SemDedup _),
     "q77_weighted_sample" -> (q77WeightedSample _),
     "q78_bpe_pairs" -> (q78BpePairs _),
-    "q79_triangles" -> (q79Triangles _))
+    "q79_triangles" -> (q79Triangles _),
+    "q80_zscore" -> (q80Zscore _),
+    "q81_kmeans_train" -> (q81KmeansTrain _))
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
@@ -654,5 +767,7 @@ object LakehouseQueries {
     "q76_semdedup" -> q76Sql,
     "q77_weighted_sample" -> q77Sql,
     "q78_bpe_pairs" -> q78Sql,
-    "q79_triangles" -> q79Sql)
+    "q79_triangles" -> q79Sql,
+    "q80_zscore" -> q80Sql,
+    "q81_kmeans_train" -> q81Sql)
 }
