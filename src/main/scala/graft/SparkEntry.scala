@@ -25,7 +25,8 @@ object SparkEntry {
       ExtensionQueries.entries ++
       PipelineQueries.entries ++
       CurationQueries.entries ++
-      LakehouseQueries.entries
+      LakehouseQueries.entries ++
+      CorpusStatsQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       ExtensionQueries.oracles ++
       PipelineQueries.oracles ++
       CurationQueries.oracles ++
-      LakehouseQueries.oracles
+      LakehouseQueries.oracles ++
+      CorpusStatsQueries.oracles
 }

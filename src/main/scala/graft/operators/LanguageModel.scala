@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Corpus bigram language model with add-α (Laplace) smoothing, and
+  * per-document cross-entropy scoring — the CCNet/Wikipedia-LM quality
+  * signal: documents whose token transitions are improbable under a
+  * model trained on the corpus itself (gibberish, boilerplate tables,
+  * wrong-language text) score a high negative log-likelihood and are
+  * filtered or bucketed by it.
+  *
+  *   P(b | a) = (c(a,b) + α) / (c(a,·) + α·V)
+  *   nll(doc) = −(1/|bigrams|) Σ ln P(b | a)
+  *
+  * Scale design (100 TB): bigram extraction is a narrow per-row
+  * transform + explode (no shuffle); training is one (a, b)-keyed
+  * aggregation; scoring joins document bigrams against the model on
+  * the same (a, b) key — the model table is Zipf-shaped but far
+  * smaller than the corpus, and the history-count table c(a,·)
+  * (vocabulary-sized) broadcasts. The vocabulary size V is a single
+  * scalar carried as a broadcast one-row frame, never a driver
+  * collect of data rows.
+  */
+object LanguageModel {
+
+  /** (doc_id, a, b) adjacent-token pairs; documents with fewer than
+    * two tokens contribute nothing. Tokenizes in a projection below
+    * the explode (the TextFunctions convention — an inline tree would
+    * re-split per pair). */
+  def docBigrams(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("a"),
+            element_at(col("ts"), i + 1).as("b")))).as("p"))
+      .select(col("doc_id"), col("p.a").as("a"), col("p.b").as("b"))
+
+  /** Model tables: bigram counts c(a,b), history counts c(a,·), and a
+    * one-row vocabulary-size frame. */
+  def train(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame, DataFrame) = {
+    val bg = docBigrams(docs, idCol, textCol)
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    (cab, ca, vocab)
+  }
+
+  /** Per-document (n_bigrams, nll) under the corpus model. The nll is
+    * Num.r4-snapped (ln is libm — the q47 convention). */
+  def scoreDocs(docs: DataFrame, alpha: Double = 1.0,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (cab, ca, vocab) = train(docs, idCol, textCol)
+    val lp: Column =
+      log((col("cab") + lit(alpha)) / (col("ca") + lit(alpha) * col("v")))
+    docBigrams(docs, idCol, textCol)
+      .join(cab, Seq("a", "b"))
+      .join(broadcast(ca), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r4(-sum(lp) / count(lit(1))).as("nll"))
+  }
+}

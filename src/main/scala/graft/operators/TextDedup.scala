@@ -73,6 +73,126 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact intersection sizes for a given candidate-pair set: each
+    * side of the pair joins back to its full shingle set. Shared by
+    * the prefix-filtered and containment joins below. */
+  private def interOf(cand: DataFrame, ds: DataFrame): DataFrame =
+    cand
+      .join(ds.as("da"), col("id_a") === col("da.id"))
+      .join(ds.as("db"),
+        col("id_b") === col("db.id") && col("da.shingle") === col("db.shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+
+  private def withSizes(inter: DataFrame, sizes: DataFrame): DataFrame =
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+
+  /** Prefix-filtered exact Jaccard join (AllPairs/PPJoin, Bayardo et
+    * al. 2007 / Xiao et al. 2008): identical result set to
+    * [[jaccardPairs]], but only each document's PREFIX is indexed —
+    * under a global (df asc, shingle asc) order, two sets with
+    * J ≥ τ must collide inside their first `|S| − ⌈τ·|S|⌉ + 1`
+    * shingles, so the suffix never enters the self-join.
+    *
+    * This is the exact-similarity scale path (the probabilistic one is
+    * MinHash LSH): the frequency-ascending order puts every document's
+    * RAREST shingles in its prefix, so posting lists in the index stay
+    * short — the quadratic blowup lives on hot shingles, which sit in
+    * suffixes and are never indexed. At a 10⁹-document corpus the
+    * candidate set shrinks by orders of magnitude while staying exact
+    * (completeness is the prefix-filter theorem; verification recounts
+    * the true intersection against full sets).
+    */
+  def prefixJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    // per-doc set sizes: doc-cardinality rows — broadcast back instead
+    // of a second full-corpus window pass
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // global canonical order: document frequency asc, shingle asc —
+    // deterministic on any cluster layout. One shuffle for df (by
+    // shingle), one for the rank (by id).
+    val ranked = ds
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .join(broadcast(sizes), "id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    // α = ⌈τ·|S|⌉ under a float-robust ceiling: 0.4·5 floats to
+    // 2.0000000000000004, and a plain ceil would overshoot α and
+    // SHORTEN the prefix — an incompleteness bug, not a perf detail.
+    // Underestimating α (the epsilon's only possible effect) merely
+    // admits extra candidates, which verification discards.
+    // The df > 1 filter prunes singleton shingles from the INDEX only
+    // (prefix lengths were computed over the full sets): a colliding
+    // shingle has df ≥ 2 by definition, so completeness holds and the
+    // self-join skips the (majority) unique-shingle rows.
+    val prefix = ranked
+      .filter(col("rnk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
+      .filter(col("df") > 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    // verification touches only documents that appear in a candidate
+    // pair: semi-reduce the shingle table before the intersection
+    // joins (at scale, candidates are a vanishing fraction of the
+    // corpus — this is where prefix filtering pays).
+    val candIds = cand
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val dsc = ds.join(broadcast(candIds), Seq("id"), "left_semi")
+    withSizes(interOf(cand, dsc), sizes)
+      .withColumn("jaccard",
+        Num.r4(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Directed containment join: pairs where |A∩B| / |A| ≥ τ — the
+    * excerpt/quotation detector (a short doc fully contained in a long
+    * one has low Jaccard but containment 1.0; Jaccard-only dedup
+    * misses it). Emits (contained, container, containment), both
+    * directions of each undirected candidate evaluated independently.
+    * Candidate generation shares the singleton-pruned inverted index
+    * with [[jaccardPairs]]. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val shared = ds.withColumn("n_docs",
+      count(lit(1)).over(Window.partitionBy(col("shingle"))))
+      .filter(col("n_docs") > 1)
+      .select(col("id"), col("shingle"))
+    val inter = shared.as("a")
+      .join(shared.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    // both directions from ONE pass: a union of two projections over
+    // this pipeline would re-execute the whole pair computation per
+    // branch (the Profiler unpivot trap) — explode a 2-element struct
+    // array instead
+    withSizes(inter, sizes)
+      .select(explode(array(
+        struct(col("id_a").as("contained"), col("id_b").as("container"),
+          Num.r4(col("inter").cast("double") / col("sz_a")).as("containment")),
+        struct(col("id_b").as("contained"), col("id_a").as("container"),
+          Num.r4(col("inter").cast("double") / col("sz_b")).as("containment"))))
+        .as("d"))
+      .select(col("d.contained").as("contained"),
+        col("d.container").as("container"),
+        col("d.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** MinHash parameters — fixed public constants so Spark and the
     * DuckDB oracle compute identical signatures. p > 2^32 prime;
     * a,b < 2^31 so a*h32+b < 2^63. */

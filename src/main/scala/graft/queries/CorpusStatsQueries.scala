@@ -1,0 +1,286 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TextFunctions => TF}
+import graft.operators.{Graph, LanguageModel, Num, Similarity, TextDedup}
+
+/** Round-5 third wave: corpus-statistics and exact-similarity
+  * scale-path operators — token entropy, bigram-LM quality scoring,
+  * temperature-based training-mix weights, incremental aggregate
+  * maintenance, prefix-filtered (PPJoin) Jaccard, directed containment
+  * dedup, and PageRank over the near-dup graph.
+  *
+  * Scale notes (100 TB): entropy and LM scoring are one or two keyed
+  * aggregations over narrow exploded rows; the prefix-filtered join is
+  * the exact-similarity answer to "all-pairs doesn't scale" (index
+  * only rare-shingle prefixes); PageRank reuses one node-keyed
+  * partitioning across rounds; the incremental-aggregate query is the
+  * lakehouse pattern that avoids recomputing a 100 TB view when 1 GB
+  * of new facts lands.
+  */
+object CorpusStatsQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "embeddings")
+
+  // ---- q82: per-document token entropy + type-token ratio — the
+  // lexical-diversity quality signals (low-entropy docs are repetitive
+  // boilerplate; Gopher filters on exactly this family). One
+  // (doc_id, tok) aggregation, then a doc-keyed rollup: H = ln n −
+  // (Σ c·ln c)/n, in nats. ln is libm → the result rides the Num.r4
+  // snap (q47 convention). ----
+
+  def q82Entropy(spark: SparkSession, dir: String): DataFrame = {
+    val c = docs(spark, dir)
+      .select(col("doc_id"), explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("sclc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        Num.r4(log(col("n_tokens").cast("double"))
+          - col("sclc") / col("n_tokens")).as("entropy"),
+        Num.r4(col("n_types").cast("double") / col("n_tokens")).as("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q82Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, unnest(${TF.sqlTokens("text")}) AS tok FROM documents),
+       |c AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_types,
+       |  ${Num.sqlR4("ln(sum(c)) - sum(c * ln(c)) / sum(c)")} AS entropy,
+       |  ${Num.sqlR4("count(*)::DOUBLE / sum(c)")} AS ttr
+       |FROM c GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q83: bigram-LM quality scoring (CCNet signal): train an
+  // add-1-smoothed bigram model on the corpus, score every document's
+  // average negative log-likelihood under it. ----
+
+  def q83LmScore(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocs(docs(spark, dir), alpha = 1.0)
+      .orderBy(col("doc_id"))
+
+  val q83Sql: String =
+    s"""WITH tk AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, ${TF.sqlTokens("text")} AS ts FROM documents)
+       |  WHERE len(ts) >= 2),
+       |bg AS (
+       |  SELECT doc_id, ts[j] AS a, ts[j + 1] AS b
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS j FROM tk)),
+       |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+       |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+       |vv AS (
+       |  SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(${TF.sqlTokens("text")}) AS tok FROM documents)),
+       |s AS (
+       |  SELECT bg.doc_id,
+       |    ln((cab.cab::DOUBLE + 1.0::DOUBLE)
+       |       / (ca.ca::DOUBLE + 1.0::DOUBLE * vv.v::DOUBLE)) AS lp
+       |  FROM bg
+       |  JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+       |  JOIN ca ON bg.a = ca.a
+       |  CROSS JOIN vv)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${Num.sqlR4("-sum(lp) / count(*)")} AS nll
+       |FROM s GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q84: temperature-based training-mix weights (the multilingual
+  // /multi-source rebalancing rule, p^α renormalized — α < 1 upsamples
+  // tail sources): per source, its corpus share p, its α=0.3 sampling
+  // weight, and the expected document count in a fixed budget. The
+  // windows run over the POST-aggregation table (one row per source),
+  // not the corpus. ----
+
+  private val MixAlpha = 0.3
+  private val MixBudget = 10000
+
+  def q84TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    docs(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("p",
+        col("n_docs").cast("double") / sum(col("n_docs")).over(wAll))
+      .withColumn("pa", pow(col("p"), MixAlpha))
+      .withColumn("w", col("pa") / sum(col("pa")).over(wAll))
+      .select(col("source"), col("n_docs"), Num.r4(col("p")).as("p"),
+        Num.r4(col("w")).as("w"),
+        Num.r2(col("w") * MixBudget).as("exp_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q84Sql: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |ww AS (
+       |  SELECT source, n_docs,
+       |    n_docs::DOUBLE / sum(n_docs) OVER () AS p,
+       |    pow(n_docs::DOUBLE / sum(n_docs) OVER (), $MixAlpha) AS pa
+       |  FROM s)
+       |SELECT source, n_docs, ${Num.sqlR4("p")} AS p,
+       |  ${Num.sqlR4("pa / sum(pa) OVER ()")} AS w,
+       |  ${Num.sqlR2(s"pa / sum(pa) OVER () * $MixBudget")} AS exp_docs
+       |FROM ww
+       |ORDER BY source""".stripMargin
+
+  // ---- q85: incremental aggregate maintenance — the materialized-
+  // view delta-merge pattern: the (priority, month) revenue view is
+  // maintained as mergeable partials (count, sum), so a new fact batch
+  // costs one partial over the DELTA plus a merge — never a rescan of
+  // the base. avg is DERIVED from merged sums (algebraic, not
+  // distributive — it cannot be merged directly). The oracle is the
+  // full recompute, which is exactly the invariant that makes the
+  // pattern safe. ----
+
+  private val IncrSplit = "1999-01-01"
+
+  def q85IncrAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("rev"))
+    val base = partials(orders.filter(col("o_orderdate") < lit(IncrSplit)))
+    val delta = partials(orders.filter(col("o_orderdate") >= lit(IncrSplit)))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"), col("ym"))
+      .agg(sum(col("cnt")).as("orders"), sum(col("rev")).as("rev"))
+      .select(col("o_orderpriority"), col("ym"), col("orders"),
+        Num.r2(col("rev")).as("revenue"),
+        Num.r2(col("rev") / col("orders")).as("avg_price"))
+      .orderBy(col("o_orderpriority"), col("ym"))
+  }
+
+  val q85Sql: String =
+    s"""SELECT o_orderpriority,
+       |  year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+       |  count(*) AS orders,
+       |  ${Num.sqlR2("sum(o_totalprice)")} AS revenue,
+       |  ${Num.sqlR2("sum(o_totalprice) / count(*)")} AS avg_price
+       |FROM orders
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
+  // ---- q86: prefix-filtered exact Jaccard join (AllPairs/PPJoin) —
+  // identical result to the all-pairs inverted-index form, but only
+  // rare-shingle PREFIXES are indexed. The oracle is the full
+  // all-pairs computation: equality IS the completeness theorem. ----
+
+  private val PrefixTau = 0.4
+
+  def q86PrefixJaccard(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.prefixJaccardPairs(docs(spark, dir), n = 3, threshold = PrefixTau)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val q86Sql: String =
+    s"""WITH ${ExtensionQueries.dsCte(3)},
+       |${ExtensionQueries.candCte},
+       |${ExtensionQueries.jacCtes}
+       |${ExtensionQueries.jacSelect(PrefixTau)}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q87: PageRank over the embedding near-dup graph — 3 damped
+  // iterations, ranks snapped per round (the q81 unrolled-oracle
+  // contract). Edges are q28's cosine pairs. ----
+
+  private val PrIters = 3
+  private val PrDamp = 0.85
+  private val PrTau = 0.35
+
+  def q87Pagerank(spark: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(
+      Similarity.cosinePairs(embs(spark, dir), PrTau)
+        .select(col("id_a"), col("id_b")),
+      iters = PrIters, damping = PrDamp)
+      .orderBy(col("node"))
+
+  val q87Sql: String = {
+    val dot = "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))"
+    val norm = (t: String) => s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
+    val pairCos = Num.sqlR4(s"$dot / (${norm("a")} * ${norm("b")})")
+    val base = s"(1.0::DOUBLE - $PrDamp::DOUBLE) / nn.n"
+    def round(i: Int): String =
+      s"""p$i AS (
+         |  SELECT s.node, ${Num.sqlR(s"$base + $PrDamp::DOUBLE * s.m", 8)} AS pr
+         |  FROM (
+         |    SELECT e.id_b AS node, sum(p.pr / d.deg) AS m
+         |    FROM e
+         |    JOIN p${i - 1} p ON e.id_a = p.node
+         |    JOIN deg d ON e.id_a = d.node
+         |    GROUP BY e.id_b) s, nn)""".stripMargin
+    val rounds = (1 to PrIters).map(round).mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |e0 AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  WHERE $pairCos >= $PrTau),
+       |e AS (SELECT id_a, id_b FROM e0
+       |      UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM e0),
+       |deg AS (SELECT id_a AS node, count(*) AS deg FROM e GROUP BY id_a),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+       |p0 AS (SELECT node, 1.0::DOUBLE / nn.n AS pr FROM deg, nn),
+       |$rounds
+       |SELECT d.node AS node, d.deg AS deg, p.pr AS pr
+       |FROM p$PrIters p JOIN deg d ON p.node = d.node
+       |ORDER BY node""".stripMargin
+  }
+
+  // ---- q88: directed containment dedup — |A∩B| / |A| ≥ τ catches
+  // excerpts and quotations that Jaccard misses (a 50-shingle doc
+  // inside a 500-shingle doc has J ≈ 0.1 but containment 1.0). ----
+
+  private val ContainTau = 0.6
+
+  def q88Containment(spark: SparkSession, dir: String): DataFrame =
+    TextDedup.containmentPairs(docs(spark, dir), n = 3, threshold = ContainTau)
+      .orderBy(col("contained"), col("container"))
+
+  val q88Sql: String =
+    s"""WITH ${ExtensionQueries.dsCte(3)},
+       |${ExtensionQueries.candCte},
+       |${ExtensionQueries.jacCtes},
+       |bi AS (
+       |  SELECT i.id_a, i.id_b, i.i, sa.sz AS sz_a, sb.sz AS sz_b
+       |  FROM inter i
+       |  JOIN sz sa ON i.id_a = sa.id
+       |  JOIN sz sb ON i.id_b = sb.id),
+       |d AS (
+       |  SELECT id_a AS contained, id_b AS container,
+       |    ${Num.sqlR4("i::DOUBLE / sz_a")} AS containment FROM bi
+       |  UNION ALL
+       |  SELECT id_b AS contained, id_a AS container,
+       |    ${Num.sqlR4("i::DOUBLE / sz_b")} AS containment FROM bi)
+       |SELECT contained, container, containment
+       |FROM d WHERE containment >= $ContainTau
+       |ORDER BY contained, container""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_entropy" -> (q82Entropy _),
+    "q83_lm_score" -> (q83LmScore _),
+    "q84_temperature_mix" -> (q84TemperatureMix _),
+    "q85_incr_agg" -> (q85IncrAgg _),
+    "q86_prefix_jaccard" -> (q86PrefixJaccard _),
+    "q87_pagerank" -> (q87Pagerank _),
+    "q88_containment" -> (q88Containment _))
+
+  def oracles: Map[String, String] = Map(
+    "q82_entropy" -> q82Sql,
+    "q83_lm_score" -> q83Sql,
+    "q84_temperature_mix" -> q84Sql,
+    "q85_incr_agg" -> q85Sql,
+    "q86_prefix_jaccard" -> q86Sql,
+    "q87_pagerank" -> q87Sql,
+    "q88_containment" -> q88Sql)
+}

@@ -1,0 +1,212 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.CorpusStatsQueries
+import org.apache.spark.sql.functions._
+
+/** Entropy/LM scoring, temperature mixing, incremental-aggregate
+  * maintenance, prefix-filtered Jaccard, containment, PageRank. */
+class CorpusStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  // ---- q82 entropy ----
+
+  test("entropy: hand-computed H and TTR on a uniform two-type doc") {
+    val df = Seq((1L, "a a b b")).toDF("doc_id", "text")
+    val row = CorpusStatsQueries.entries("q82_entropy")(spark, sf001)
+    assert(row.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_types", "entropy", "ttr"))
+
+    // direct hand check on the tiny frame via the same operator shape
+    val c = df.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val h = c.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("k"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(Num.r4(log(col("n").cast("double")) - col("s") / col("n")))
+      .as[Double].head()
+    // H(uniform over 2 types, 4 tokens) = ln 2
+    assert(h == math.floor(math.floor(math.log(2) * 1e8 + 0.5) / 1e8 * 1e4 + 0.5) / 1e4)
+  }
+
+  test("entropy extremes: all-same tokens → 0; all-distinct → ln n") {
+    val df = Seq((1L, "x x x x"), (2L, "p q r s")).toDF("doc_id", "text")
+    val got = df.transform(d => {
+      val c = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      c.groupBy("doc_id")
+        .agg(sum("c").as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+        .select(col("doc_id"),
+          Num.r4(log(col("n").cast("double")) - col("s") / col("n")).as("h"))
+    }).as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    val ln4 = math.floor(math.floor(math.log(4) * 1e8 + 0.5) / 1e8 * 1e4 + 0.5) / 1e4
+    assert(got(2L) == ln4)
+  }
+
+  // ---- q83 bigram LM ----
+
+  test("bigram LM: hand-computed add-1 nll on a 3-doc corpus") {
+    val df = Seq((1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocs(df).orderBy("doc_id")
+      .as[(Long, Long, Double)].collect()
+    // c(x,y)=2 c(x,z)=1 c(x,·)=3 V=3
+    // doc1/doc2: -ln((2+1)/(3+3)) = ln 2; doc3: -ln((1+1)/(3+3)) = ln 3
+    def r4(x: Double) =
+      math.floor(math.floor(x * 1e8 + 0.5) / 1e8 * 1e4 + 0.5) / 1e4
+    assert(got.toSeq == Seq(
+      (1L, 1L, r4(-math.log((2.0 + 1.0) / (3.0 + 1.0 * 3.0)))),
+      (2L, 1L, r4(-math.log((2.0 + 1.0) / (3.0 + 1.0 * 3.0)))),
+      (3L, 1L, r4(-math.log((1.0 + 1.0) / (3.0 + 1.0 * 3.0))))))
+  }
+
+  test("bigram LM: repeated rare transitions score worse than common ones") {
+    val common = Seq.fill(20)("the cat sat").mkString(" ")
+    val df = (1L to 5L).map(i => (i, s"the cat sat on mat $i"))
+      .toDF("doc_id", "text")
+      .unionByName(Seq((99L, "zq xv qj wk")).toDF("doc_id", "text"))
+      .unionByName(Seq((100L, common)).toDF("doc_id", "text"))
+    val got = LanguageModel.scoreDocs(df)
+      .select("doc_id", "nll").as[(Long, Double)].collect().toMap
+    assert(got(99L) > got(100L))
+  }
+
+  test("LM: docs with <2 tokens are excluded, not scored as zero") {
+    val df = Seq((1L, "solo"), (2L, "a b")).toDF("doc_id", "text")
+    val ids = LanguageModel.scoreDocs(df).select("doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(2L))
+  }
+
+  // ---- q84 temperature mix ----
+
+  test("temperature mix: α<1 compresses shares; weights sum to 1") {
+    val df = ((1L to 80L).map(i => (i, "s_big")) ++
+      (81L to 100L).map(i => (i, "s_small")))
+      .toDF("doc_id", "source").withColumn("text", lit("t"))
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    val got = df.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("p", col("n_docs").cast("double") / sum("n_docs").over(wAll))
+      .withColumn("pa", pow(col("p"), 0.3))
+      .withColumn("w", col("pa") / sum("pa").over(wAll))
+      .select("source", "p", "w").as[(String, Double, Double)]
+      .collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val (pBig, wBig) = (0.8, got("s_big")._2)
+    val (pSmall, wSmall) = (0.2, got("s_small")._2)
+    assert(got("s_big")._1 == pBig && got("s_small")._1 == pSmall)
+    // α=0.3 moves both shares toward uniform, preserving order
+    assert(wBig < pBig && wSmall > pSmall && wBig > wSmall)
+    assert(math.abs(wBig + wSmall - 1.0) < 1e-12)
+  }
+
+  // ---- q85 incremental aggregate maintenance ----
+
+  test("incremental partial-merge equals full recompute (the MV invariant)") {
+    val incr = CorpusStatsQueries.entries("q85_incr_agg")(spark, sf001)
+      .collect().map(_.toSeq).toSet
+    val full = graft.Tables.load(spark, sf001, "orders")
+      .groupBy(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+      .agg(count(lit(1)).as("orders"), sum(col("o_totalprice")).as("rev"))
+      .select(col("o_orderpriority"), col("ym"), col("orders"),
+        Num.r2(col("rev")).as("revenue"),
+        Num.r2(col("rev") / col("orders")).as("avg_price"))
+      .collect().map(_.toSeq).toSet
+    assert(incr.nonEmpty && incr == full)
+  }
+
+  // ---- q86 prefix-filtered Jaccard ----
+
+  test("prefix join ≡ all-pairs join on the corpus, two thresholds") {
+    val d = graft.Tables.load(spark, sf001, "documents")
+    for (tau <- Seq(0.4, 0.7)) {
+      val full = TextDedup.jaccardPairs(d, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = TextDedup.prefixJaccardPairs(d, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"tau=$tau")
+      assert(full.nonEmpty, s"tau=$tau should produce pairs on testdata")
+    }
+  }
+
+  test("prefix join: hot-shingle adversarial corpus stays complete") {
+    // every doc shares one hot trigram; near-dup pairs must survive
+    // prefix filtering even though the hot shingle sorts LAST
+    val hot = "common shared prefix"
+    val docs = Seq(
+      (1L, s"$hot alpha beta gamma delta"),
+      (2L, s"$hot alpha beta gamma epsilon"), // near-dup of 1
+      (3L, s"$hot zeta eta theta iota"),
+      (4L, s"$hot zeta eta theta kappa"), // near-dup of 3
+      (5L, s"$hot lone wolf document here")).toDF("doc_id", "text")
+    val tau = 0.4
+    val full = TextDedup.jaccardPairs(docs, n = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = TextDedup.prefixJaccardPairs(docs, n = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == full && full.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("prefix bound survives exact-integer τ·|S| products") {
+    // |S|=5 shingles, τ=0.4: τ·|S| = 2.0 exactly; a float-naive ceil
+    // gives 3 and drops a true pair. 7 tokens → 5 trigram shingles.
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"),
+      (2L, "t1 t2 t3 t4 t5 t6 x7")).toDF("doc_id", "text")
+    // shared shingles: 4 of 5+5 → J = 4/6 = 0.667 ≥ 0.4
+    val pref = TextDedup.prefixJaccardPairs(docs, n = 3, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
+  // ---- q88 containment ----
+
+  test("containment: an excerpt scores 1.0 toward its container, " +
+    "below Jaccard's radar") {
+    val a = (1 to 10).map(i => s"w$i").mkString(" ") // 8 trigrams
+    val b = a + " " + (11 to 50).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val jac = TextDedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty) // J = 8/48 ≈ 0.17: invisible to Jaccard dedup
+    val cont = TextDedup.containmentPairs(docs, n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont == Set((1L, 2L, 1.0))) // and no reverse direction
+  }
+
+  // ---- q87 PageRank ----
+
+  test("pagerank: symmetric triangle stays uniform at 1/n") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val pr = Graph.pageRank(edges, iters = 3)
+      .select("node", "pr").as[(Long, Double)].collect().toMap
+    val third = 1.0 / 3.0
+    // every node's rank stays the (snapped) fixed point 1/3
+    assert(pr.values.toSet.size == 1)
+    assert(math.abs(pr(1L) - third) < 1e-6)
+  }
+
+  test("pagerank: star center outranks leaves; total mass ≈ 1") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val pr = Graph.pageRank(edges, iters = 3)
+      .select("node", "pr").as[(Long, Double)].collect().toMap
+    assert(pr(1L) > pr(2L))
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-4)
+  }
+
+  test("pagerank: iteration-1 star value matches the hand formula") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val pr = Graph.pageRank(edges, iters = 1)
+      .select("node", "pr").as[(Long, Double)].collect().toMap
+    def r8(x: Double) =
+      math.floor(math.floor(x * 1e12 + 0.5) / 1e12 * 1e8 + 0.5) / 1e8
+    val base = (1.0 - 0.85) / 4.0
+    assert(pr(1L) == r8(base + 0.85 * (3 * (0.25 / 1.0))))
+    assert(pr(2L) == r8(base + 0.85 * (0.25 / 3.0)))
+  }
+}
