@@ -1,18 +1,27 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
-/** Benchmark main — emits ONE JSON line with total + per-query seconds
-  * on SPARK_GRAFT_SF_DIR (driver contract).
+/** Benchmark main — emits a compact total-only JSON line FIRST, then
+  * the full per-query JSON line, on SPARK_GRAFT_SF_DIR (driver
+  * contract). Total-first because at ~100 queries the per-query line
+  * outgrew the driver's tail capture once (BENCH_r05 `parsed:null`);
+  * the compact line always fits.
   *
   * A warmup pass (parquet footers + one full execution of a small
   * query) runs before timing so per-query numbers measure the query,
   * not session/classloader/codegen bootstrap.
+  *
+  * Env knobs: SPARK_GRAFT_ONLY (comma-separated query names) restricts
+  * the sweep for local iteration; absent → full sweep.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,36 +40,48 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
 
-    // min of two timed runs per query: the second run reuses codegen +
-    // broadcast caches, so min approximates steady-state latency and
-    // damps JIT/GC noise between bench invocations.
+    // min of three timed runs per query: run 1 is cold (codegen
+    // compile, no broadcast reuse); runs 2–3 are warm, so a single
+    // GC/compilation pause cannot inflate the reported number.
     //
     // Between queries, drop everything the query pinned in the block
     // manager (`.cache()` inside operators, `localCheckpoint` blocks
     // from iterative ones). Without this the storage pool grows
-    // monotonically across 63 queries × 2 runs and the LRU-eviction /
+    // monotonically across ~100 queries × 3 runs and the LRU-eviction /
     // GC churn makes a random subset of queries 5–10× slower from
     // round to round (r3 vs r4 swings on identical code).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = sweep.map { case (name, fn) =>
+      // Time full materialization: xxhash64 every column of every row
+      // and fold — a count() alone lets Spark prune the projection on
+      // narrow queries and understates the real cost. Failures are NOT
+      // wall-timed: a query that throws reports -1, never a
+      // fast-looking elapsed time.
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            val d = fn(spark, sfDir)
+            d.select(xxhash64(d.columns.map(col): _*).as("h"))
+              .agg(expr("bit_xor(h)")).collect()
+            true
+          } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // run 1 is cold (codegen compile, no broadcast reuse); runs 2–3
-      // are warm. min of three reports steady-state latency — two
-      // warm samples mean a single GC/compilation pause cannot inflate
-      // the reported number (measured: min-of-3 totals are ~20% lower
-      // AND tighter across invocations than min-of-2).
       val times = Seq(once(), once(), once())
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      name -> times.min
+      val good = times.filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // Compact line first — guaranteed to survive tail truncation.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -73,17 +73,6 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact intersection sizes for a given candidate-pair set: each
-    * side of the pair joins back to its full shingle set. Shared by
-    * the prefix-filtered and containment joins below. */
-  private def interOf(cand: DataFrame, ds: DataFrame): DataFrame =
-    cand
-      .join(ds.as("da"), col("id_a") === col("da.id"))
-      .join(ds.as("db"),
-        col("id_b") === col("db.id") && col("da.shingle") === col("db.shingle"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-
   private def withSizes(inter: DataFrame, sizes: DataFrame): DataFrame =
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -104,22 +93,38 @@ object TextDedup {
     * candidate set shrinks by orders of magnitude while staying exact
     * (completeness is the prefix-filter theorem; verification recounts
     * the true intersection against full sets).
+    *
+    * PPJoin pruning between candidate generation and verification:
+    * the LENGTH filter (J ≤ min/max of the set sizes) is evaluated
+    * inside the index join itself, and the POSITIONAL filter uses
+    * (po, pa, pb) aggregated from the same join — collision count and
+    * last-collision ranks — as the intersection upper bound
+    * |A∩B| ≤ po + min(sz_a−pa, sz_b−pb). Only survivors are verified,
+    * by `array_intersect` against per-document sorted shingle sets
+    * semi-reduced to candidate docs.
+    *
+    * `broadcastIndex = true` (default) broadcasts the prefix index for
+    * the candidate self-join and the semi-reduced shingle sets for
+    * verification — right whenever the PREFIXES of the corpus fit an
+    * executor (prefixes are ~(1−τ)·corpus-shingles; at web scale set
+    * it false to get sort-merge joins on the shingle / id keys with
+    * AQE skew handling — the result is identical).
     */
   def prefixJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastIndex: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def bcast(d: DataFrame): DataFrame = if (broadcastIndex) broadcast(d) else d
     val ds = docShingles(docs, idCol, textCol, n).cache()
     // per-doc set sizes: doc-cardinality rows — broadcast back instead
     // of a second full-corpus window pass
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    // document frequency by groupBy+join (map-side partial aggregation
+    // — a window over the exploded table would shuffle every (id,
+    // shingle) row with no combiner), then the per-doc rank shuffle.
+    val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     // global canonical order: document frequency asc, shingle asc —
-    // deterministic on any cluster layout. One shuffle for df (by
-    // shingle), one for the rank (by id).
-    val ranked = ds
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .join(broadcast(sizes), "id")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+    // deterministic on any cluster layout.
     // α = ⌈τ·|S|⌉ under a float-robust ceiling: 0.4·5 floats to
     // 2.0000000000000004, and a plain ceil would overshoot α and
     // SHORTEN the prefix — an incompleteness bug, not a perf detail.
@@ -129,25 +134,64 @@ object TextDedup {
     // (prefix lengths were computed over the full sets): a colliding
     // shingle has df ≥ 2 by definition, so completeness holds and the
     // self-join skips the (majority) unique-shingle rows.
-    val prefix = ranked
+    val prefix = ds
+      .join(df, "shingle")
+      .join(broadcast(sizes), "id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
       .filter(col("rnk") <=
         col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
       .filter(col("df") > 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("shingle"), col("sz"), col("rnk"))
+      .cache()
+    // Candidate aggregation carries the PPJoin filter inputs out of
+    // the prefix self-join for free: po = #prefix collisions, pa/pb =
+    // rank of the LAST collision on each side. Under the global order
+    // the common elements of A and B appear with jointly increasing
+    // ranks, and "in both prefixes" is downward-closed on that common
+    // sequence — so the po collisions are exactly the FIRST po common
+    // elements, and every remaining common element has rank > pa in A
+    // AND rank > pb in B. Hence |A∩B| ≤ po + min(sz_a−pa, sz_b−pb).
+    // The length filter (J ≤ min/max of sizes) sits IN the join
+    // condition so doomed collisions die before the pair shuffle.
     val cand = prefix.as("a")
-      .join(prefix.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    // verification touches only documents that appear in a candidate
-    // pair: semi-reduce the shingle table before the intersection
-    // joins (at scale, candidates are a vanishing fraction of the
-    // corpus — this is where prefix filtering pays).
-    val candIds = cand
+      .join(bcast(prefix.as("b")),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+          least(col("a.sz"), col("b.sz")) >=
+            lit(threshold) * greatest(col("a.sz"), col("b.sz")) - 1e-9)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("po"),
+        max(col("a.rnk")).as("pa"), max(col("b.rnk")).as("pb"))
+    // J ≥ τ needs |A∩B| ≥ τ/(1+τ)·(|A|+|B|); float-robust floor on
+    // the requirement so rounding can only ADMIT extra candidates.
+    val needed = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - 1e-9)
+    // survivors feeds BOTH the semi-reduction and the verification
+    // join — cache it so the candidate join runs once, not three times
+    val survivors = cand
+      .filter(col("po") +
+        least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >= needed)
+      .cache()
+    // Verification touches only documents that survive both filters:
+    // semi-reduce the per-doc sorted shingle sets to candidate docs
+    // (at scale, a vanishing fraction of the corpus — this is where
+    // prefix filtering pays), then one exact merge-intersect per pair
+    // (codegen'd; `size(array_intersect(..))` is an interpreted
+    // hash-set per row and was the dominant cost of the whole query).
+    val candIds = survivors
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val dsc = ds.join(broadcast(candIds), Seq("id"), "left_semi")
-    withSizes(interOf(cand, dsc), sizes)
+    val docsets = ds
+      .join(broadcast(candIds), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("set"))
+      .cache()
+    survivors
+      .join(bcast(docsets.select(col("id").as("id_a"), col("set").as("set_a"))), "id_a")
+      .join(bcast(docsets.select(col("id").as("id_b"), col("set").as("set_b"))), "id_b")
+      .withColumn("inter", graft.plans.SetFunctions.sorted_intersect_count(
+        col("set_a"), col("set_b")))
       .withColumn("jaccard",
         Num.r4(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))))
