@@ -80,13 +80,38 @@ object HeavyHitters {
     * recount pass counts ONLY candidates exactly and ranks
     * (count desc, item asc). Exact whenever the true top-k all exceed
     * N/(cap+1) — size `cap` ≫ k for flat distributions.
+    *
+    * The exactness precondition is VALIDATED at runtime, not assumed:
+    * an item absent from the candidate set can have true count up to
+    * ⌊N/(cap+1)⌋, so the result is certainly exact iff either (a) the
+    * candidates cover every row (Σ candidate counts = N — true when
+    * distinct items ≤ cap), or (b) the k-th exact candidate count
+    * strictly exceeds N/(cap+1). Otherwise this throws — a silent
+    * maybe-wrong top-k is worse than a failed job. Raise `cap` to fix
+    * (the check costs nothing extra: N rides the sketch pass, and the
+    * ≤ cap recount rows are collected as bounded model state anyway).
     */
   def exactTopK(df: DataFrame, c: Column, k: Int, cap: Int): DataFrame = {
-    val cands = candidates(df, c, cap)
-    df.filter(c.isin(cands: _*))
+    val head = df.agg(sketch(c, cap).as("mg"), count(c).as("n")).head()
+    val cands = head.getMap[String, Long](0).keys.toSeq.sorted
+    val n = head.getLong(1)
+    val recount = df.filter(c.isin(cands: _*))
       .groupBy(c.as("item"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item"))
-      .limit(k)
+      .cache()
+    val counts = recount.select(col("cnt")).collect().map(_.getLong(0))
+    val covered = counts.sum == n
+    val certified = covered ||
+      (counts.length >= k && counts(k - 1) * (cap + 1).toLong > n)
+    if (!certified)
+      throw new IllegalStateException(
+        s"exactTopK(k=$k, cap=$cap) cannot certify exactness: the k-th " +
+          s"candidate count ${if (counts.length >= k) counts(k - 1) else "<missing>"} " +
+          s"does not exceed N/(cap+1) = ${n / (cap + 1)} and candidates " +
+          s"cover ${counts.sum}/$n rows — raise cap")
+    // re-sort above the cache: a bare limit on a cached sorted relation
+    // is not guaranteed to take rows in sort order
+    recount.orderBy(col("cnt").desc, col("item")).limit(k)
   }
 }

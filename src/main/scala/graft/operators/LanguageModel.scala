@@ -54,15 +54,35 @@ object LanguageModel {
   }
 
   /** Per-document (n_bigrams, nll) under the corpus model. The nll is
-    * Num.r4-snapped (ln is libm — the q47 convention). */
+    * Num.r4-snapped (ln is libm — the q47 convention).
+    *
+    * The bigram table feeds BOTH training aggregations and the scoring
+    * join — cached so the corpus is tokenized and exploded once, not
+    * rescanned for scoring.
+    *
+    * `broadcastModel = true` (default) broadcasts the history-count
+    * table c(a,·) — right whenever the vocabulary fits an executor. At
+    * web-corpus scale (10⁸+ distinct tokens) set it false: the scoring
+    * join then sort-merges on the `a` key (same result), instead of
+    * shipping a vocabulary-sized table to every executor. */
   def scoreDocs(docs: DataFrame, alpha: Double = 1.0,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (cab, ca, vocab) = train(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastModel: Boolean = true): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol).cache()
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ca = cab.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    // V counts distinct TOKENS (single-token docs contribute vocabulary
+    // but no bigram, so it cannot be derived from bg) — a count-distinct
+    // scan, no explode retained.
+    val vocab = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .agg(countDistinct(col("t")).as("v"))
+    val caJ = if (broadcastModel) broadcast(ca) else ca
     val lp: Column =
       log((col("cab") + lit(alpha)) / (col("ca") + lit(alpha) * col("v")))
-    docBigrams(docs, idCol, textCol)
+    bg
       .join(cab, Seq("a", "b"))
-      .join(broadcast(ca), Seq("a"))
+      .join(caJ, Seq("a"))
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

@@ -5,10 +5,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lakehouse table-maintenance verbs the reference pipeline leaves to
-  * its warehouse (reference stores finals via JDBC upsert —
-  * postgres_writer.py's ON CONFLICT path): batch MERGE INTO (upsert)
-  * and SCD2 history construction, re-expressed as pure DataFrame
-  * transforms so they run against any snapshot + changes pair.
+  * its warehouse (the reference's src/sinks/metrics_sink.py does a
+  * plain JDBC append and merely catches/skips duplicate-key errors;
+  * the ON CONFLICT upsert is this repo's own streaming/MetricsSink
+  * .upsertSql): batch MERGE INTO (upsert) and SCD2 history
+  * construction, re-expressed as pure DataFrame transforms so they
+  * run against any snapshot + changes pair.
   *
   * 100 TB notes: `upsert` is one anti-join (keyed shuffle or broadcast
   * when the change batch is small — the common CDC case) plus a

@@ -48,6 +48,14 @@ object StreamScd2 {
       val out = Seq.newBuilder[ClosedVersion]
       sorted.foreach { c =>
         open match {
+          // cross-batch disorder guard: a change whose ts precedes the
+          // open version's start would emit an inverted interval
+          // (effective_to < effective_from) and rewind the open
+          // version. Sorting only orders WITHIN a batch — a
+          // within-watermark straggler in a later batch lands here.
+          // Skip it: late data degrades to ignored, never to
+          // corrupted history (the documented contract).
+          case Some(o) if c.ts.getTime < o.fromMs => ()
           case Some(o) if o.state == c.state => () // consecutive repeat
           case Some(o) =>
             out += ClosedVersion(key, o.version, o.state,

@@ -81,6 +81,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(ids == Set(2L))
   }
 
+  test("LM: broadcastModel=false sort-merge path is row-identical") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val b = LanguageModel.scoreDocs(docs).collect().map(_.toSeq).toSet
+    val s = LanguageModel.scoreDocs(docs, broadcastModel = false)
+      .collect().map(_.toSeq).toSet
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("LM: scoring reads the cached bigram table, not a second corpus scan") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val scored = LanguageModel.scoreDocs(docs)
+    scored.count() // materialize so the InMemoryRelation is resolved
+    // exactly one LIVE parquet scan survives (the vocabulary
+    // count-distinct); bigrams for training and scoring all come from
+    // InMemoryTableScans. collect() walks only the executing tree —
+    // the FileScan printed inside InMemoryRelation is the cached
+    // plan's provenance, not a scan this query runs.
+    def strip(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          strip(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case o => o.children.flatMap(strip) ++
+          o.subqueries.flatMap(strip)
+      }
+    val scans = strip(scored.queryExecution.executedPlan).size
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") && scans == 1, s"scans=$scans")
+  }
+
   // ---- q84 temperature mix ----
 
   test("temperature mix: α<1 compresses shares; weights sum to 1") {
@@ -209,4 +239,30 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pr(1L) == r8(base + 0.85 * (3 * (0.25 / 1.0))))
     assert(pr(2L) == r8(base + 0.85 * (0.25 / 3.0)))
   }
+
+  test("pagerank directed: dangling mass is redistributed, Σpr stays 1") {
+    // A→B→C with C dangling: the naive update would leak C's mass
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.pageRank(edges, iters = 1, directed = true)
+      .select("node", "deg", "pr").as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    // out-degrees: A=1, B=1, C=0 (dangling)
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 0L)
+    val third = 1.0 / 3.0
+    val base = (1.0 - 0.85) / 3.0
+    val dmShare = third / 3.0 // C's mass, uniform over n=3
+    assert(math.abs(got(1L)._2 - (base + 0.85 * dmShare)) < 1e-6)
+    assert(math.abs(got(2L)._2 - (base + 0.85 * (third + dmShare))) < 1e-6)
+    assert(math.abs(got(3L)._2 - (base + 0.85 * (third + dmShare))) < 1e-6)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
+  }
+
+  test("pagerank directed: multi-round mass conservation on a dangling-heavy graph") {
+    // two sources point at two sinks — half the graph is dangling
+    val edges = Seq((1L, 3L), (2L, 4L), (1L, 4L)).toDF("id_a", "id_b")
+    val pr = Graph.pageRank(edges, iters = 4, directed = true)
+      .select("pr").as[Double].collect()
+    assert(pr.length == 4 && math.abs(pr.sum - 1.0) < 1e-5)
+  }
+
 }

@@ -96,6 +96,29 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
+  test("exactTopK refuses to certify when the k-th candidate is inside the MG slack") {
+    // 2000 distinct singletons, cap 10 ⇒ slack N/11 ≈ 181 ≫ 1: any
+    // "top-10" of singletons is arbitrary — the guard must throw, not
+    // return a silently wrong ranking
+    val flat = (0 until 2000).map(i => s"u$i").toDF("item")
+    val e = intercept[IllegalStateException] {
+      HeavyHitters.exactTopK(flat, col("item"), 10, 10).collect()
+    }
+    assert(e.getMessage.contains("raise cap"))
+  }
+
+  test("exactTopK stays exact below the slack when candidates cover every row") {
+    // 50 distinct ≤ cap 200: Misra–Gries keeps everything, coverage
+    // certifies exactness even though counts are tiny
+    val small = (0 until 50).flatMap(i => Seq.fill(i % 3 + 1)(s"v$i")).toDF("item")
+    val expected = small.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val got = HeavyHitters.exactTopK(small, col("item"), 10, 200)
+      .as[(String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   // ---- q71 duplicated-substring spans ----
 
   test("q71: span boundaries, multiplicity, and full-copy coverage are exact") {
@@ -153,6 +176,40 @@ class LakehouseSpec extends SparkSpec {
     // each K4 node is in C(3,2)=3 triangles; pendant node 5 in none
     assert(counts == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
       10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
+
+  test("triangles: degree orientation ≡ naive middle-node join on a skewed star") {
+    // hub 0 touches every leaf (degree 203) — the adversarial shape
+    // for the naive join (C(203,2) ≈ 20k wedges at the hub; oriented,
+    // the hub is always dst, so it forms ZERO wedges)
+    val star = (1L to 200L).map(i => (0L, i))
+    val extra = Seq((1L, 2L), (2L, 3L), (3L, 4L)) // closes (0,1,2),(0,2,3),(0,3,4)
+    val edges = (star ++ extra).toDF("id_a", "id_b").cache()
+    val naive = edges.as("e1")
+      .join(edges.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(edges.as("e3"),
+        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a"), col("e1.id_b"), col("e2.id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    val oriented = Graph.triangles(edges).as[(Long, Long, Long)].collect().toSet
+    assert(oriented == naive &&
+      oriented == Set((0L, 1L, 2L), (0L, 2L, 3L), (0L, 3L, 4L)))
+  }
+
+  test("triangles: orientation ≡ naive on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 300).map { _ =>
+      val a = rnd.nextInt(40).toLong; val b = rnd.nextInt(40).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b").cache()
+    val naive = edges.as("e1")
+      .join(edges.as("e2"), col("e1.id_b") === col("e2.id_a"))
+      .join(edges.as("e3"),
+        col("e3.id_a") === col("e1.id_a") && col("e3.id_b") === col("e2.id_b"))
+      .select(col("e1.id_a"), col("e1.id_b"), col("e2.id_b"))
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Graph.triangles(edges).as[(Long, Long, Long)].collect().toSet
+    assert(got == naive && got.nonEmpty)
   }
 
   // ---- Profiler ----

@@ -73,4 +73,31 @@ class StreamScd2Spec extends SparkSpec {
       assert(from == ts(0))
     } finally q.stop()
   }
+
+  test("cross-batch straggler older than the open version is ignored, never inverts history") {
+    val in = MemoryStream[(Long, String, Timestamp, Long)](spark)
+    val q = StreamScd2.closedVersions(
+      in.toDF().toDF("key", "state", "ts", "tie"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_mem3").start()
+    try {
+      // batch 1 opens version (s, ts(5))
+      in.addData(Seq((9L, "s", ts(5), 1L)))
+      q.processAllAvailable()
+      // batch 2 delivers a within-watermark straggler with ts(2) < ts(5):
+      // applying it would emit effective_to = ts(2) < effective_from =
+      // ts(5) (an inverted interval) and rewind the open version
+      in.addData(Seq((9L, "r", ts(2), 2L)))
+      q.processAllAvailable()
+      assert(spark.table("scd2_mem3").isEmpty) // straggler dropped
+      // the open version is still (s, ts(5)): a later real change
+      // closes 's' FROM ts(5), and version numbering never moved
+      in.addData(Seq((9L, "t", ts(8), 3L)))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_mem3")
+        .select("key", "version", "state", "effective_from", "effective_to")
+        .as[(Long, Long, String, Timestamp, Timestamp)].collect().toSeq
+      assert(rows == Seq((9L, 1L, "s", ts(5), ts(8))))
+    } finally q.stop()
+  }
 }
