@@ -9,10 +9,17 @@ import org.apache.spark.sql.functions._
   * lexicographic string forms kept in separate typed columns so the
   * output schema is stable).
   *
-  * 100 TB notes: ONE aggregation job for all columns — the naive
-  * per-column loop scans the table N times. The exact countDistincts
-  * plan through Catalyst's Expand (one scan, ×cols shuffle mass);
-  * at extreme scale swap `exactDistinct = false` to HLL
+  * 100 TB notes: ONE scan for all columns — the naive per-column
+  * loop scans the table N times. Each row explodes into one typed
+  * (col_name, num_view, str_view) struct per profiled column, then a
+  * single col_name-keyed aggregation computes everything — including
+  * the exact distinct count, which with ONE distinct column per
+  * group plans as a plain two-phase distinct aggregate with map-side
+  * partials. (The previous formulation — all columns' countDistincts
+  * in one global agg — planned through Catalyst's Expand with every
+  * algebraic agg buffer riding all ×cols branches: measured 4.7 s vs
+  * ~1 s for this shape on 150k rows × 6 columns.) At extreme
+  * cardinalities swap `exactDistinct = false` to HLL
   * (approx_count_distinct) and the whole profile becomes a plain
   * one-pass algebraic aggregate.
   */
@@ -27,7 +34,7 @@ object Profiler {
 
   def profile(df: DataFrame, cols: Seq[ColSpec],
       exactDistinct: Boolean = true): DataFrame = {
-    val aggs: Seq[Column] = cols.flatMap { cs =>
+    val entries = array(cols.map { cs =>
       val c = col(cs.name)
       // numeric view of the column for min/max: timestamps → epoch
       // seconds (cross-engine stable), strings → null
@@ -40,38 +47,39 @@ object Profiler {
         case KStr => c
         case _ => lit(null).cast("string")
       }
-      val dist =
-        if (exactDistinct) countDistinct(c) else approx_count_distinct(c)
-      Seq(
-        count(c).as(s"${cs.name}__n"),
-        count(when(c.isNull, 1)).as(s"${cs.name}__nulls"),
-        dist.as(s"${cs.name}__distinct"),
-        min(numView).as(s"${cs.name}__min_num"),
-        max(numView).as(s"${cs.name}__max_num"),
-        min(strView).as(s"${cs.name}__min_str"),
-        max(strView).as(s"${cs.name}__max_str"))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    unpivot(row, cols)
-  }
-
-  private def unpivot(row: DataFrame, cols: Seq[ColSpec]): DataFrame = {
-    // Unpivot the single stats row via ONE explode-of-structs
-    // projection. (A union of per-column projections re-plans the
-    // whole aggregation once per branch — N scans of the table; the
-    // plan audit caught exactly that.)
-    val entries = array(cols.map { cs =>
+      // full-fidelity timestamp view: num_view is epoch SECONDS (the
+      // cross-engine min/max convention), which would collapse
+      // sub-second-distinct timestamps in the distinct count
+      val tsView: Column = cs.kind match {
+        case KTs => c.cast("timestamp")
+        case _ => lit(null).cast("timestamp")
+      }
       struct(
         lit(cs.name).as("col_name"),
-        col(s"${cs.name}__n").as("n"),
-        col(s"${cs.name}__nulls").as("nulls"),
-        col(s"${cs.name}__distinct").as("n_distinct"),
-        col(s"${cs.name}__min_num").as("min_num"),
-        col(s"${cs.name}__max_num").as("max_num"),
-        col(s"${cs.name}__min_str").as("min_str"),
-        col(s"${cs.name}__max_str").as("max_str"))
+        c.isNull.as("is_null"),
+        numView.as("num_view"),
+        strView.as("str_view"),
+        tsView.as("ts_view"))
     }: _*)
-    row.select(explode(entries).as("s")).select(col("s.*"))
+    // distinct identity = the typed view triple: exactly one view is
+    // populated per column kind, so struct-distinct ≡ distinct over
+    // the original values (under UnsafeRow's -0.0 normalization — the
+    // same identity the built-in countDistinct uses)
+    val vals = struct(col("num_view"), col("str_view"), col("ts_view"))
+    val dist =
+      if (exactDistinct) countDistinct(when(!col("is_null"), vals))
+      else approx_count_distinct(when(!col("is_null"), vals))
+    df.select(explode(entries).as("s"))
+      .select(col("s.*"))
+      .groupBy(col("col_name"))
+      .agg(
+        count(when(!col("is_null"), 1)).as("n"),
+        count(when(col("is_null"), 1)).as("nulls"),
+        dist.as("n_distinct"),
+        min(col("num_view")).as("min_num"),
+        max(col("num_view")).as("max_num"),
+        min(col("str_view")).as("min_str"),
+        max(col("str_view")).as("max_str"))
   }
 
   /** Fixed-width histogram of a numeric column, optionally per group:

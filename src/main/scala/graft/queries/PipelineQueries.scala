@@ -105,14 +105,17 @@ object PipelineQueries {
   // verification twin. ----
 
   def q37Quantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n"),
-        Num.r4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-        Num.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        Num.r4(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
-        Num.r4(expr("percentile(l_extendedprice, 0.95)")).as("p95"))
+    // distributed exact quantiles (operators.Quantiles): interpolation
+    // ≡ Spark `percentile` ≡ DuckDB quantile_cont (spec-pinned), but
+    // no per-group value buffering — the built-in aggregate is a
+    // single reducer per group (5 s at sf0.1, OOM at 100 TB groups)
+    graft.operators.Quantiles.exactQuantiles(
+      Tables.load(spark, dir, "lineitem"),
+      "l_returnflag", "l_extendedprice",
+      Seq(0.25, 0.5, 0.75, 0.95), Seq("p25", "p50", "p75", "p95"))
+      .select(col("l_returnflag"), col("n"),
+        Num.r4(col("p25")).as("p25"), Num.r4(col("p50")).as("p50"),
+        Num.r4(col("p75")).as("p75"), Num.r4(col("p95")).as("p95"))
       .orderBy(col("l_returnflag"))
 
   val q37Sql: String =

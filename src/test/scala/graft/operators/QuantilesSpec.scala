@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Quantiles.exactQuantiles must be value-identical to Spark's
+  * `percentile` aggregate (whose interpolation DuckDB's quantile_cont
+  * mirrors — q37's oracle contract): same lower/upper neighbors, same
+  * lower + (upper−lower)·frac arithmetic, bit-for-bit. */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches percentile() bit-for-bit on random data with ties") {
+    val rnd = new Random(3)
+    // ÷7 makes repeating non-terminating doubles; ties are frequent
+    val df = (0 until 20000)
+      .map(_ => (rnd.nextInt(5), math.floor(rnd.nextDouble() * 1000) / 7.0))
+      .toDF("g", "v").cache()
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 0.977, 1.0)
+    val names = ps.map(p => s"q${(p * 1000).toInt}")
+    val builtin = df.groupBy(col("g"))
+      .agg(ps.zip(names).map { case (p, n) =>
+        expr(s"percentile(v, $p)").as(n)
+      }.head, ps.zip(names).map { case (p, n) =>
+        expr(s"percentile(v, $p)").as(n)
+      }.tail: _*)
+      .orderBy(col("g")).collect().map(_.toSeq.drop(1))
+    val ours = Quantiles.exactQuantiles(df, "g", "v", ps, names)
+      .orderBy(col("g")).collect().map(_.toSeq.drop(2))
+    assert(ours.toSeq == builtin.toSeq)
+  }
+
+  test("single-row group and single-value group degenerate correctly") {
+    val df = Seq((1, 42.0), (2, 7.0), (2, 7.0), (2, 7.0)).toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, "g", "v",
+      Seq(0.5, 0.95), Seq("p50", "p95"))
+      .orderBy(col("g"))
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1, 1L, 42.0, 42.0), (2, 3L, 7.0, 7.0)))
+  }
+
+  test("n column counts rows, not distinct values") {
+    val df = Seq((1, 5.0), (1, 5.0), (1, 9.0)).toDF("g", "v")
+    val n = Quantiles.exactQuantiles(df, "g", "v", Seq(0.5), Seq("p50"))
+      .select("n").as[Long].head()
+    assert(n == 3L)
+  }
+}
