@@ -52,11 +52,12 @@ object TextDedup {
     // inverted-index pruning: a shingle in exactly one document can't
     // produce a pair — drop singletons before the self-join (most
     // shingles are unique, so this shrinks the join input by far more
-    // than the extra aggregation costs; set sizes still use full ds)
-    val shared = ds.withColumn("n_docs",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shingle"))))
-      .filter(col("n_docs") > 1)
+    // than the extra aggregation costs; set sizes still use full ds).
+    // df by groupBy+join, not a window — the groupBy gets map-side
+    // partial aggregation; the window shuffles every (id, shingle) row
+    // with no combiner.
+    val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+    val shared = ds.join(df.filter(col("n_docs") > 1), "shingle")
       .select(col("id"), col("shingle"))
     val inter = shared.as("a")
       .join(shared.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -208,12 +209,12 @@ object TextDedup {
     * with [[jaccardPairs]]. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ds = docShingles(docs, idCol, textCol, n).cache()
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val shared = ds.withColumn("n_docs",
-      count(lit(1)).over(Window.partitionBy(col("shingle"))))
-      .filter(col("n_docs") > 1)
+    // singleton pruning via groupBy+join (map-side partials) — see
+    // jaccardPairs
+    val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
+    val shared = ds.join(df.filter(col("n_docs") > 1), "shingle")
       .select(col("id"), col("shingle"))
     val inter = shared.as("a")
       .join(shared.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -277,11 +278,11 @@ object TextDedup {
     val buckets = sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // bucket sizes by groupBy+join (map-side partials), not a window
+    val bsz = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_size"))
     val bounded = buckets
-      .withColumn("bucket_size",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_size") <= maxBucket)
+      .join(bsz.filter(col("bucket_size") <= maxBucket), Seq("band", "key"))
     bounded.as("a")
       .join(bounded.as("b"), col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
