@@ -267,17 +267,22 @@ object TextDedup {
     h.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH candidate pairs: docs sharing any band of the signature.
-    * `maxBucket` drops degenerate buckets (see scale notes). */
-  def minhashCandidates(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  /** (id, band, key) LSH bucket rows of a signature frame. */
+  private def bandKeys(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until numBands).map { b =>
       struct(lit(b).as("band"),
         concat_ws("_", (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
           .as("key"))
     }
-    val buckets = sigs
+    sigs
       .select(col("id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band of the signature.
+    * `maxBucket` drops degenerate buckets (see scale notes). */
+  def minhashCandidates(sigs: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val buckets = bandKeys(sigs)
     // bucket sizes by groupBy+join (map-side partials), not a window
     val bsz = buckets.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bucket_size"))
@@ -314,6 +319,92 @@ object TextDedup {
           (col("sz_a") + col("sz_b") - col("inter"))))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Incremental batch-vs-corpus dedup — the daily-ingest shape: a
+    * new batch of documents is checked against an existing corpus,
+    * never corpus×corpus. One row per batch doc:
+    * status ∈ {dup_exact, dup_near, new} + the number of corpus
+    * matches behind the verdict.
+    *
+    *  - exact: normalized-content fingerprint equi-join.
+    *  - near: MinHash LSH bands joined CROSS-TABLE (batch probe side
+    *    against the corpus index side), candidates verified by exact
+    *    Jaccard ≥ threshold. Only batch docs with NO exact copy enter
+    *    the near path (an exact copy already decides the verdict).
+    *
+    * Scale: the corpus side shuffles once on (band, key) — in a real
+    * deployment its signatures/bands are precomputed and stored
+    * bucketed by (band, key), so only the (tiny) batch side moves;
+    * `maxBucket` bounds degenerate corpus buckets exactly as in
+    * [[minhashCandidates]]. Nothing here is ever corpus×corpus. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1000,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val bfp = batch.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+    val cfp = corpus.select(fingerprint(col(textCol)).as("fp"))
+    val exact = bfp.join(cfp, "fp").groupBy(col("id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val bRest = batch.join(exact.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    val bs = docShingles(bRest, idCol, textCol, n).cache()
+    val cs = docShingles(corpus, idCol, textCol, n).cache()
+    val cBands = bandKeys(signaturesFromShingles(cs))
+    val cBsz = cBands.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("bucket_size"))
+    val cBounded = cBands
+      .join(cBsz.filter(col("bucket_size") <= maxBucket), Seq("band", "key"))
+    val cand = bandKeys(signaturesFromShingles(bs)).as("a")
+      .join(cBounded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("id_b"), col("b.id").as("id_c"))
+      .distinct()
+    val bSizes = bs.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
+    val cSizes = cs.groupBy(col("id")).agg(count(lit(1)).as("sz_c"))
+    val inter = cand
+      .join(bs.select(col("id").as("id_b"), col("shingle")), "id_b")
+      .join(cs.select(col("id").as("id_c"), col("shingle")), Seq("id_c", "shingle"))
+      .groupBy(col("id_b"), col("id_c"))
+      .agg(count(lit(1)).as("inter"))
+    val near = inter
+      .join(bSizes.withColumnRenamed("id", "id_b"), "id_b")
+      .join(cSizes.withColumnRenamed("id", "id_c"), "id_c")
+      .filter(Num.r4(col("inter").cast("double") /
+        (col("sz_b") + col("sz_c") - col("inter"))) >= threshold)
+      .groupBy(col("id_b").as("id"))
+      .agg(count(lit(1)).as("n_near"))
+    batch.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("n_exact") > 0, lit("dup_exact"))
+          .when(col("n_near") > 0, lit("dup_near"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("n_exact"), col("n_near"), lit(0L)).as("n_matches"))
+  }
+
+  /** Per-batch-doc novelty against a corpus: the fraction of the
+    * document's distinct n-gram shingles never seen anywhere in the
+    * corpus — the diversity/redundancy QC signal for incremental
+    * ingestion (a batch with novelty ≈ 0 adds nothing to training
+    * data even when no single document crosses a dedup threshold).
+    * Docs with fewer than n tokens have no shingles and emit no row.
+    *
+    * Scale: one distinct-shingle aggregation per side; the membership
+    * probe is a left join on the shingle key. At deployment the
+    * corpus shingle set is the stored index — only the batch side is
+    * computed per run. */
+  def noveltyAgainstCorpus(batch: DataFrame, corpus: DataFrame, n: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bs = docShingles(batch, idCol, textCol, n)
+    val cSh = docShingles(corpus, idCol, textCol, n)
+      .select(col("shingle")).distinct().withColumn("seen", lit(1))
+    bs.join(cSh, Seq("shingle"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("seen").isNull, 1)).as("n_novel"))
+      .select(col("id").as(idCol), col("n_shingles"),
+        Num.r4(col("n_novel").cast("double") / col("n_shingles")).as("novel_frac"))
   }
 
   /** 32-bit SimHash: per bit, sign of Σ tf·(±1) over distinct terms —

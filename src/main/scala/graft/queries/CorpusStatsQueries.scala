@@ -266,6 +266,116 @@ object CorpusStatsQueries {
        |FROM d WHERE containment >= $ContainTau
        |ORDER BY contained, container""".stripMargin
 
+  // ---- q89: incremental batch-vs-corpus dedup — the daily-ingest
+  // shape. The corpus/batch split is a deterministic content-hash
+  // bucket of doc_id (the q39/q56 convention), so both engines see
+  // identical sides. ----
+
+  private val IncrBatchBucket = 8 // hash60(doc_id) % 10 ≥ 8 → batch
+  private val IncrNearTau = 0.5
+
+  private def splitHashSql = TF.sqlHash60("doc_id::VARCHAR") + " % 10"
+  private def splitHash = TF.hash60(col("doc_id").cast("string")) % 10
+
+  def q89IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.incrementalDedup(
+      d.filter(splitHash >= IncrBatchBucket),
+      d.filter(splitHash < IncrBatchBucket),
+      n = 3, threshold = IncrNearTau)
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Sql: String = {
+    import TextDedup.{A, B, P, NumHashes, BandRows, numBands}
+    val sigCols = (0 until NumHashes).map(i =>
+      s"min((h * ${A(i)} + ${B(i)}) % $P) AS m$i").mkString(",\n    ")
+    def bandsOf(sig: String) = (0 until numBands).map { b =>
+      val key = (0 until BandRows)
+        .map(r => s"m${b * BandRows + r}::VARCHAR").mkString(" || '_' || ")
+      s"SELECT id, $b AS band, $key AS key FROM $sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val sh = s"list_distinct(${TF.sqlShingles("text", 3)})"
+    s"""WITH c AS (SELECT * FROM documents WHERE $splitHashSql < $IncrBatchBucket),
+       |b AS (SELECT * FROM documents WHERE $splitHashSql >= $IncrBatchBucket),
+       |bfp AS (SELECT doc_id AS id, ${TF.sqlFingerprint("text")} AS fp FROM b),
+       |cfp AS (SELECT ${TF.sqlFingerprint("text")} AS fp FROM c),
+       |ex AS (SELECT id, count(*) AS n_exact FROM bfp JOIN cfp USING (fp) GROUP BY id),
+       |brest AS (SELECT * FROM b WHERE doc_id NOT IN (SELECT id FROM ex)),
+       |bs AS (SELECT doc_id AS id, unnest($sh) AS sh FROM brest),
+       |cs AS (SELECT doc_id AS id, unnest($sh) AS sh FROM c),
+       |bh AS (SELECT id, sh, ${TF.sqlHash32("sh")} AS h FROM bs),
+       |ch AS (SELECT id, sh, ${TF.sqlHash32("sh")} AS h FROM cs),
+       |bsig AS (SELECT id,
+       |    $sigCols
+       |  FROM bh GROUP BY id),
+       |csig AS (SELECT id,
+       |    $sigCols
+       |  FROM ch GROUP BY id),
+       |bbands AS (
+       |  ${bandsOf("bsig")}),
+       |cbands AS (
+       |  ${bandsOf("csig")}),
+       |cbounded AS (
+       |  SELECT * FROM (
+       |    SELECT id, band, key,
+       |      count(*) OVER (PARTITION BY band, key) AS bsz
+       |    FROM cbands)
+       |  WHERE bsz <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_b, b.id AS id_c
+       |  FROM bbands a JOIN cbounded b
+       |    ON a.band = b.band AND a.key = b.key),
+       |szb AS (SELECT id, count(*) AS sz FROM bs GROUP BY id),
+       |szc AS (SELECT id, count(*) AS sz FROM cs GROUP BY id),
+       |inter AS (
+       |  SELECT ca.id_b, ca.id_c, count(*) AS i
+       |  FROM cand ca
+       |  JOIN bs da ON da.id = ca.id_b
+       |  JOIN cs db ON db.id = ca.id_c AND db.sh = da.sh
+       |  GROUP BY 1, 2),
+       |near AS (
+       |  SELECT i.id_b AS id, count(*) AS n_near
+       |  FROM inter i
+       |  JOIN szb sa ON i.id_b = sa.id
+       |  JOIN szc sb ON i.id_c = sb.id
+       |  WHERE ${Num.sqlR4("i.i::DOUBLE / (sa.sz + sb.sz - i.i)")} >= $IncrNearTau
+       |  GROUP BY 1)
+       |SELECT b.doc_id AS doc_id,
+       |  CASE WHEN e.n_exact > 0 THEN 'dup_exact'
+       |       WHEN nr.n_near > 0 THEN 'dup_near'
+       |       ELSE 'new' END AS status,
+       |  CAST(COALESCE(e.n_exact, nr.n_near, 0) AS BIGINT) AS n_matches
+       |FROM b
+       |LEFT JOIN ex e ON b.doc_id = e.id
+       |LEFT JOIN near nr ON b.doc_id = nr.id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q90: batch novelty against the corpus — fraction of each
+  // batch doc's distinct shingles unseen anywhere in the corpus. ----
+
+  def q90Novelty(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    TextDedup.noveltyAgainstCorpus(
+      d.filter(splitHash >= IncrBatchBucket),
+      d.filter(splitHash < IncrBatchBucket), n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val q90Sql: String = {
+    val sh = s"list_distinct(${TF.sqlShingles("text", 3)})"
+    s"""WITH c AS (SELECT * FROM documents WHERE $splitHashSql < $IncrBatchBucket),
+       |b AS (SELECT * FROM documents WHERE $splitHashSql >= $IncrBatchBucket),
+       |bs AS (SELECT doc_id AS id, unnest($sh) AS sh FROM b),
+       |csh AS (SELECT DISTINCT sh FROM (SELECT unnest($sh) AS sh FROM c))
+       |SELECT bs.id AS doc_id, count(*) AS n_shingles,
+       |  ${Num.sqlR4("count(CASE WHEN csh.sh IS NULL THEN 1 END)::DOUBLE / count(*)")} AS novel_frac
+       |FROM bs LEFT JOIN csh ON bs.sh = csh.sh
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -273,7 +383,9 @@ object CorpusStatsQueries {
     "q85_incr_agg" -> (q85IncrAgg _),
     "q86_prefix_jaccard" -> (q86PrefixJaccard _),
     "q87_pagerank" -> (q87Pagerank _),
-    "q88_containment" -> (q88Containment _))
+    "q88_containment" -> (q88Containment _),
+    "q89_incremental_dedup" -> (q89IncrementalDedup _),
+    "q90_novelty" -> (q90Novelty _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -282,5 +394,7 @@ object CorpusStatsQueries {
     "q85_incr_agg" -> q85Sql,
     "q86_prefix_jaccard" -> q86Sql,
     "q87_pagerank" -> q87Sql,
-    "q88_containment" -> q88Sql)
+    "q88_containment" -> q88Sql,
+    "q89_incremental_dedup" -> q89Sql,
+    "q90_novelty" -> q90Sql)
 }

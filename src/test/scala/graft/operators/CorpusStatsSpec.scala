@@ -257,6 +257,58 @@ class CorpusStatsSpec extends SparkSpec {
     assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-6)
   }
 
+  // ---- q89/q90 incremental batch-vs-corpus dedup + novelty ----
+
+  test("incremental dedup: exact copy, near copy, and novel doc get distinct verdicts") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "alpha  beta gamma delta epsilon zeta eta theta"), // ws-normalized exact copy of 1
+      (102L, "one two three four five six seven eight nine inserted ten"), // near copy of 2
+      (103L, "completely different content with no overlap at all whatsoever"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.incrementalDedup(batch, corpus, n = 3, threshold = 0.4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(101L) == (("dup_exact", 1L)))
+    assert(got(102L)._1 == "dup_near" && got(102L)._2 >= 1L)
+    assert(got(103L) == (("new", 0L)))
+  }
+
+  test("incremental dedup: exact verdict wins even when the near path would also fire") {
+    // batch doc is an exact copy — it must be gated OUT of the LSH
+    // path and report its exact-copy count, not near pairs
+    val corpus = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val got = TextDedup.incrementalDedup(batch, corpus, n = 3, threshold = 0.4)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((100L, "dup_exact", 2L)))
+  }
+
+  test("novelty: all-seen → 0.0, all-new → 1.0, half-seen → 0.5") {
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e"),   // 3 shingles, all in corpus
+      (11L, "x y z w v"),   // 3 shingles, none in corpus
+      (12L, "a b c x y z")) // 4 shingles: "a b c" seen, others novel
+      .toDF("doc_id", "text")
+    val got = TextDedup.noveltyAgainstCorpus(batch, corpus, n = 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((3L, 0.0)))
+    assert(got(11L) == ((3L, 1.0)))
+    assert(got(12L) == ((4L, 0.75)))
+  }
+
+  test("novelty: docs shorter than n tokens emit no row") {
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val batch = Seq((10L, "a b"), (11L, "a b c")).toDF("doc_id", "text")
+    val ids = TextDedup.noveltyAgainstCorpus(batch, corpus, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(11L))
+  }
+
   test("pagerank directed: multi-round mass conservation on a dangling-heavy graph") {
     // two sources point at two sinks — half the graph is dangling
     val edges = Seq((1L, 3L), (2L, 4L), (1L, 4L)).toDF("id_a", "id_b")
