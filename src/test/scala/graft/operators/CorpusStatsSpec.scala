@@ -181,6 +181,24 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pref == full && full.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("prefix join: broadcastIndex=false sort-merge path is row-identical") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val b = TextDedup.prefixJaccardPairs(docs, n = 3, threshold = 0.4)
+      .collect().map(_.toSeq).toSet
+    val s = TextDedup.prefixJaccardPairs(docs, n = 3, threshold = 0.4,
+      broadcastIndex = false).collect().map(_.toSeq).toSet
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("prefix join plan: codegen merge-intersect, no interpreted array_intersect") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val d = TextDedup.prefixJaccardPairs(docs, n = 3, threshold = 0.4)
+    d.count()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("sortedintersectcount"))
+    assert(!plan.contains("array_intersect"))
+  }
+
   test("prefix bound survives exact-integer τ·|S| products") {
     // |S|=5 shingles, τ=0.4: τ·|S| = 2.0 exactly; a float-naive ceil
     // gives 3 and drops a true pair. 7 tokens → 5 trigram shingles.

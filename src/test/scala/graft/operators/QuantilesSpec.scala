@@ -46,4 +46,12 @@ class QuantilesSpec extends SparkSpec {
       .select("n").as[Long].head()
     assert(n == 3L)
   }
+
+  test("q37's plan has no group-buffering Percentile aggregate") {
+    val d = graft.SparkEntry.queries("q37_quantiles")(
+      spark, "/root/testdata/sf0.001")
+    d.count()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), "Percentile agg crept back in")
+  }
 }
