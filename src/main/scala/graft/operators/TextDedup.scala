@@ -79,6 +79,39 @@ object TextDedup {
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
 
+  /** Per-doc sorted shingle sets + set sizes, semi-reduced to the ids
+    * that actually appear in candidate pairs — the shared verification
+    * input for every LSH/prefix candidate path here. */
+  private def sortedSets(ds: DataFrame, ids: DataFrame): DataFrame =
+    ds.join(broadcast(ids), Seq("id"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("set"),
+        count(lit(1)).as("sz"))
+
+  /** Exact Jaccard of candidate pairs (columns id_a, id_b) against
+    * sorted-set frames for each side, via the codegen merge-intersect
+    * (the interpreted `size(array_intersect(..))` dominated every
+    * verification stage it appeared in). `bcastSets` broadcasts the
+    * semi-reduced set frames — right while candidate docs fit an
+    * executor; false → sort-merge on the id keys, identical result. */
+  private def verifiedJaccard(cand: DataFrame, setsA: DataFrame,
+      setsB: DataFrame, threshold: Double, bcastSets: Boolean): DataFrame = {
+    def side(sets: DataFrame, idc: String, suffix: String): DataFrame = {
+      val s = sets.select(col("id").as(idc), col("set").as(s"set_$suffix"),
+        col("sz").as(s"sz_$suffix"))
+      if (bcastSets) broadcast(s) else s
+    }
+    cand
+      .join(side(setsA, "id_a", "a"), "id_a")
+      .join(side(setsB, "id_b", "b"), "id_b")
+      .withColumn("inter", graft.plans.SetFunctions.sorted_intersect_count(
+        col("set_a"), col("set_b")))
+      .withColumn("jaccard",
+        Num.r4(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Prefix-filtered exact Jaccard join (AllPairs/PPJoin, Bayardo et
     * al. 2007 / Xiao et al. 2008): identical result set to
     * [[jaccardPairs]], but only each document's PREFIX is indexed —
@@ -183,20 +216,9 @@ object TextDedup {
     val candIds = survivors
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val docsets = ds
-      .join(broadcast(candIds), Seq("id"), "left_semi")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("set"))
-      .cache()
-    survivors
-      .join(bcast(docsets.select(col("id").as("id_a"), col("set").as("set_a"))), "id_a")
-      .join(bcast(docsets.select(col("id").as("id_b"), col("set").as("set_b"))), "id_b")
-      .withColumn("inter", graft.plans.SetFunctions.sorted_intersect_count(
-        col("set_a"), col("set_b")))
-      .withColumn("jaccard",
-        Num.r4(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter"))))
-      .filter(col("jaccard") >= threshold)
+    val sets = sortedSets(ds, candIds).cache()
+    verifiedJaccard(survivors.select(col("id_a"), col("id_b")),
+      sets, sets, threshold, bcastSets = broadcastIndex)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -296,28 +318,20 @@ object TextDedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidate
-    * pairs → exact Jaccard verification ≥ threshold. */
+    * pairs → exact Jaccard verification ≥ threshold (sorted-set
+    * merge-intersect over candidate docs only; `broadcastSets=false`
+    * for candidate sets beyond executor memory). */
   def minhashDedup(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // one exploded-shingle pass feeds signatures, sizes, and the
-    // verification join
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastSets: Boolean = true): DataFrame = {
+    // one exploded-shingle pass feeds signatures and the verification
     val ds = docShingles(docs, idCol, textCol, n).cache()
-    val candidates = minhashCandidates(signaturesFromShingles(ds))
-    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = candidates
-      .join(ds.withColumnRenamed("id", "id_a").withColumnRenamed("shingle", "sa"), "id_a")
-      .join(ds.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "sb")
-        .withColumnRenamed("sa", "sb_ignore"), Seq("id_b"))
-      .filter(col("sa") === col("sb"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .withColumn("jaccard",
-        Num.r4(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter"))))
-      .filter(col("jaccard") >= threshold)
+    val candidates = minhashCandidates(signaturesFromShingles(ds)).cache()
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sets = sortedSets(ds, candIds)
+    verifiedJaccard(candidates, sets, sets, threshold, broadcastSets)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
@@ -357,21 +371,15 @@ object TextDedup {
     val cand = bandKeys(signaturesFromShingles(bs)).as("a")
       .join(cBounded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
-      .select(col("a.id").as("id_b"), col("b.id").as("id_c"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val bSizes = bs.groupBy(col("id")).agg(count(lit(1)).as("sz_b"))
-    val cSizes = cs.groupBy(col("id")).agg(count(lit(1)).as("sz_c"))
-    val inter = cand
-      .join(bs.select(col("id").as("id_b"), col("shingle")), "id_b")
-      .join(cs.select(col("id").as("id_c"), col("shingle")), Seq("id_c", "shingle"))
-      .groupBy(col("id_b"), col("id_c"))
-      .agg(count(lit(1)).as("inter"))
-    val near = inter
-      .join(bSizes.withColumnRenamed("id", "id_b"), "id_b")
-      .join(cSizes.withColumnRenamed("id", "id_c"), "id_c")
-      .filter(Num.r4(col("inter").cast("double") /
-        (col("sz_b") + col("sz_c") - col("inter"))) >= threshold)
-      .groupBy(col("id_b").as("id"))
+      .cache()
+    // verification via sorted-set merge-intersect, each side
+    // semi-reduced to its own candidate ids
+    val bSets = sortedSets(bs, cand.select(col("id_a").as("id")).distinct())
+    val cSets = sortedSets(cs, cand.select(col("id_b").as("id")).distinct())
+    val near = verifiedJaccard(cand, bSets, cSets, threshold, bcastSets = true)
+      .groupBy(col("id_a").as("id"))
       .agg(count(lit(1)).as("n_near"))
     batch.select(col(idCol).as("id"))
       .join(exact, Seq("id"), "left")
