@@ -72,6 +72,13 @@ object Bench {
       val times = Seq(once(), once(), once())
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // clearCache drops cached relations but NOT broadcast blocks —
+      // those are reclaimed by the ContextCleaner only after a driver
+      // GC collects their references. Without this nudge, ~100 queries
+      // of BHJ broadcasts accumulate in the block manager and tax the
+      // late-alphabet queries (q89 measured 5.1 s in a full sweep vs
+      // 1.0 s isolated — same disease as the r3/r4 cache swings).
+      System.gc()
       val good = times.filter(_ >= 0)
       name -> (if (good.isEmpty) -1.0 else good.min)
     }
