@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Graph, LanguageModel, Num, Similarity, TextDedup}
+import graft.operators.{Graph, LanguageModel, LogisticGd, Num, Similarity, TextDedup}
 
 /** Round-5 third wave: corpus-statistics and exact-similarity
   * scale-path operators — token entropy, bigram-LM quality scoring,
@@ -376,6 +376,76 @@ object CorpusStatsQueries {
        |ORDER BY 1""".stripMargin
   }
 
+  // ---- q91: quality-classifier training — binary logistic regression
+  // by full-batch gradient descent on cheap document features
+  // (intercept, capped token count, alpha ratio, stopword ratio,
+  // scaled mean word length) against the lang='en' label. Rounds are
+  // unrolled in the DuckDB oracle with per-round 8-decimal weight
+  // snaps (the q81 contract). ----
+
+  private val LrIters = 4
+  private val LrEta = 2.0
+  private val LrDim = 5
+
+  private def lrFeatures(d: DataFrame): DataFrame = {
+    val tc = TF.tokenCount(col("text")).cast("double")
+    val xs = Seq(
+      lit(1.0),
+      Num.r(least(tc / 100, lit(1.0)), 8),
+      Num.r(TF.alphaRatio(col("text")), 8),
+      Num.r(TF.stopwordRatio(col("text")), 8),
+      Num.r(TF.meanWordLen(col("text")) / 10, 8))
+    d.select(xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") } :+
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"): _*)
+  }
+
+  def q91QualityLr(spark: SparkSession, dir: String): DataFrame = {
+    val feat = lrFeatures(docs(spark, dir))
+    val w = LogisticGd.fit(feat, LrDim, iters = LrIters, lr = LrEta)
+    val z = LogisticGd.linearScore(w.toSeq)
+    val acc = avg(when((z >= 0) === (col("y") === 1.0), 1.0).otherwise(0.0))
+    feat.agg(count(lit(1)).as("n"), Num.r4(acc).as("acc"))
+      .select(Seq(col("n"), col("acc")) ++
+        w.zipWithIndex.map { case (wj, j) => lit(wj).as(s"w$j") }: _*)
+  }
+
+  val q91Sql: String = {
+    val tc = TF.sqlTokenCount("text")
+    val d = LrDim
+    def dot(ws: Int => String) =
+      (0 until d).map(j => s"${ws(j)}*x$j").mkString(" + ")
+    def roundSelect(ws: Int => String) =
+      (0 until d).map(j => Num.sqlR(
+        s"${ws(j)} - $LrEta * avg((1.0/(1.0+exp(-(${dot(ws)}))) - y)*x$j)", 8) +
+        s" AS w$j").mkString(",\n    ")
+    val r1 = s"""w1 AS (
+       |  SELECT ${roundSelect(_ => "0.0")}
+       |  FROM feat)""".stripMargin
+    val rest = (2 to LrIters).map { r =>
+      s"""w$r AS (
+         |  SELECT ${roundSelect(j => s"w.w$j")}
+         |  FROM feat, w${r - 1} w
+         |  GROUP BY ${(0 until d).map(j => s"w.w$j").mkString(", ")})""".stripMargin
+    }.mkString(",\n")
+    val zFinal = dot(j => s"w.w$j")
+    s"""WITH feat AS (
+       |  SELECT
+       |    1.0 AS x0,
+       |    ${Num.sqlR(s"least($tc / 100.0, 1.0)", 8)} AS x1,
+       |    ${Num.sqlR(TF.sqlAlphaRatio("text"), 8)} AS x2,
+       |    ${Num.sqlR(TF.sqlStopwordRatio("text"), 8)} AS x3,
+       |    ${Num.sqlR(s"(${TF.sqlMeanWordLen("text")}) / 10.0", 8)} AS x4,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |$r1,
+       |$rest
+       |SELECT CAST(count(*) AS BIGINT) AS n,
+       |  ${Num.sqlR4(s"avg(CASE WHEN (($zFinal) >= 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END)")} AS acc,
+       |  ${(0 until d).map(j => s"w.w$j AS w$j").mkString(", ")}
+       |FROM feat, w$LrIters w
+       |GROUP BY ${(0 until d).map(j => s"w.w$j").mkString(", ")}""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -385,7 +455,8 @@ object CorpusStatsQueries {
     "q87_pagerank" -> (q87Pagerank _),
     "q88_containment" -> (q88Containment _),
     "q89_incremental_dedup" -> (q89IncrementalDedup _),
-    "q90_novelty" -> (q90Novelty _))
+    "q90_novelty" -> (q90Novelty _),
+    "q91_quality_lr" -> (q91QualityLr _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -396,5 +467,6 @@ object CorpusStatsQueries {
     "q87_pagerank" -> q87Sql,
     "q88_containment" -> q88Sql,
     "q89_incremental_dedup" -> q89Sql,
-    "q90_novelty" -> q90Sql)
+    "q90_novelty" -> q90Sql,
+    "q91_quality_lr" -> q91Sql)
 }
