@@ -446,6 +446,36 @@ object CorpusStatsQueries {
        |GROUP BY ${(0 until d).map(j => s"w.w$j").mkString(", ")}""".stripMargin
   }
 
+  // ---- q92: ordered string aggregation (SQL LISTAGG / string_agg
+  // ORDER BY) — the report-building surface. Spark has no ordered
+  // string_agg aggregate; the idiomatic exact equivalent is
+  // concat_ws over array_sort(collect_list(..)), which keeps map-side
+  // partial aggregation (arrays merge, sort happens once per group at
+  // the end). Scale note: group payload is the concatenated string —
+  // bounded by group size; for unbounded groups cap with slice() or
+  // Sampling.BoundedMinSample first. ----
+
+  def q92Listagg(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val region = Tables.load(spark, dir, "region")
+    nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+        concat_ws("|", reverse(array_sort(collect_list(col("n_name")))))
+          .as("nations_desc"))
+      .orderBy(col("r_name"))
+  }
+
+  val q92Sql: String =
+    """SELECT r_name, count(*) AS n_nations,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  string_agg(n_name, '|' ORDER BY n_name DESC) AS nations_desc
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -456,7 +486,8 @@ object CorpusStatsQueries {
     "q88_containment" -> (q88Containment _),
     "q89_incremental_dedup" -> (q89IncrementalDedup _),
     "q90_novelty" -> (q90Novelty _),
-    "q91_quality_lr" -> (q91QualityLr _))
+    "q91_quality_lr" -> (q91QualityLr _),
+    "q92_listagg" -> (q92Listagg _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -468,5 +499,6 @@ object CorpusStatsQueries {
     "q88_containment" -> q88Sql,
     "q89_incremental_dedup" -> q89Sql,
     "q90_novelty" -> q90Sql,
-    "q91_quality_lr" -> q91Sql)
+    "q91_quality_lr" -> q91Sql,
+    "q92_listagg" -> q92Sql)
 }
