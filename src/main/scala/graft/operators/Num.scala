@@ -25,6 +25,16 @@ object Num {
   def r2(c: Column): Column = r(c, 2)
   def r4(c: Column): Column = r(c, 4)
 
+  /** JVM twin of [[r]] for driver-side model state (centroids, GD
+    * weights, covariance entries) that must land bit-equal with the
+    * SQL form — powers of 10 through 1e22 are exact doubles, so the
+    * two-stage floor here is the identical IEEE computation. */
+  def j(x: Double, scale: Int): Double = {
+    val p = math.pow(10, scale + 4)
+    val f = math.pow(10, scale)
+    math.floor(math.floor(x * p + 0.5) / p * f + 0.5) / f
+  }
+
   /** Same expression as DuckDB SQL text. */
   def sqlR(e: String, scale: Int): String = {
     val p = math.pow(10, scale + 4).toLong

@@ -476,6 +476,36 @@ object CorpusStatsQueries {
       |GROUP BY r_name
       |ORDER BY r_name""".stripMargin
 
+  // ---- q93: embedding covariance — the sufficient-statistics pass of
+  // PCA (operators.Pca), oracle-checked on the top-left 8×8 block.
+  // The full d×d matrix comes from ONE typed-Aggregator job with
+  // map-side partials (d(d+3)/2 doubles of state); the oracle recomputes
+  // each entry as avg(xi·xj) − avg(xi)·avg(xj). The eigen-decomposition
+  // downstream is driver-side model math (spec-pinned, not
+  // SQL-expressible). ----
+
+  private val CovSlice = 8
+
+  def q93Covariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cov = graft.operators.Pca.covariance(embs(spark, dir), "embedding", 64)
+    val rows = for { i <- 0 until CovSlice; j <- i until CovSlice }
+      yield (i.toLong, j.toLong, Num.j(cov(i)(j), 4))
+    rows.toDF("i", "j", "cov").orderBy(col("i"), col("j"))
+  }
+
+  val q93Sql: String =
+    s"""WITH e AS (
+       |  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |grid AS (
+       |  SELECT i, j FROM range($CovSlice) t(i), range($CovSlice) u(j)
+       |  WHERE i <= j)
+       |SELECT g.i AS i, g.j AS j,
+       |  ${Num.sqlR4("avg(v[g.i + 1] * v[g.j + 1]) - avg(v[g.i + 1]) * avg(v[g.j + 1])")} AS cov
+       |FROM e, grid g
+       |GROUP BY g.i, g.j
+       |ORDER BY i, j""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -487,7 +517,8 @@ object CorpusStatsQueries {
     "q89_incremental_dedup" -> (q89IncrementalDedup _),
     "q90_novelty" -> (q90Novelty _),
     "q91_quality_lr" -> (q91QualityLr _),
-    "q92_listagg" -> (q92Listagg _))
+    "q92_listagg" -> (q92Listagg _),
+    "q93_covariance" -> (q93Covariance _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -500,5 +531,6 @@ object CorpusStatsQueries {
     "q89_incremental_dedup" -> q89Sql,
     "q90_novelty" -> q90Sql,
     "q91_quality_lr" -> q91Sql,
-    "q92_listagg" -> q92Sql)
+    "q92_listagg" -> q92Sql,
+    "q93_covariance" -> q93Sql)
 }
