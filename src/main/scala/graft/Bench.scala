@@ -63,7 +63,7 @@ object Bench {
         val ok =
           try {
             val d = fn(spark, sfDir)
-            d.select(xxhash64(d.columns.map(col): _*).as("h"))
+            d.select(xxhash64(d.columns.toIndexedSeq.map(col): _*).as("h"))
               .agg(expr("bit_xor(h)")).collect()
             true
           } catch { case _: Throwable => false }

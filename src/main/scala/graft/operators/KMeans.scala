@@ -39,7 +39,7 @@ object KMeans {
   /** (rounded distance, cell) structs for every centroid; argmin =
     * array_min with cell tie-break. */
   private def distArr(v: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (c, i) =>
+    array(centroids.toIndexedSeq.zipWithIndex.map { case (c, i) =>
       struct(Num.r4(sqDist(v, c)).as("dist"), lit(i).as("cell"))
     }: _*)
 

@@ -108,7 +108,7 @@ object Similarity {
   /** Per-vector array of (cos to centroid c, c) structs — argmax/sort
     * over it picks assignment/probe cells. */
   private[graft] def ivfCellArr(centroids: Array[(Int, Array[Double])])(v: Column): Column =
-    array(centroids.map { case (c, vec) =>
+    array(centroids.toIndexedSeq.map { case (c, vec) =>
       struct(Num.r4(cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
     }: _*)
 

@@ -498,7 +498,7 @@ object LakehouseQueries {
       .select(col("embedding")).collect()
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
-    def cellArr(v: Column): Column = array(centroids.map { case (c, vec) =>
+    def cellArr(v: Column): Column = array(centroids.toIndexedSeq.map { case (c, vec) =>
       struct(Num.r4(vec_cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
     }: _*)
     val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
