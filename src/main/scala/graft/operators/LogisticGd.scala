@@ -40,6 +40,26 @@ object LogisticGd {
     w.zipWithIndex.map { case (wj, j) => lit(wj) * col(s"x$j") }
       .reduce(_ + _)
 
+  /** The standard document-quality feature set x0..x4 appended to
+    * `df` (intercept, capped token count, alpha ratio, stopword
+    * ratio, scaled mean word length) — 8-decimal-snapped so any
+    * SQL twin trains on bit-identical inputs. Shared by the batch
+    * trainer queries and the streaming scoring twin. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val t = col(textCol)
+    val tc = TF.tokenCount(t).cast("double")
+    df
+      .withColumn("x0", lit(1.0))
+      .withColumn("x1", Num.r(least(tc / 100, lit(1.0)), 8))
+      .withColumn("x2", Num.r(TF.alphaRatio(t), 8))
+      .withColumn("x3", Num.r(TF.stopwordRatio(t), 8))
+      .withColumn("x4", Num.r(TF.meanWordLen(t) / 10, 8))
+  }
+
+  /** Feature count of [[qualityFeatures]]. */
+  val QualityDim = 5
+
   /** Train on feature columns x0..x{d-1} (include a lit(1.0)
     * intercept column; pre-snap real-valued features to 8 decimals
     * for cross-engine parity) against a {0.0, 1.0} label column. */

@@ -385,23 +385,19 @@ object CorpusStatsQueries {
 
   private val LrIters = 4
   private val LrEta = 2.0
-  private val LrDim = 5
+  private val LrDim = LogisticGd.QualityDim
 
-  private def lrFeatures(d: DataFrame): DataFrame = {
-    val tc = TF.tokenCount(col("text")).cast("double")
-    val xs = Seq(
-      lit(1.0),
-      Num.r(least(tc / 100, lit(1.0)), 8),
-      Num.r(TF.alphaRatio(col("text")), 8),
-      Num.r(TF.stopwordRatio(col("text")), 8),
-      Num.r(TF.meanWordLen(col("text")) / 10, 8))
-    d.select(xs.zipWithIndex.map { case (c, i) => c.as(s"x$i") } :+
-      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"): _*)
+  private def lrFeatures(d: DataFrame): DataFrame =
+    LogisticGd.qualityFeatures(d)
+      .withColumn("y", when(col("lang") === "en", 1.0).otherwise(0.0))
+
+  private def lrFit(spark: SparkSession, dir: String): (DataFrame, Array[Double]) = {
+    val feat = lrFeatures(docs(spark, dir))
+    (feat, LogisticGd.fit(feat, LrDim, iters = LrIters, lr = LrEta))
   }
 
   def q91QualityLr(spark: SparkSession, dir: String): DataFrame = {
-    val feat = lrFeatures(docs(spark, dir))
-    val w = LogisticGd.fit(feat, LrDim, iters = LrIters, lr = LrEta)
+    val (feat, w) = lrFit(spark, dir)
     val z = LogisticGd.linearScore(w.toSeq)
     val acc = avg(when((z >= 0) === (col("y") === 1.0), 1.0).otherwise(0.0))
     feat.agg(count(lit(1)).as("n"), Num.r4(acc).as("acc"))
@@ -409,7 +405,9 @@ object CorpusStatsQueries {
         w.zipWithIndex.map { case (wj, j) => lit(wj).as(s"w$j") }: _*)
   }
 
-  val q91Sql: String = {
+  /** Shared oracle CTE chain: feature table (with passthrough columns)
+    * + LrIters unrolled GD rounds ending in the one-row `w$LrIters`. */
+  private def lrSqlCtes(passthrough: String): String = {
     val tc = TF.sqlTokenCount("text")
     val d = LrDim
     def dot(ws: Int => String) =
@@ -427,9 +425,9 @@ object CorpusStatsQueries {
          |  FROM feat, w${r - 1} w
          |  GROUP BY ${(0 until d).map(j => s"w.w$j").mkString(", ")})""".stripMargin
     }.mkString(",\n")
-    val zFinal = dot(j => s"w.w$j")
-    s"""WITH feat AS (
+    s"""feat AS (
        |  SELECT
+       |    $passthrough
        |    1.0 AS x0,
        |    ${Num.sqlR(s"least($tc / 100.0, 1.0)", 8)} AS x1,
        |    ${Num.sqlR(TF.sqlAlphaRatio("text"), 8)} AS x2,
@@ -438,12 +436,51 @@ object CorpusStatsQueries {
        |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
        |  FROM documents),
        |$r1,
-       |$rest
+       |$rest""".stripMargin
+  }
+
+  private def lrSqlDotW: String =
+    (0 until LrDim).map(j => s"w.w$j*x$j").mkString(" + ")
+
+  val q91Sql: String = {
+    val d = LrDim
+    s"""WITH ${lrSqlCtes("")}
        |SELECT CAST(count(*) AS BIGINT) AS n,
-       |  ${Num.sqlR4(s"avg(CASE WHEN (($zFinal) >= 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END)")} AS acc,
+       |  ${Num.sqlR4(s"avg(CASE WHEN (($lrSqlDotW) >= 0) = (y = 1.0) THEN 1.0 ELSE 0.0 END)")} AS acc,
        |  ${(0 until d).map(j => s"w.w$j AS w$j").mkString(", ")}
        |FROM feat, w$LrIters w
        |GROUP BY ${(0 until d).map(j => s"w.w$j").mkString(", ")}""".stripMargin
+  }
+
+  // ---- q94: classifier-scored corpus routing — the train → score →
+  // route composition a production corpus runs: every document gets
+  // the trained model's verdict (z ≥ 0 ⇒ predicted positive) and the
+  // corpus is bucketed by (source, verdict) with mean score per
+  // bucket. The oracle re-trains the identical unrolled rounds and
+  // applies the same fixed-order decision expression. ----
+
+  def q94ClassifierRoute(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, w) = lrFit(spark, dir)
+    val z = LogisticGd.linearScore(w.toSeq)
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    feat
+      .withColumn("pred", when(z >= 0, 1L).otherwise(0L))
+      .withColumn("p", p)
+      .groupBy(col("source"), col("pred"))
+      .agg(count(lit(1)).as("docs"), Num.r4(avg(col("p"))).as("avg_score"))
+      .orderBy(col("source"), col("pred"))
+  }
+
+  val q94Sql: String = {
+    val z = s"($lrSqlDotW)"
+    s"""WITH ${lrSqlCtes("source,")}
+       |SELECT source,
+       |  CAST(CASE WHEN $z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  count(*) AS docs,
+       |  ${Num.sqlR4(s"avg(1.0/(1.0+exp(-$z)))")} AS avg_score
+       |FROM feat, w$LrIters w
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
   }
 
   // ---- q92: ordered string aggregation (SQL LISTAGG / string_agg
@@ -518,7 +555,8 @@ object CorpusStatsQueries {
     "q90_novelty" -> (q90Novelty _),
     "q91_quality_lr" -> (q91QualityLr _),
     "q92_listagg" -> (q92Listagg _),
-    "q93_covariance" -> (q93Covariance _))
+    "q93_covariance" -> (q93Covariance _),
+    "q94_classifier_route" -> (q94ClassifierRoute _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -532,5 +570,6 @@ object CorpusStatsQueries {
     "q90_novelty" -> q90Sql,
     "q91_quality_lr" -> q91Sql,
     "q92_listagg" -> q92Sql,
-    "q93_covariance" -> q93Sql)
+    "q93_covariance" -> q93Sql,
+    "q94_classifier_route" -> q94Sql)
 }
