@@ -543,6 +543,74 @@ object CorpusStatsQueries {
        |GROUP BY g.i, g.j
        |ORDER BY i, j""".stripMargin
 
+  // ---- q95: KMV distinct sketches with set operations — estimated
+  // vs exact distinct users for two event types, their union, and
+  // (by inclusion–exclusion) their intersection, side by side in one
+  // row. The sketch is an md5-hash order statistic, so the DuckDB
+  // oracle computes the IDENTICAL estimates (no HLL-style rows-only
+  // escape needed). ----
+
+  private val KmvK = 64
+
+  def q95KmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Kmv
+    val ev = Tables.load(spark, dir, "events")
+    def side(t: String): DataFrame =
+      ev.filter(col("event_type") === t).select(Kmv.normHash(col("user_id")))
+    val (va, pa) = (side("view"), side("purchase"))
+    val synA = Kmv.synopsis(va, KmvK).cache()
+    val synB = Kmv.synopsis(pa, KmvK).cache()
+    val (na, hka) = Kmv.stats(synA, KmvK)
+    val (nb, hkb) = Kmv.stats(synB, KmvK)
+    val estA = Kmv.estimate(na, hka, KmvK)
+    val estB = Kmv.estimate(nb, hkb, KmvK)
+    val estU = Kmv.unionEstimate(synA, synB, KmvK)
+    val exact = ev.filter(col("event_type").isin("view", "purchase"))
+      .agg(
+        countDistinct(when(col("event_type") === "view", col("user_id"))).as("xa"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("xb"),
+        countDistinct(col("user_id")).as("xu"))
+    exact.select(
+      lit(KmvK).cast("long").as("k"),
+      Num.r2(lit(estA)).as("est_view"),
+      Num.r2(lit(estB)).as("est_purchase"),
+      Num.r2(lit(estU)).as("est_union"),
+      Num.r2(lit(estA + estB - estU)).as("est_inter"),
+      col("xa").as("exact_view"), col("xb").as("exact_purchase"),
+      col("xu").as("exact_union"),
+      (col("xa") + col("xb") - col("xu")).as("exact_inter"))
+  }
+
+  val q95Sql: String = {
+    val u = s"${TF.sqlHash60("user_id::VARCHAR")}::DOUBLE / 1152921504606846976.0"
+    def syn(name: String, pred: String) =
+      s"""$name AS (
+         |  SELECT DISTINCT $u AS u FROM events WHERE $pred
+         |  ORDER BY 1 LIMIT $KmvK)""".stripMargin
+    def est(s: String) =
+      s"""(SELECT CASE WHEN count(*) < $KmvK THEN count(*)::DOUBLE
+         |  ELSE ${KmvK - 1}.0 / max(u) END FROM $s)""".stripMargin
+    s"""WITH ${syn("sa", "event_type = 'view'")},
+       |${syn("sb", "event_type = 'purchase'")},
+       |su AS (SELECT u FROM (SELECT u FROM sa UNION SELECT u FROM sb)
+       |       ORDER BY 1 LIMIT $KmvK),
+       |x AS (
+       |  SELECT
+       |    count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS xa,
+       |    count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS xb,
+       |    count(DISTINCT user_id) AS xu
+       |  FROM events WHERE event_type IN ('view', 'purchase'))
+       |SELECT CAST($KmvK AS BIGINT) AS k,
+       |  ${Num.sqlR2(est("sa"))} AS est_view,
+       |  ${Num.sqlR2(est("sb"))} AS est_purchase,
+       |  ${Num.sqlR2(est("su"))} AS est_union,
+       |  ${Num.sqlR2(s"${est("sa")} + ${est("sb")} - ${est("su")}")} AS est_inter,
+       |  CAST(xa AS BIGINT) AS exact_view, CAST(xb AS BIGINT) AS exact_purchase,
+       |  CAST(xu AS BIGINT) AS exact_union,
+       |  CAST(xa + xb - xu AS BIGINT) AS exact_inter
+       |FROM x""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -556,7 +624,8 @@ object CorpusStatsQueries {
     "q91_quality_lr" -> (q91QualityLr _),
     "q92_listagg" -> (q92Listagg _),
     "q93_covariance" -> (q93Covariance _),
-    "q94_classifier_route" -> (q94ClassifierRoute _))
+    "q94_classifier_route" -> (q94ClassifierRoute _),
+    "q95_kmv_setops" -> (q95KmvSetOps _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -571,5 +640,6 @@ object CorpusStatsQueries {
     "q91_quality_lr" -> q91Sql,
     "q92_listagg" -> q92Sql,
     "q93_covariance" -> q93Sql,
-    "q94_classifier_route" -> q94Sql)
+    "q94_classifier_route" -> q94Sql,
+    "q95_kmv_setops" -> q95Sql)
 }
