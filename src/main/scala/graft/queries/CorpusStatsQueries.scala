@@ -611,6 +611,43 @@ object CorpusStatsQueries {
        |FROM x""".stripMargin
   }
 
+  // ---- q96: deterministic MODE — the most frequent value per group
+  // with a PINNED tie-break (count desc, value asc). SQL's mode() has
+  // engine-defined tie behavior, so the portable exact form is a rank
+  // over grouped counts — and the window runs over the (group, value)
+  // COUNT table (group-cardinality rows), never the corpus. ----
+
+  def q96Mode(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+    counts
+      .withColumn("rnk", row_number().over(
+        w.orderBy(col("cnt").desc, col("source"))))
+      .withColumn("total", sum(col("cnt")).over(w))
+      .filter(col("rnk") === 1)
+      .select(col("lang"), col("source").as("top_source"), col("cnt"),
+        Num.r4(col("cnt").cast("double") / col("total")).as("share"))
+      .orderBy(col("lang"))
+  }
+
+  val q96Sql: String =
+    s"""WITH c AS (
+       |  SELECT lang, source, count(*) AS cnt
+       |  FROM documents GROUP BY lang, source),
+       |r AS (
+       |  SELECT lang, source, cnt,
+       |    row_number() OVER (PARTITION BY lang
+       |                       ORDER BY cnt DESC, source) AS rnk,
+       |    sum(cnt) OVER (PARTITION BY lang) AS total
+       |  FROM c)
+       |SELECT lang, source AS top_source, cnt,
+       |  ${Num.sqlR4("cnt::DOUBLE / total")} AS share
+       |FROM r WHERE rnk = 1
+       |ORDER BY lang""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -625,7 +662,8 @@ object CorpusStatsQueries {
     "q92_listagg" -> (q92Listagg _),
     "q93_covariance" -> (q93Covariance _),
     "q94_classifier_route" -> (q94ClassifierRoute _),
-    "q95_kmv_setops" -> (q95KmvSetOps _))
+    "q95_kmv_setops" -> (q95KmvSetOps _),
+    "q96_mode" -> (q96Mode _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -641,5 +679,6 @@ object CorpusStatsQueries {
     "q92_listagg" -> q92Sql,
     "q93_covariance" -> q93Sql,
     "q94_classifier_route" -> q94Sql,
-    "q95_kmv_setops" -> q95Sql)
+    "q95_kmv_setops" -> q95Sql,
+    "q96_mode" -> q96Sql)
 }
