@@ -3,11 +3,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Benchmark main — emits a compact total-only JSON line FIRST, then
-  * the full per-query JSON line, on SPARK_GRAFT_SF_DIR (driver
-  * contract). Total-first because at ~100 queries the per-query line
-  * outgrew the driver's tail capture once (BENCH_r05 `parsed:null`);
-  * the compact line always fits.
+/** Benchmark main — emits the full per-query JSON line, then a
+  * compact total-only JSON line LAST, on SPARK_GRAFT_SF_DIR (driver
+  * contract). Compact-last because the driver captures the TAIL of
+  * the log: at ~100 queries the per-query line outgrew the capture
+  * (BENCH_r05 `parsed:null`), and printing the compact line first
+  * put it exactly in the truncated region (BENCH_r06 `parsed:{}`).
+  * The full JSON is also written to `target/bench.json` so the
+  * driver (or a human) can always read the complete record.
   *
   * A warmup pass (parquet footers + one full execution of a small
   * query) runs before timing so per-query numbers measure the query,
@@ -86,9 +89,19 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    // Compact line first — guaranteed to survive tail truncation.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // Full record to a file the driver can always read whole.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => }
+    println(fullJson)
+    // Compact line LAST — the driver keeps the tail of the log, so
+    // the summary must be the final line to survive truncation.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

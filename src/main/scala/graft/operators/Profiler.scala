@@ -54,18 +54,38 @@ object Profiler {
         case KTs => c.cast("timestamp")
         case _ => lit(null).cast("timestamp")
       }
+      // full-fidelity numeric view for the DISTINCT identity only:
+      // num_view is a double, which collapses 64-bit integers and
+      // high-precision decimals past 2^53 (e.g. 60-bit hash ids) —
+      // min/max tolerate that, a distinct count must not. String-cast
+      // is injective for integral/decimal types; float/double keep
+      // raw_view null because num_view is already exact for them AND
+      // a string view would split -0.0 from 0.0, diverging from
+      // countDistinct's (and DuckDB's) normalized identity.
+      val rawView: Column = cs.kind match {
+        case KNum => df.schema(cs.name).dataType match {
+          case org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType => lit(null).cast("string")
+          case _ => c.cast("string")
+        }
+        case _ => lit(null).cast("string")
+      }
       struct(
         lit(cs.name).as("col_name"),
         c.isNull.as("is_null"),
         numView.as("num_view"),
         strView.as("str_view"),
-        tsView.as("ts_view"))
+        tsView.as("ts_view"),
+        rawView.as("raw_view"))
     }: _*)
-    // distinct identity = the typed view triple: exactly one view is
-    // populated per column kind, so struct-distinct ≡ distinct over
-    // the original values (under UnsafeRow's -0.0 normalization — the
-    // same identity the built-in countDistinct uses)
-    val vals = struct(col("num_view"), col("str_view"), col("ts_view"))
+    // distinct identity = the typed views: exactly one full-fidelity
+    // view is populated per column kind (raw_view or num_view for
+    // KNum, str_view for KStr, ts_view for KTs), so struct-distinct ≡
+    // distinct over the original values (under UnsafeRow's -0.0
+    // normalization — the same identity the built-in countDistinct
+    // uses)
+    val vals = struct(col("num_view"), col("str_view"), col("ts_view"),
+      col("raw_view"))
     val dist =
       if (exactDistinct) countDistinct(when(!col("is_null"), vals))
       else approx_count_distinct(when(!col("is_null"), vals))

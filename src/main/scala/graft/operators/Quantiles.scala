@@ -31,13 +31,20 @@ object Quantiles {
 
   /** One row per group: n plus an interpolated quantile column per
     * requested percentile, named by `names` (parallel to `ps`).
-    * Output values are raw (callers apply their own snapping). */
+    * Output values are raw (callers apply their own snapping).
+    * NULL values of `valueCol` are ignored — the `percentile` /
+    * `quantile_cont` convention — and `n` counts non-null rows only;
+    * a group whose values are all NULL emits no row (again matching
+    * both engines, which return NULL from an empty aggregate). */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], names: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length)
     val g = col(groupCol)
     val v = col(valueCol).cast("double")
+    // NULLs must not enter the count table: they sort first in the
+    // cumulative window and would shift every rank (and poison n)
     val cnts = df.select(g.as("g"), v.as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
     val w = Window.partitionBy(col("g")).orderBy(col("v"))
     val cum = cnts

@@ -228,7 +228,10 @@ object TextDedup {
     * misses it). Emits (contained, container, containment), both
     * directions of each undirected candidate evaluated independently.
     * Candidate generation shares the singleton-pruned inverted index
-    * with [[jaccardPairs]]. */
+    * with [[jaccardPairs]] — quadratic in shared-shingle pairs, so
+    * like [[jaccardPairs]] this is the small-corpus verification
+    * tool; [[prefixContainmentPairs]] is the identical-result scale
+    * path. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ds = docShingles(docs, idCol, textCol, n).cache()
@@ -258,6 +261,102 @@ object TextDedup {
         col("d.container").as("container"),
         col("d.containment").as("containment"))
       .filter(col("containment") >= threshold)
+  }
+
+  /** Prefix-filtered directed containment join — identical result set
+    * to [[containmentPairs]] but never all-pairs: the scale path for
+    * excerpt/quotation dedup (the directed analogue of
+    * [[prefixJaccardPairs]]'s PPJoin).
+    *
+    * Theorem (directed prefix filter): |A∩B| ≥ τ·|A| means the
+    * overlap requirement t = ⌈τ·|A|⌉ depends ONLY on the contained
+    * side A. By pigeonhole, at least one common element must lie in
+    * A's first |A| − t + 1 shingles under ANY global total order — so
+    * only the CONTAINED side's prefix is indexed. The container side
+    * gets no prefix (t gives it no bound: a 5-shingle excerpt's three
+    * common shingles can sit anywhere in a 10⁶-shingle container), so
+    * it probes with its full df>1 shingle list. Fan-out per shingle is
+    * df × df_prefix instead of df² — and under the (df asc, shingle
+    * asc) order hot boilerplate shingles live in SUFFIXES, never in
+    * the index, which is exactly what kills the Σ df² blowup of the
+    * all-pairs form (a df=10⁶ trigram contributes ~0 indexed rows).
+    *
+    * PPJoin-style pruning carried out of the index join for free:
+    *  - LENGTH filter in the join condition: |A∩B| ≤ |B| forces
+    *    |B| ≥ τ·|A| — doomed collisions die before the pair shuffle.
+    *  - POSITIONAL filter: po = #collisions (A-prefix × B-full),
+    *    pa/pb = last-collision ranks. Common elements appear with
+    *    jointly increasing ranks under the global order and "in A's
+    *    prefix" is downward-closed along that common sequence, so the
+    *    po collisions are the FIRST po common elements and every
+    *    remaining one has rank > pa in A and > pb in B:
+    *    |A∩B| ≤ po + min(sz_a − pa, sz_b − pb) < ⌈τ·sz_a⌉ → pruned.
+    * Survivors are verified exactly — sorted-set merge-intersect over
+    * docs semi-reduced to candidates — so pruning can only drop
+    * candidates the verifier would reject.
+    *
+    * `broadcastIndex = true` broadcasts the contained-side prefix
+    * index against the full-list probe side (prefixes are the small
+    * fraction (1−τ) of corpus shingles); at web scale set it false →
+    * sort-merge on the shingle key with AQE skew handling, identical
+    * rows. */
+  def prefixContainmentPairs(docs: DataFrame, n: Int = 3,
+      threshold: Double = 0.6, idCol: String = "doc_id",
+      textCol: String = "text", broadcastIndex: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // ranks over the FULL per-doc set (df>1 filtered only afterwards,
+    // so sz − rnk still counts true remaining elements); float-robust
+    // ceiling as in prefixJaccardPairs — underestimating τ·sz only
+    // admits candidates, never drops one
+    val ranked = ds
+      .join(df, "shingle")
+      .join(broadcast(sizes), "id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("df") > 1)
+      .select(col("id"), col("shingle"), col("sz"), col("rnk"))
+      .cache()
+    // contained-side index: first |A| − ⌈τ·|A|⌉ + 1 shingles. A
+    // colliding shingle has df ≥ 2, so the df>1 filter above keeps
+    // completeness while dropping the (majority) singleton rows.
+    val prefix = ranked.filter(col("rnk") <=
+      col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
+    val idx = if (broadcastIndex) broadcast(prefix.as("a")) else prefix.as("a")
+    val cand = ranked.as("b")
+      .join(idx, col("a.shingle") === col("b.shingle") &&
+        col("a.id") =!= col("b.id") &&
+        col("b.sz") >= lit(threshold) * col("a.sz") - 1e-9)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(count(lit(1)).as("po"),
+        max(col("a.rnk")).as("pa"), max(col("b.rnk")).as("pb"))
+    val needed = ceil(lit(threshold) * col("sz_a") - 1e-9)
+    val survivors = cand
+      .filter(col("po") +
+        least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >= needed)
+      .cache()
+    val candIds = survivors
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+    val sets = sortedSets(ds, candIds).cache()
+    def side(idc: String, suffix: String): DataFrame = {
+      val s = sets.select(col("id").as(idc), col("set").as(s"set_$suffix"),
+        col("sz").as(s"szv_$suffix"))
+      if (broadcastIndex) broadcast(s) else s
+    }
+    survivors.select(col("id_a"), col("id_b"))
+      .join(side("id_a", "a"), "id_a")
+      .join(side("id_b", "b"), "id_b")
+      .withColumn("inter", graft.plans.SetFunctions.sorted_intersect_count(
+        col("set_a"), col("set_b")))
+      .withColumn("containment",
+        Num.r4(col("inter").cast("double") / col("szv_a")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a").as("contained"), col("id_b").as("container"),
+        col("containment"))
   }
 
   /** MinHash parameters — fixed public constants so Spark and the

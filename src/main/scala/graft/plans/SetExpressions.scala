@@ -23,6 +23,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, S
   * `sort_array(collect_list(...))` over a distinct-ed table. Both
   * sides must sort under the same ordering (Spark's binary UTF8
   * ordering for strings), which `sort_array` guarantees.
+  *
+  * NULL ELEMENTS are not set members and are skipped (the function is
+  * SQL-registered, so arbitrary `containsNull=true` arrays can reach
+  * it — e.g. a literal `array('a', NULL)`; without the skip they NPE
+  * in the interpreted path and read garbage in codegen). The null
+  * checks are emitted ONLY when the input type says containsNull, so
+  * the in-repo hot path — `sort_array(collect_list(...))`, which is
+  * containsNull=false — keeps the branch-free merge loop.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,6 +39,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   private def elem(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
+
+  private def nullableElems(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
@@ -45,21 +56,30 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val (na, nb) = (a.numElements(), b.numElements())
+    val (skipA, skipB) = (nullableElems(left), nullableElems(right))
     var i = 0; var j = 0; var c = 0
     elem(left) match {
       case StringType =>
         while (i < na && j < nb) {
-          val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
-          if (cmp == 0) { c += 1; i += 1; j += 1 }
-          else if (cmp < 0) i += 1
-          else j += 1
+          if (skipA && a.isNullAt(i)) i += 1
+          else if (skipB && b.isNullAt(j)) j += 1
+          else {
+            val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+            if (cmp == 0) { c += 1; i += 1; j += 1 }
+            else if (cmp < 0) i += 1
+            else j += 1
+          }
         }
       case _ =>
         while (i < na && j < nb) {
-          val x = a.getLong(i); val y = b.getLong(j)
-          if (x == y) { c += 1; i += 1; j += 1 }
-          else if (x < y) i += 1
-          else j += 1
+          if (skipA && a.isNullAt(i)) i += 1
+          else if (skipB && b.isNullAt(j)) j += 1
+          else {
+            val x = a.getLong(i); val y = b.getLong(j)
+            if (x == y) { c += 1; i += 1; j += 1 }
+            else if (x < y) i += 1
+            else j += 1
+          }
         }
     }
     c
@@ -74,6 +94,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val getA = CodeGenerator.getValue(a, elem(left), i)
       val getB = CodeGenerator.getValue(b, elem(right), j)
+      // null-element skips, emitted only for containsNull inputs —
+      // the containsNull=false hot path compiles to the bare merge
+      val skipA =
+        if (nullableElems(left)) s"if ($a.isNullAt($i)) { $i++; continue; }" else ""
+      val skipB =
+        if (nullableElems(right)) s"if ($b.isNullAt($j)) { $j++; continue; }" else ""
       val step = elem(left) match {
         case StringType =>
           val cmp = ctx.freshName("cmp")
@@ -94,6 +120,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $na && $j < $nb) {
+         |  $skipA
+         |  $skipB
          |  $step
          |}
          |${ev.value} = $c;
@@ -113,5 +141,5 @@ object SetFunctions {
   /** SQL registration so the expression is usable from spark.sql. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count", es => SortedIntersectCount(es.head, es(1)), "builtin")
+      "sorted_intersect_count", es => SortedIntersectCount(es.head, es(1)), "built-in")
 }

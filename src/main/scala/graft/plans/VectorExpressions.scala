@@ -178,9 +178,9 @@ object VectorFunctions {
   /** SQL registration so the expressions are usable from spark.sql. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_cosine", es => VecCosine(es.head, es(1)), "builtin")
+      "vec_cosine", es => VecCosine(es.head, es(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", es => VecDot(es.head, es(1)), "builtin")
+      "vec_dot", es => VecDot(es.head, es(1)), "built-in")
   }
 }
 

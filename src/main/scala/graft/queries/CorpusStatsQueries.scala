@@ -239,12 +239,16 @@ object CorpusStatsQueries {
 
   // ---- q88: directed containment dedup — |A∩B| / |A| ≥ τ catches
   // excerpts and quotations that Jaccard misses (a 50-shingle doc
-  // inside a 500-shingle doc has J ≈ 0.1 but containment 1.0). ----
+  // inside a 500-shingle doc has J ≈ 0.1 but containment 1.0).
+  // Runs the prefix-filtered scale path (contained-side prefix
+  // index + positional bound + merge-intersect verify); the oracle
+  // below is the all-pairs ground truth. ----
 
   private val ContainTau = 0.6
 
   def q88Containment(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.containmentPairs(docs(spark, dir), n = 3, threshold = ContainTau)
+    TextDedup.prefixContainmentPairs(docs(spark, dir), n = 3,
+      threshold = ContainTau)
       .orderBy(col("contained"), col("container"))
 
   val q88Sql: String =

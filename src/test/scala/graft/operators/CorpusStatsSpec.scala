@@ -226,6 +226,82 @@ class CorpusStatsSpec extends SparkSpec {
     assert(cont == Set((1L, 2L, 1.0))) // and no reverse direction
   }
 
+  // ---- q88 prefix-filtered containment (scale path) ----
+
+  test("prefix containment ≡ all-pairs containment on the corpus, two thresholds") {
+    val d = graft.Tables.load(spark, sf001, "documents")
+    for (tau <- Seq(0.5, 0.7)) {
+      val full = TextDedup.containmentPairs(d, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = TextDedup.prefixContainmentPairs(d, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"tau=$tau")
+      assert(full.nonEmpty, s"tau=$tau should produce pairs on testdata")
+    }
+  }
+
+  test("prefix containment: hot-shingle adversarial corpus stays complete") {
+    // every doc shares a hot boilerplate trigram (which sorts LAST in
+    // the df-asc prefix order, so it never enters the index); the
+    // excerpt relation must still be found via the rare prefix
+    // shingles, in the right DIRECTION only
+    val hot = "common shared prefix"
+    val excerpt = s"$hot alpha beta gamma delta"
+    val docs = Seq(
+      (1L, excerpt), // contained in 2
+      (2L, excerpt + " " + (1 to 30).map(i => s"pad$i").mkString(" ")),
+      (3L, s"$hot zeta eta theta iota unrelated words entirely"),
+      (4L, s"$hot lone wolf document here")).toDF("doc_id", "text")
+    val tau = 0.6
+    val full = TextDedup.containmentPairs(docs, n = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == full)
+    assert(pref.map(p => (p._1, p._2)).contains((1L, 2L)))
+    assert(!pref.map(p => (p._1, p._2)).contains((2L, 1L)))
+  }
+
+  test("prefix containment: broadcastIndex=false sort-merge path is row-identical") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val b = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = 0.6)
+      .collect().map(_.toSeq).toSet
+    val s = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = 0.6,
+      broadcastIndex = false).collect().map(_.toSeq).toSet
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("prefix containment plan: codegen merge-intersect, no array_intersect") {
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    val d = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = 0.6)
+    d.count()
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("sortedintersectcount"))
+    assert(!plan.contains("array_intersect"))
+  }
+
+  test("prefix containment bound survives τ·|S| floating ABOVE the integer") {
+    // |A| = 100 trigrams, τ = 0.55: 0.55·100 = 55.00000000000001 under
+    // IEEE, so a float-naive ceil computes t = 56 and shortens A's
+    // prefix to 45. The corpus is built so that is fatal: A's 45
+    // unique shingles (df=1) occupy ranks 1–45 of the df-asc order and
+    // ALL 55 shared shingles sort last (ranks 46–100) — the correct
+    // prefix length 46 catches exactly one shared shingle (the
+    // pigeonhole bound is tight here), the naive one catches none and
+    // silently drops a true containment pair.
+    val a = (1 to 102).map(i => s"a$i").mkString(" ") // 100 trigrams
+    // B shares a1..a57 → exactly the 55 trigrams inside that window;
+    // containment A→B = 55/100 = 0.55, B→A = 55/103 < 0.55
+    val b = ((1 to 57).map(i => s"a$i") ++ (1 to 48).map(i => s"f$i"))
+      .mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pref = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = 0.55)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = TextDedup.containmentPairs(docs, n = 3, threshold = 0.55)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pref == full && pref.map(p => (p._1, p._2)) == Set((1L, 2L)))
+  }
+
   // ---- q87 PageRank ----
 
   test("pagerank: symmetric triangle stays uniform at 1/n") {

@@ -238,4 +238,18 @@ class LakehouseSpec extends SparkSpec {
     // epoch seconds, UTC session timezone
     assert(ts.getDouble(4) == 1704067210.0 && ts.getDouble(5) == 1704153610.0)
   }
+
+  test("profile: 64-bit ids past 2^53 keep an exact distinct count") {
+    import graft.operators.Profiler._
+    // adjacent longs above 2^53 collide after the double cast (this
+    // repo's 60-bit hash ids are the real-world case); the distinct
+    // identity must use the full-fidelity raw view, not num_view
+    val base = 1L << 60
+    val df = Seq(base, base + 1, base + 1, base + 2, base + 3)
+      .toDF("id")
+    val got = profile(df, Seq(ColSpec("id", KNum))).collect().head
+    assert(got.getLong(3) == 4, s"distinct under-counted: ${got.getLong(3)}")
+    // min/max stay on the double view (the cross-engine convention)
+    assert(got.getDouble(4) == base.toDouble)
+  }
 }

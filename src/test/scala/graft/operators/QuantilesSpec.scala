@@ -47,6 +47,26 @@ class QuantilesSpec extends SparkSpec {
     assert(n == 3L)
   }
 
+  test("NULL values are ignored: ranks, n, and all-NULL groups match percentile()") {
+    // percentile()/quantile_cont ignore NULLs; before the isNotNull
+    // filter, NULLs entered the count table, sorted FIRST in the
+    // cumulative window, and shifted every rank
+    val df = Seq[(Int, java.lang.Double)](
+      (1, 1.0), (1, null), (1, 3.0), (1, null), (1, 5.0),
+      (2, null), (2, null), // all-NULL group: no output row
+      (3, 7.0)).toDF("g", "v")
+    val got = Quantiles.exactQuantiles(df, "g", "v",
+      Seq(0.5, 1.0), Seq("p50", "p100"))
+      .orderBy(col("g"))
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1, 3L, 3.0, 5.0), (3, 1L, 7.0, 7.0)))
+    val builtin = df.filter(col("v").isNotNull).groupBy(col("g"))
+      .agg(expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 1.0)").as("p100"))
+      .orderBy(col("g")).as[(Int, Double, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._3, r._4)) == builtin)
+  }
+
   test("q37's plan has no group-buffering Percentile aggregate") {
     val d = graft.SparkEntry.queries("q37_quantiles")(
       spark, "/root/testdata/sf0.001")
