@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{HeavyHitters, Merge, Num, ProductQuantizer, Profiler}
+import graft.operators.{HeavyHitters, Merge, Num, ProductQuantizer, Profiler, Similarity}
 
 /** Round-5 continuation: lakehouse-maintenance and corpus-hygiene
   * operators — cross-document boilerplate detection, MERGE INTO
@@ -36,23 +36,33 @@ object LakehouseQueries {
   private val BoilerN = 5
   private val BoilerMinDf = 2
 
-  def q64Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+  def q64Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateFractions(spark, dir, broadcastDict = true)
+
+  /** `broadcastDict = true` broadcasts the boilerplate-span dictionary
+    * (35 of 25k spans at sf0.01) — right while the df≥MinDf span set
+    * fits an executor. The set grows with the corpus (every template
+    * shared by ≥2 docs of a source joins it), so at corpus scale set
+    * it false → sort-merge on (source, g) with AQE skew handling,
+    * identical rows (equivalence-pinned in LakehouseSpec). */
+  private[graft] def boilerplateFractions(spark: SparkSession, dir: String,
+      broadcastDict: Boolean): DataFrame = {
     val t = docs(spark, dir)
       .select(col("doc_id"), col("source"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(TF.shinglesFromTokens(col("toks"), BoilerN))).as("g"))
     // Only the span-frequency table needs the (source, g) shuffle;
     // the per-doc scoring is a LEFT join against just the BOILERPLATE
-    // spans — a tiny set (35 of 25k at sf0.01: only spans shared
-    // across docs of a source) — broadcast, then one doc-keyed
-    // aggregation. Same broadcast-dictionary shape as q55; the
-    // all-spans self-join form measured 1.9 s vs 0.9 s at sf0.1.
+    // spans — only spans shared across docs of a source — then one
+    // doc-keyed aggregation. Same broadcast-dictionary shape as q55;
+    // the all-spans self-join form measured 1.9 s vs 0.9 s at sf0.1.
     // spans are per-doc distinct, so count(*) = document frequency
     val bp = t.groupBy(col("source"), col("g"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerMinDf)
       .select(col("source"), col("g"), lit(1L).as("is_bp"))
-    t.join(broadcast(bp), Seq("source", "g"), "left")
+    val dict = if (broadcastDict) broadcast(bp) else bp
+    t.join(dict, Seq("source", "g"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("spans"),
         sum(coalesce(col("is_bp"), lit(0L))).as("bp_spans"))
@@ -481,26 +491,30 @@ object LakehouseQueries {
 
   // ---- q76: semantic dedup, cluster-scoped (SemDeDup, Abbas et al.
   // 2023): assign embeddings to coarse cells (deterministic centroids,
-  // same convention as Similarity.ivfTopK), then find near-duplicate
-  // pairs ONLY within a cell — the O(n²) pair scan becomes
-  // Σ O(|cell|²), and at scale the cell count grows with the corpus so
-  // cells stay bounded. The cell join shuffles by cell key only; the
-  // q28 all-pairs form is this query's correctness ceiling. ----
+  // shared with Similarity.ivfTopK), then find near-duplicate pairs
+  // ONLY within a cell — the O(n²) pair scan becomes Σ O(|cell|²).
+  // The cell COUNT derives from the corpus size (one cell per
+  // SemTargetCell vectors, floor 16), so cells stay ~constant-sized
+  // as the corpus grows and Σ|cell|² stays ≈ n·SemTargetCell — linear,
+  // not n²/const. The cell join shuffles by cell key only; the q28
+  // all-pairs form is this query's correctness ceiling. ----
 
-  private val SemCells = 16
+  private val SemTargetCell = 100
   private val SemTau = 0.35
+
+  /** Cells for an n-vector corpus: ⌈n / SemTargetCell⌉, floor 16. */
+  private[graft] def semCellCount(n: Long): Int =
+    math.max(16L, (n + SemTargetCell - 1) / SemTargetCell).toInt
 
   def q76SemDedup(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.VectorFunctions.vec_cosine
     val emb = embs(spark, dir)
-    val centroids: Array[(Int, Array[Double])] = emb
-      .orderBy(col("vec_id")).limit(SemCells)
-      .select(col("embedding")).collect()
-      .zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
-    def cellArr(v: Column): Column = array(centroids.toIndexedSeq.map { case (c, vec) =>
-      struct(Num.r4(vec_cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
-    }: _*)
+    // corpus size → cell count: one count() scan; centroids themselves
+    // are bounded model state (nCells × dim doubles), same contract as
+    // Similarity.ivfTopK / ProductQuantizer codebooks
+    val nCells = semCellCount(emb.count())
+    val centroids = Similarity.ivfCentroids(emb, nCells)
+    val cellArr = Similarity.ivfCellArr(centroids) _
     val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
       array_max(cellArr(col("embedding"))).getField("cell").as("cell"))
     assigned.as("a").join(assigned.as("b"),
@@ -521,8 +535,11 @@ object LakehouseQueries {
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |           FROM embeddings),
        |c AS (
-       |  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, e
-       |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT $SemCells)),
+       |  SELECT cell, e FROM (
+       |    SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cell, e,
+       |           count(*) OVER () AS n
+       |    FROM v)
+       |  WHERE cell < greatest(16, ceil(n / $SemTargetCell.0))),
        |assigned AS (
        |  SELECT v.vec_id, v.e, c.cell
        |  FROM v CROSS JOIN c

@@ -239,6 +239,27 @@ class LakehouseSpec extends SparkSpec {
     assert(ts.getDouble(4) == 1704067210.0 && ts.getDouble(5) == 1704153610.0)
   }
 
+  test("q64: broadcastDict=false sort-merge path is row-identical") {
+    val sf = "/root/testdata/sf0.001"
+    val b = graft.queries.LakehouseQueries
+      .boilerplateFractions(spark, sf, broadcastDict = true)
+      .collect().map(_.toSeq).toSeq
+    val s = graft.queries.LakehouseQueries
+      .boilerplateFractions(spark, sf, broadcastDict = false)
+      .collect().map(_.toSeq).toSeq
+    assert(b.nonEmpty && b == s)
+  }
+
+  test("q76: cell count grows with corpus size, floor 16, ~constant cell width") {
+    import graft.queries.LakehouseQueries.semCellCount
+    assert(semCellCount(0) == 16)
+    assert(semCellCount(500) == 16) // sf0.01: floor dominates
+    assert(semCellCount(2000) == 20) // sf0.1: growth kicks in
+    assert(semCellCount(1600) == 16 && semCellCount(1601) == 17)
+    // linear growth ⇒ Σ|cell|² ≈ n·target, not n²/const
+    assert(semCellCount(10_000_000) == 100_000)
+  }
+
   test("profile: 64-bit ids past 2^53 keep an exact distinct count") {
     import graft.operators.Profiler._
     // adjacent longs above 2^53 collide after the double cast (this
