@@ -79,6 +79,44 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // ---- prefix-filter completeness: the equivalence IS the theorem
+  // (q86/q88's fixed fixtures verify known shapes; these generators
+  // actively try to break the prefix bound with random corpora over a
+  // tiny vocabulary, which maximizes shingle collisions, ties in the
+  // df order, and boundary τ·|S| products) ----
+
+  private val dedupVocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+  private val dedupCorpusGen = for {
+    n <- Gen.chooseNum(2, 7)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(3, 11)
+      toks <- Gen.listOfN(len, Gen.oneOf(dedupVocab))
+    } yield toks.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+  private val tauGen = Gen.oneOf(0.3, 0.4, 0.5, 0.6, 0.75)
+
+  test("prefix-filtered Jaccard ≡ all-pairs Jaccard on random corpora") {
+    check(Prop.forAll(dedupCorpusGen, tauGen) { (rows, tau) =>
+      val docs = rows.toDF("doc_id", "text")
+      val full = TextDedup.jaccardPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = TextDedup.prefixJaccardPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      pref == full
+    })
+  }
+
+  test("prefix-filtered containment ≡ all-pairs containment on random corpora") {
+    check(Prop.forAll(dedupCorpusGen, tauGen) { (rows, tau) =>
+      val docs = rows.toDF("doc_id", "text")
+      val full = TextDedup.containmentPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      pref == full
+    })
+  }
+
   test("GMV reconciliation: windowed sums add to 2x total value") {
     val itemsGen = Gen.nonEmptyListOf(for {
       id <- Gen.chooseNum(0, 1000)
