@@ -50,6 +50,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each query vector, the top-k corpus vectors whose cosine lies in
+    * [lo, hi) — similar enough to be informative negatives, below the
+    * positive/near-dup band so they are not label noise (the
+    * "in-batch negatives are too easy" fix; the band is the standard
+    * mining heuristic, cf. DPR/ANCE-style pipelines).
+    *
+    * Scale: the band filter rides the SAME broadcast-queries join as
+    * [[bruteForceTopK]] — one linear corpus scan per mining run, no
+    * corpus×corpus. At web scale the scan composes with [[ivfTopK]]'s
+    * cell probe (probe MORE cells than for top-k, then band-filter
+    * exactly) or with a deterministic hash-sample of the corpus —
+    * negatives need coverage, not exhaustiveness, so sampling the
+    * candidate pool is semantically fine where it isn't for dedup. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int,
+      lo: Double, hi: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("nbr_id"))
+      .withColumn("cos", Num.r4(cosine(col("qv"), col("cv"))))
+      .filter(col("cos") >= lo && col("cos") < hi)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+  }
+
   /** All pairs above a cosine threshold (near-duplicate detection by
     * embedding). Quadratic — verification tool; LSH is the scale path. */
   def cosinePairs(emb: DataFrame, threshold: Double,

@@ -652,6 +652,97 @@ object CorpusStatsQueries {
        |FROM r WHERE rnk = 1
        |ORDER BY lang""".stripMargin
 
+  // ---- q97: hard-negative mining — for each query embedding, the
+  // top-k corpus vectors in a cosine band [NegLo, NegHi): the
+  // contrastive-training data stage (informative negatives below the
+  // positive/near-dup band). Brute-force band scan = one broadcast
+  // join, linear in the corpus; see Similarity.hardNegatives scale
+  // notes (compose with IVF probe / hash-sampled candidate pool). ----
+
+  private val NegMod = 50
+  private val NegK = 5
+  private val NegLo = 0.15
+  private val NegHi = 0.35
+
+  def q97HardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(embs(spark, dir),
+      col("vec_id") % NegMod === 0, NegK, NegLo, NegHi)
+      .orderBy(col("query_id"), col("rank"))
+
+  val q97Sql: String = {
+    val dot = "list_sum(list_transform(list_zip(q.e, v.e), x -> x[1] * x[2]))"
+    val norm = (t: String) => s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
+    val cos = Num.sqlR4(s"$dot / (${norm("q")} * ${norm("v")})")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id, e FROM v WHERE vec_id % $NegMod = 0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS nbr_id, $cos AS cos
+       |  FROM q JOIN v ON q.vec_id <> v.vec_id),
+       |banded AS (SELECT * FROM scored WHERE cos >= $NegLo AND cos < $NegHi),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM banded)
+       |SELECT query_id, rank, nbr_id, cos
+       |FROM ranked WHERE rank <= $NegK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- q98: canonical-document selection — APPLY the dedup: from
+  // near-dup clusters (connected components over the prefix-Jaccard
+  // pair list), keep exactly one document per cluster — the highest
+  // q22 quality score, doc_id as tie-break — and every unclustered
+  // doc. This is the step that actually materializes the deduplicated
+  // training corpus; everything upstream only reports pairs/clusters.
+  // Scale: edges via the prefix-filtered join (never all-pairs),
+  // clusters via the checkpointed CC propagation, selection is one
+  // cluster-keyed argmax — all shuffles on doc/cluster keys. ----
+
+  def q98CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val edges = TextDedup.prefixJaccardPairs(d, n = 3, threshold = 0.5)
+    val clusters = graft.operators.ClusterDedup
+      .clusters(edges, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val scored = d.select(col("doc_id"),
+      Num.r4(ExtensionQueries.qualityScore(col("text"))).as("quality_score"))
+    val labeled = scored.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    // argmax by (quality desc, doc_id asc) via struct max: negate the
+    // id so the struct ordering's tie-break picks the SMALLEST doc_id
+    val canon = labeled.groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality_score"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(col("cluster_id"), (-col("m.nid")).as("canonical_id"))
+    labeled.join(canon, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q98Sql: String =
+    s"""WITH RECURSIVE ${ExtensionQueries.dsCte(3)},
+       |${ExtensionQueries.candCte},
+       |${ExtensionQueries.jacCtes},
+       |edges AS (SELECT id_a, id_b FROM (${ExtensionQueries.jacSelect(0.5)})),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+       |        UNION ALL SELECT id_b, id_a FROM edges),
+       |reach(id, lbl) AS (
+       |  SELECT src, src FROM sym
+       |  UNION
+       |  SELECT sym.src, r.lbl FROM sym JOIN reach r ON sym.dst = r.id),
+       |lab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+       |scored AS (
+       |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       |    ${Num.sqlR4(ExtensionQueries.sqlQualityScore("d.text"))} AS quality_score
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+       |SELECT doc_id, cluster_id, quality_score,
+       |  (row_number() OVER (PARTITION BY cluster_id
+       |     ORDER BY quality_score DESC, doc_id) = 1) AS kept
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -667,7 +758,9 @@ object CorpusStatsQueries {
     "q93_covariance" -> (q93Covariance _),
     "q94_classifier_route" -> (q94ClassifierRoute _),
     "q95_kmv_setops" -> (q95KmvSetOps _),
-    "q96_mode" -> (q96Mode _))
+    "q96_mode" -> (q96Mode _),
+    "q97_hard_negatives" -> (q97HardNegatives _),
+    "q98_canonical_docs" -> (q98CanonicalDocs _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -684,5 +777,7 @@ object CorpusStatsQueries {
     "q93_covariance" -> q93Sql,
     "q94_classifier_route" -> q94Sql,
     "q95_kmv_setops" -> q95Sql,
-    "q96_mode" -> q96Sql)
+    "q96_mode" -> q96Sql,
+    "q97_hard_negatives" -> q97Sql,
+    "q98_canonical_docs" -> q98Sql)
 }

@@ -100,12 +100,22 @@ object ExtensionQueries {
 
   // ---- q22: per-document quality scoring ----
 
+  /** The q22 quality formula, shared with q98's canonical selection
+    * (both engines must compute bit-identical scores). Raw — callers
+    * apply Num.r4. */
+  private[queries] def qualityScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tc = TF.tokenCount(text).cast("double")
+    least(tc / 100, lit(1.0)) * 0.4 +
+      TF.alphaRatio(text) * 0.3 +
+      TF.stopwordRatio(text) * 0.3
+  }
+
+  private[queries] def sqlQualityScore(c: String): String =
+    s"least(${TF.sqlTokenCount(c)} / 100.0, 1.0) * 0.4 + " +
+      s"(${TF.sqlAlphaRatio(c)}) * 0.3 + (${TF.sqlStopwordRatio(c)}) * 0.3"
+
   def q22Quality(spark: SparkSession, dir: String): DataFrame = {
-    val tc = TF.tokenCount(col("text")).cast("double")
-    val score =
-      least(tc / 100, lit(1.0)) * 0.4 +
-        TF.alphaRatio(col("text")) * 0.3 +
-        TF.stopwordRatio(col("text")) * 0.3
+    val score = qualityScore(col("text"))
     docs(spark, dir).select(
       col("doc_id"),
       TF.tokenCount(col("text")).as("token_count"),
@@ -118,8 +128,7 @@ object ExtensionQueries {
 
   val q22Sql: String = {
     val tc = TF.sqlTokenCount("text")
-    val score = s"least($tc / 100.0, 1.0) * 0.4 + " +
-      s"(${TF.sqlAlphaRatio("text")}) * 0.3 + (${TF.sqlStopwordRatio("text")}) * 0.3"
+    val score = sqlQualityScore("text")
     s"""SELECT doc_id, $tc AS token_count,
        |  ${Num.sqlR4(TF.sqlAlphaRatio("text"))} AS alpha_ratio,
        |  ${Num.sqlR4(TF.sqlStopwordRatio("text"))} AS stopword_ratio,

@@ -302,6 +302,49 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pref == full && pref.map(p => (p._1, p._2)) == Set((1L, 2L)))
   }
 
+  // ---- q97 hard negatives ----
+
+  test("hard negatives: band excludes near-dups above hi and noise below lo") {
+    val emb = Seq(
+      (0L, Seq(1f, 0f)), // query
+      (1L, Seq(1f, 0f)), // exact dup: cos 1.0 → excluded (≥ hi)
+      (2L, Seq(0.3f, math.sqrt(1 - 0.09).toFloat)), // cos 0.3 → in band
+      (3L, Seq(0f, 1f)), // cos 0.0 → excluded (< lo)
+      (4L, Seq(0.25f, math.sqrt(1 - 0.0625).toFloat)) // cos 0.25 → in band
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(emb, col("vec_id") === 0, k = 5,
+      lo = 0.15, hi = 0.35)
+      .select("query_id", "rank", "nbr_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sortBy(_._2)
+    assert(got.map(r => (r._2, r._3)) == Seq((1, 2L), (2, 4L)))
+    assert(got.forall(r => r._4 >= 0.15 && r._4 < 0.35))
+  }
+
+  // ---- q98 canonical-document selection ----
+
+  test("canonical docs: exactly one kept per cluster, the max-quality one; " +
+    "singletons always kept") {
+    val out = CorpusStatsQueries.entries("q98_canonical_docs")(spark, sf001)
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val docs = graft.Tables.load(spark, sf001, "documents")
+    assert(out.size == docs.count()) // every doc gets a verdict
+    val byCluster = out.groupBy(_._2)
+    // one kept per cluster, and it is argmax (quality desc, id asc)
+    byCluster.foreach { case (cid, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.size == 1, s"cluster $cid kept ${kept.size}")
+      val best = members.minBy(m => (-m._3, m._1))
+      assert(kept.head._1 == best._1, s"cluster $cid kept wrong doc")
+    }
+    // clusters match the all-pairs ground truth: multi-doc clusters
+    // exist on testdata and every pair-connected doc shares a label
+    assert(byCluster.exists(_._2.size > 1))
+    val edges = TextDedup.jaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val lbl = out.map(r => r._1 -> r._2).toMap
+    edges.foreach { case (a, b) => assert(lbl(a) == lbl(b), s"$a-$b split") }
+  }
+
   // ---- q87 PageRank ----
 
   test("pagerank: symmetric triangle stays uniform at 1/n") {
