@@ -81,6 +81,68 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** Diversity-aware top-k retrieval by maximal marginal relevance
+    * (MMR, Carbonell & Goldstein '98): greedily pick k of the top-m
+    * candidates, each round maximizing λ·rel(q,d) − (1−λ)·max_{s∈S}
+    * sim(d,s) — relevant results that are NOT near-dups of what's
+    * already picked (the retrieval-side counterpart of dedup; for
+    * training data, diverse exemplar selection). The greedy rounds are
+    * UNROLLED as declarative plan stages — candidate top-m by window
+    * rank, an m×m per-query similarity matrix, then per round one
+    * anti-join + max-sim aggregation + argmax — so Catalyst sees
+    * ordinary joins/aggs; no per-group imperative loop.
+    *
+    * Scale: candidate generation is the same broadcast-queries linear
+    * scan as [[bruteForceTopK]] (swap in [[ivfTopK]]'s probe at web
+    * scale); everything after operates on m rows per query (the m×m
+    * sim matrix is per-query-bounded, never corpus×corpus). All
+    * scores are r4-snapped so the greedy argmax is reproducible
+    * cross-engine; ties break by ascending neighbor id. λ should be
+    * chosen so 1−λ is binary-exact (e.g. 0.75) if bit-parity with an
+    * external oracle matters. */
+  def mmrTopK(emb: DataFrame, queryPred: Column, m: Int, k: Int,
+      lam: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && m >= k)
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("nbr_id"))
+    val cand = corpus.join(broadcast(queries), col("query_id") =!= col("nbr_id"))
+      .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
+      .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= m)
+      .select(col("query_id"), col("nbr_id"), col("rel"), col("cv"))
+    val sims = cand.select(col("query_id"), col("nbr_id").as("id_a"), col("cv").as("va"))
+      .join(cand.select(col("query_id"), col("nbr_id").as("id_b"), col("cv").as("vb")),
+        Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", Num.r4(cosine(col("va"), col("vb"))))
+      .select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
+    val slim = cand.select(col("query_id"), col("nbr_id"), col("rel"))
+    val wScore = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("nbr_id"))
+    val first = slim.withColumn("score", Num.r4(lit(lam) * col("rel")))
+      .withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("pick"), col("nbr_id"), col("score"))
+    (2 to k).foldLeft(first) { (sel, j) =>
+      val selIds = sel.select(col("query_id").as("qs"), col("nbr_id").as("sel_id"))
+      val pick = slim
+        .join(sel.select(col("query_id"), col("nbr_id")),
+          Seq("query_id", "nbr_id"), "left_anti")
+        .join(sims.withColumnRenamed("query_id", "qa"),
+          col("qa") === col("query_id") && col("id_a") === col("nbr_id"))
+        .join(selIds, col("qs") === col("query_id") && col("id_b") === col("sel_id"))
+        .groupBy(col("query_id"), col("nbr_id"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+        .withColumn("score",
+          Num.r4(lit(lam) * col("rel") - lit(1.0 - lam) * col("ms")))
+        .withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
+        .select(col("query_id"), lit(j).as("pick"), col("nbr_id"), col("score"))
+      sel.unionByName(pick)
+    }
+  }
+
   /** All pairs above a cosine threshold (near-duplicate detection by
     * embedding). Quadratic — verification tool; LSH is the scale path. */
   def cosinePairs(emb: DataFrame, threshold: Double,

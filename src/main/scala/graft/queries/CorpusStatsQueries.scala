@@ -743,6 +743,163 @@ object CorpusStatsQueries {
        |FROM scored
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q99: epoch-capped mixture planning (water-filling) — the step
+  // a real pretraining mix needs BEYOND q84's temperature weights: a
+  // source may not be repeated past `MixEpochCap` epochs (tail sources
+  // upsampled by α < 1 hit the cap first), and the budget a capped
+  // source cannot absorb redistributes to the others proportionally to
+  // their weights. Fixed-point by `MixRounds` unrolled rounds with
+  // per-round 8-decimal snaps — the q81/q91 unrolled-oracle contract.
+  // Scale: ONE corpus scan (map-side-partial token-count agg per lang,
+  // ≤ hundreds of groups at any corpus size); every window after that
+  // runs over the per-lang table, never the corpus. ----
+
+  private val MixEpochCap = 1.2
+  private val MixRounds = 4
+
+  def q99MixPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+    def s8(c: org.apache.spark.sql.Column) = Num.r(c, 8)
+    val base = docs(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("b", sum(col("n_tokens")).over(wAll).cast("double"))
+      .withColumn("pa", pow(col("n_tokens") / col("b"), lit(MixAlpha)))
+      .withColumn("w", s8(col("pa") / sum(col("pa")).over(wAll)))
+      .withColumn("cap", s8(col("n_tokens") * lit(MixEpochCap)))
+    val fin = (1 to MixRounds).foldLeft(
+      base.withColumn("frozen", lit(false)).withColumn("alloc", lit(0.0))) {
+      (cur, _) =>
+        // rem/den read the PREVIOUS round's frozen set; alloc then
+        // freezes anyone pushed past their cap for the next round
+        val rem = col("b") -
+          sum(when(col("frozen"), col("cap")).otherwise(0.0)).over(wAll)
+        val den = sum(when(col("frozen"), 0.0).otherwise(col("w"))).over(wAll)
+        cur
+          .withColumn("alloc", when(col("frozen"), col("cap"))
+            .otherwise(when(den > 0, s8(col("w") * rem / den)).otherwise(0.0)))
+          .withColumn("frozen", col("frozen") || col("alloc") > col("cap"))
+    }
+    fin.select(col("lang"), col("n_tokens"), Num.r4(col("w")).as("w"),
+        Num.r2(col("alloc")).as("alloc_tokens"),
+        Num.r4(col("alloc") / col("n_tokens")).as("epochs"),
+        col("frozen").as("capped"))
+      .orderBy(col("lang"))
+  }
+
+  val q99Sql: String = {
+    val w8 = (e: String) => Num.sqlR(e, 8)
+    val r0 = "r0 AS (SELECT *, false AS frozen, 0.0 AS alloc FROM base)"
+    val rounds = (1 to MixRounds).map { r =>
+      val a = s"""CASE WHEN frozen THEN cap
+         |      WHEN sum(CASE WHEN frozen THEN 0.0 ELSE w END) OVER () > 0
+         |      THEN ${w8(s"""w * (b - sum(CASE WHEN frozen THEN cap ELSE 0.0 END) OVER ())
+         |           / sum(CASE WHEN frozen THEN 0.0 ELSE w END) OVER ()""")}
+         |      ELSE 0.0 END""".stripMargin
+      s"""r${r}a AS (SELECT lang, n_tokens, b, w, cap, frozen, $a AS alloc
+         |  FROM r${r - 1}),
+         |r$r AS (SELECT lang, n_tokens, b, w, cap,
+         |  frozen OR alloc > cap AS frozen, alloc FROM r${r}a)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT lang, CAST(sum(${TF.sqlTokenCount("text")}) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |tb AS (SELECT lang, n_tokens, sum(n_tokens) OVER ()::DOUBLE AS b FROM t),
+       |tp AS (SELECT *, pow(n_tokens / b, $MixAlpha) AS pa FROM tb),
+       |base AS (
+       |  SELECT lang, n_tokens, b,
+       |    ${w8("pa / sum(pa) OVER ()")} AS w,
+       |    ${w8(s"n_tokens * $MixEpochCap")} AS cap
+       |  FROM tp),
+       |$r0,
+       |$rounds
+       |SELECT lang, n_tokens, ${Num.sqlR4("w")} AS w,
+       |  ${Num.sqlR2("alloc")} AS alloc_tokens,
+       |  ${Num.sqlR4("alloc / n_tokens")} AS epochs,
+       |  frozen AS capped
+       |FROM r$MixRounds
+       |ORDER BY lang""".stripMargin
+  }
+
+  // ---- q100: MMR diversity-aware top-k retrieval — greedy maximal
+  // marginal relevance over the top-m cosine candidates: pick k
+  // results maximizing λ·rel − (1−λ)·max-sim-to-picked (relevant AND
+  // mutually diverse — the retrieval counterpart of dedup; exemplar
+  // selection for training data). λ = 0.75 so 1−λ is binary-exact;
+  // every rel/sim/score is r4-snapped, ties break by nbr_id, so the
+  // greedy argmax is bit-reproducible cross-engine. The oracle unrolls
+  // the k greedy rounds as CTEs (the q81/q91 contract). ----
+
+  private val MmrMod = 50
+  private val MmrM = 8
+  private val MmrK = 3
+  private val MmrLam = 0.75
+
+  def q100MmrTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrTopK(embs(spark, dir), col("vec_id") % MmrMod === 0,
+      MmrM, MmrK, MmrLam)
+      .orderBy(col("query_id"), col("pick"))
+
+  val q100Sql: String = {
+    def dcos(x: String, y: String): String = {
+      val dot = s"list_sum(list_transform(list_zip($x, $y), p -> p[1] * p[2]))"
+      def nrm(t: String) = s"sqrt(list_sum(list_transform($t, p -> p * p)))"
+      Num.sqlR4(s"$dot / (${nrm(x)} * ${nrm(y)})")
+    }
+    val lam = s"$MmrLam"
+    val score = s"$lam * rel - (1 - $lam) * ms"
+    def round(j: Int, prev: String): String =
+      s"""sc$j AS (
+         |  SELECT c.query_id, c.nbr_id, c.rel, max(s.sim) AS ms
+         |  FROM cand c
+         |  JOIN sims s ON s.query_id = c.query_id AND s.id_a = c.nbr_id
+         |  JOIN $prev p ON p.query_id = s.query_id AND p.nbr_id = s.id_b
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev x
+         |                    WHERE x.query_id = c.query_id AND x.nbr_id = c.nbr_id)
+         |  GROUP BY c.query_id, c.nbr_id, c.rel),
+         |sel$j AS (
+         |  SELECT query_id, nbr_id, ${Num.sqlR4(score)} AS score, $j AS pick
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY ${Num.sqlR4(score)} DESC, nbr_id) AS rn FROM sc$j)
+         |  WHERE rn = 1)""".stripMargin
+    // rounds 2..k need the union-of-picked-so-far; emit selu CTEs inline
+    val parts = (2 to MmrK).map { j =>
+      if (j == 2) round(j, "sel1")
+      else {
+        val selu = s"selu$j AS (${(1 until j).map(i =>
+          s"SELECT query_id, nbr_id FROM sel$i").mkString(" UNION ALL ")})"
+        selu + ",\n" + round(j, s"selu$j")
+      }
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |q AS (SELECT vec_id, e FROM v WHERE vec_id % $MmrMod = 0),
+       |rel0 AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+       |    ${dcos("q.e", "v.e")} AS rel, v.e AS e
+       |  FROM q JOIN v ON q.vec_id <> v.vec_id),
+       |cand AS (
+       |  SELECT query_id, nbr_id, rel, e
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY rel DESC, nbr_id) AS rn FROM rel0)
+       |  WHERE rn <= $MmrM),
+       |sims AS (
+       |  SELECT a.query_id, a.nbr_id AS id_a, b.nbr_id AS id_b,
+       |    ${dcos("a.e", "b.e")} AS sim
+       |  FROM cand a JOIN cand b
+       |    ON a.query_id = b.query_id AND a.nbr_id <> b.nbr_id),
+       |sel1 AS (
+       |  SELECT query_id, nbr_id, ${Num.sqlR4(s"$lam * rel")} AS score, 1 AS pick
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |          ORDER BY ${Num.sqlR4(s"$lam * rel")} DESC, nbr_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |$parts
+       |SELECT query_id, pick, nbr_id, score
+       |FROM (${(1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+       |ORDER BY query_id, pick""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -760,7 +917,9 @@ object CorpusStatsQueries {
     "q95_kmv_setops" -> (q95KmvSetOps _),
     "q96_mode" -> (q96Mode _),
     "q97_hard_negatives" -> (q97HardNegatives _),
-    "q98_canonical_docs" -> (q98CanonicalDocs _))
+    "q98_canonical_docs" -> (q98CanonicalDocs _),
+    "q99_mix_plan" -> (q99MixPlan _),
+    "q100_mmr_topk" -> (q100MmrTopK _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -779,5 +938,7 @@ object CorpusStatsQueries {
     "q95_kmv_setops" -> q95Sql,
     "q96_mode" -> q96Sql,
     "q97_hard_negatives" -> q97Sql,
-    "q98_canonical_docs" -> q98Sql)
+    "q98_canonical_docs" -> q98Sql,
+    "q99_mix_plan" -> q99Sql,
+    "q100_mmr_topk" -> q100Sql)
 }

@@ -345,6 +345,89 @@ class CorpusStatsSpec extends SparkSpec {
     edges.foreach { case (a, b) => assert(lbl(a) == lbl(b), s"$a-$b split") }
   }
 
+  // ---- q99 epoch-capped mixture planning ----
+
+  test("mix plan: caps respected, budget exhausted, uncapped share one water level") {
+    val rows = CorpusStatsQueries.entries("q99_mix_plan")(spark, sf001)
+      .as[(String, Long, Double, Double, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    // epochs never exceed the cap; capped rows sit exactly at it
+    rows.foreach { case (lang, _, _, _, epochs, capped) =>
+      assert(epochs <= 1.2 + 1e-9, s"$lang over cap")
+      if (capped) assert(math.abs(epochs - 1.2) < 1e-9, s"$lang capped but not at cap")
+      else assert(epochs < 1.2, s"$lang uncapped at cap")
+    }
+    // the full budget (total tokens) is allocated (r2 output rounding slack)
+    val budget = rows.map(_._2).sum.toDouble
+    assert(math.abs(rows.map(_._4).sum - budget) < 1.0,
+      s"allocated ${rows.map(_._4).sum} of $budget")
+    // water-filling optimality: every uncapped source gets alloc ∝ w
+    // (same remaining-budget / remaining-weight ratio)
+    val levels = rows.filter(!_._6).map(r => r._4 / r._3)
+    assert(levels.nonEmpty) // testdata must exercise the uncapped branch
+    assert(rows.exists(_._6)) // ... and the capped branch
+    levels.foreach(l => assert(math.abs(l - levels.head) / levels.head < 1e-3))
+  }
+
+  // ---- q100 MMR diversity-aware top-k ----
+
+  test("mmr: skips a near-duplicate of the first pick in favor of a diverse result") {
+    // A ~ A' nearly identical; B relevant but diverse; C far. Pure
+    // top-3 by relevance = A, A', B — MMR must reorder to A, B, A'.
+    val emb = Seq(
+      (0L, Seq(1f, 0f, 0f)), // query
+      (1L, Seq(0.9f, 0.436f, 0f)), // A   rel≈0.90
+      (2L, Seq(0.89f, 0.456f, 0f)), // A'  rel≈0.89, sim(A,A')≈1
+      (3L, Seq(0.85f, -0.527f, 0f)), // B   rel≈0.85, sim(A,B)≈0.53
+      (4L, Seq(0.2f, 0f, 0.98f)) // C   rel≈0.20
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(emb, col("vec_id") === 0, m = 4, k = 3, lam = 0.75)
+      .select("pick", "nbr_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("mmr: matches a plain-Scala greedy reference on seeded random vectors") {
+    val rnd = new scala.util.Random(42)
+    val dim = 6
+    val vecs: Map[Long, Array[Float]] =
+      (0L until 20L).map(id => id -> Array.fill(dim)(rnd.nextFloat() - 0.5f)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val lam = 0.75; val m = 6; val k = 4
+    def refMmr(qid: Long): Seq[(Int, Long)] = {
+      val rel = vecs.collect { case (id, v) if id != qid =>
+        id -> Num.j(cos(vecs(qid), v), 4) }.toMap
+      val cand = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(m).map(_._1)
+      val picks = scala.collection.mutable.ArrayBuffer[Long]()
+      (1 to k).foreach { _ =>
+        val best = cand.filterNot(picks.contains).minBy { c =>
+          val ms = picks.map(s => Num.j(cos(vecs(c), vecs(s)), 4))
+            .foldLeft(0.0)(math.max)
+          val sc = if (picks.isEmpty) Num.j(lam * rel(c), 4)
+          else Num.j(lam * rel(c) - (1 - lam) * ms, 4)
+          (-sc, c)
+        }
+        picks += best
+      }
+      picks.zipWithIndex.map { case (id, i) => (i + 1, id) }.toSeq
+    }
+    val df = vecs.toSeq.sortBy(_._1)
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val queries = Seq(0L, 7L, 13L)
+    val got = Similarity.mmrTopK(df, col("vec_id").isin(queries: _*), m, k, lam)
+      .select("query_id", "pick", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)).toMap
+    queries.foreach(q => assert(got(q) == refMmr(q), s"query $q diverged"))
+  }
+
   // ---- q87 PageRank ----
 
   test("pagerank: symmetric triangle stays uniform at 1/n") {
