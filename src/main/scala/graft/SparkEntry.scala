@@ -26,7 +26,8 @@ object SparkEntry {
       PipelineQueries.entries ++
       CurationQueries.entries ++
       LakehouseQueries.entries ++
-      CorpusStatsQueries.entries
+      CorpusStatsQueries.entries ++
+      QcQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       PipelineQueries.oracles ++
       CurationQueries.oracles ++
       LakehouseQueries.oracles ++
-      CorpusStatsQueries.oracles
+      CorpusStatsQueries.oracles ++
+      QcQueries.oracles
 }

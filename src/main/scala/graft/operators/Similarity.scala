@@ -109,16 +109,22 @@ object Similarity {
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val wRel = Window.partitionBy(col("query_id"))
       .orderBy(col("rel").desc, col("nbr_id"))
+    // cache: every greedy round references the candidate table (and
+    // sims) again — uncached, Spark would repeat the full corpus scan
+    // + broadcast join once per reference. Post-top-m state is m rows
+    // per query — bounded model-sized data, safe to pin.
     val cand = corpus.join(broadcast(queries), col("query_id") =!= col("nbr_id"))
       .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
       .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= m)
       .select(col("query_id"), col("nbr_id"), col("rel"), col("cv"))
+      .cache()
     val sims = cand.select(col("query_id"), col("nbr_id").as("id_a"), col("cv").as("va"))
       .join(cand.select(col("query_id"), col("nbr_id").as("id_b"), col("cv").as("vb")),
         Seq("query_id"))
       .filter(col("id_a") =!= col("id_b"))
       .withColumn("sim", Num.r4(cosine(col("va"), col("vb"))))
       .select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
+      .cache()
     val slim = cand.select(col("query_id"), col("nbr_id"), col("rel"))
     val wScore = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("nbr_id"))

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Num
+
+/** Data-quality tier: expectation checks and distribution-drift
+  * detection — the QC gates a production ingestion pipeline runs
+  * before letting a new batch into the training corpus.
+  *
+  * Scale notes (100 TB): q101 folds every row-level rule into ONE
+  * corpus scan (conditional sums with map-side partials; the single
+  * distinct aggregate rides the same scan); q102 is two grouped
+  * aggregations over (snapshot, bucket) — bucket cardinality is tiny
+  * and fixed, so everything after the first map-side reduction is
+  * free. Neither query ever shuffles row-level data.
+  */
+object QcQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // ---- q101: expectation checks — declarative row-level rules
+  // (not-null, range, set membership, cross-column consistency,
+  // pattern) plus a table-level uniqueness check, all evaluated in a
+  // single aggregation; one row per rule with its violation count. ----
+
+  /** Row-level rules as (name, violation-predicate). A row violates
+    * the rule when the predicate is TRUE (null-safe: a null that makes
+    * a check unverifiable counts as a violation). */
+  private def rules: Seq[(String, Column)] = Seq(
+    "text_not_null" -> col("text").isNull,
+    "lang_in_set" ->
+      (!col("lang").isin("en", "de", "es", "fr", "zh") || col("lang").isNull),
+    "n_chars_positive" -> (col("n_chars").isNull || col("n_chars") <= 0),
+    "n_chars_consistent" ->
+      (col("text").isNull || col("n_chars").isNull ||
+        col("n_chars") =!= length(col("text"))),
+    "source_pattern" ->
+      (col("source").isNull || !col("source").rlike("^src[0-9]+$")))
+
+  def q101Expectations(spark: SparkSession, dir: String): DataFrame =
+    expectationReport(docs(spark, dir))
+
+  private[graft] def expectationReport(d: DataFrame): DataFrame = {
+    val aggs =
+      rules.map { case (n, bad) =>
+        sum(when(bad, 1L).otherwise(0L)).as(n)
+      } ++ Seq(
+        count(lit(1)).as("_total"),
+        countDistinct(col("doc_id")).as("_distinct"))
+    val wide = d.agg(aggs.head, aggs.tail: _*)
+    val ruleRows = rules.map { case (n, _) =>
+      s"'$n', `$n`"
+    } :+ "'doc_id_unique', _total - _distinct"
+    val stacked = wide.select(col("_total"),
+      expr(s"stack(${ruleRows.size}, ${ruleRows.mkString(", ")}) AS (rule, violations)"))
+    stacked.select(col("rule"), col("violations").cast("long").as("violations"),
+        col("_total").as("checked"))
+      .orderBy(col("rule"))
+  }
+
+  val q101Sql: String = {
+    val sqlBad = Seq(
+      "text_not_null" -> "text IS NULL",
+      "lang_in_set" ->
+        "lang IS NULL OR lang NOT IN ('en', 'de', 'es', 'fr', 'zh')",
+      "n_chars_positive" -> "n_chars IS NULL OR n_chars <= 0",
+      "n_chars_consistent" ->
+        "text IS NULL OR n_chars IS NULL OR n_chars <> length(text)",
+      "source_pattern" ->
+        "source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$')")
+    val ruleSelects = sqlBad.map { case (n, bad) =>
+      s"SELECT '$n' AS rule, CAST(sum(CASE WHEN $bad THEN 1 ELSE 0 END) AS BIGINT) AS violations, count(*) AS checked FROM documents"
+    } :+
+      "SELECT 'doc_id_unique', CAST(count(*) - count(DISTINCT doc_id) AS BIGINT), count(*) FROM documents"
+    s"""SELECT rule, violations, checked
+       |FROM (${ruleSelects.mkString("\n      UNION ALL ")})
+       |ORDER BY rule""".stripMargin
+  }
+
+  // ---- q102: distribution drift between two corpus snapshots
+  // (population stability index, the standard drift gate): per
+  // feature bucket, the reference and current shares and the PSI
+  // contribution (p_cur − p_ref)·ln(p_cur/p_ref), ε-clamped so empty
+  // buckets don't produce infinities. Snapshots here are the
+  // deterministic doc_id-parity halves (the "yesterday vs today"
+  // shape without needing two physical tables). ----
+
+  private val PsiEps = 1e-6
+  private val LenBin = 500L
+
+  def q102Drift(spark: SparkSession, dir: String): DataFrame =
+    driftReport(docs(spark, dir)
+      .withColumn("snap", when(col("doc_id") % 2 === 0, "ref").otherwise("cur")))
+
+  /** PSI per (feature, bucket) between the `snap = 'ref'` and
+    * `snap = 'cur'` halves of `d`. */
+  private[graft] def driftReport(d: DataFrame): DataFrame = {
+    def featureTable(feature: String, bucket: Column): DataFrame = {
+      val counts = d.groupBy(col("snap"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy(col("snap")).agg(sum(col("n")).as("tot"))
+      counts.join(tot, "snap")
+        .withColumn("p", col("n") / col("tot"))
+        .groupBy(col("bucket"))
+        .agg(
+          sum(when(col("snap") === "ref", col("p")).otherwise(0.0)).as("p_ref"),
+          sum(when(col("snap") === "cur", col("p")).otherwise(0.0)).as("p_cur"))
+        .select(lit(feature).as("feature"), col("bucket"),
+          Num.r4(col("p_ref")).as("p_ref"), Num.r4(col("p_cur")).as("p_cur"),
+          Num.r4((greatest(col("p_cur"), lit(PsiEps)) -
+              greatest(col("p_ref"), lit(PsiEps))) *
+            log(greatest(col("p_cur"), lit(PsiEps)) /
+              greatest(col("p_ref"), lit(PsiEps)))).as("psi"))
+    }
+    featureTable("lang", col("lang"))
+      .unionByName(featureTable("len_bin",
+        concat(lit("b"), floor(col("n_chars") / LenBin).cast("string"))))
+      .orderBy(col("feature"), col("bucket"))
+  }
+
+  val q102Sql: String = {
+    def clamp(e: String) = s"greatest($e, $PsiEps)"
+    def feature(name: String, bucket: String) =
+      s"""SELECT '$name' AS feature, bucket,
+         |  ${Num.sqlR4("p_ref")} AS p_ref, ${Num.sqlR4("p_cur")} AS p_cur,
+         |  ${Num.sqlR4(s"(${clamp("p_cur")} - ${clamp("p_ref")}) * ln(${clamp("p_cur")} / ${clamp("p_ref")})")} AS psi
+         |FROM (
+         |  SELECT bucket,
+         |    sum(CASE WHEN snap = 'ref' THEN p ELSE 0.0 END) AS p_ref,
+         |    sum(CASE WHEN snap = 'cur' THEN p ELSE 0.0 END) AS p_cur
+         |  FROM (
+         |    SELECT snap, bucket,
+         |      count(*) / (sum(count(*)) OVER (PARTITION BY snap))::DOUBLE AS p
+         |    FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
+         |            $bucket AS bucket FROM documents)
+         |    GROUP BY snap, bucket)
+         |  GROUP BY bucket)""".stripMargin
+    s"""SELECT feature, bucket, p_ref, p_cur, psi FROM (
+       |${feature("lang", "lang")}
+       |UNION ALL
+       |${feature("len_bin", s"'b' || CAST(n_chars // $LenBin AS VARCHAR)")})
+       |ORDER BY feature, bucket""".stripMargin
+  }
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_expectations" -> (q101Expectations _),
+    "q102_drift" -> (q102Drift _))
+
+  def oracles: Map[String, String] = Map(
+    "q101_expectations" -> q101Sql,
+    "q102_drift" -> q102Sql)
+}
