@@ -22,7 +22,9 @@ object PlanAudit {
         "q71_dup_spans", "q72_bottomk_sample", "q73_histogram",
         "q74_iqr_outliers", "q75_densify", "q76_semdedup",
         "q77_weighted_sample", "q78_bpe_pairs", "q79_triangles",
-        "q80_zscore", "q81_kmeans_train")
+        "q80_zscore", "q81_kmeans_train", "q86_prefix_jaccard",
+        "q88_containment", "q97_hard_negatives", "q98_canonical_docs",
+        "q99_mix_plan", "q100_mmr_topk", "q101_expectations", "q102_drift")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
