@@ -757,18 +757,21 @@ object CorpusStatsQueries {
   private val MixEpochCap = 1.2
   private val MixRounds = 4
 
-  def q99MixPlan(spark: SparkSession, dir: String): DataFrame = {
+  /** The converged water-filling table — (lang, n_tokens, w, cap,
+    * alloc, frozen) with r8-snapped model state — shared by q99 (the
+    * plan report) and q103 (applying the plan as per-doc replication). */
+  private[queries] def mixPlanRaw(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.partitionBy()
     def s8(c: org.apache.spark.sql.Column) = Num.r(c, 8)
-    val base = docs(spark, dir)
+    val base = d
       .groupBy(col("lang"))
       .agg(sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
       .withColumn("b", sum(col("n_tokens")).over(wAll).cast("double"))
       .withColumn("pa", pow(col("n_tokens") / col("b"), lit(MixAlpha)))
       .withColumn("w", s8(col("pa") / sum(col("pa")).over(wAll)))
       .withColumn("cap", s8(col("n_tokens") * lit(MixEpochCap)))
-    val fin = (1 to MixRounds).foldLeft(
+    (1 to MixRounds).foldLeft(
       base.withColumn("frozen", lit(false)).withColumn("alloc", lit(0.0))) {
       (cur, _) =>
         // rem/den read the PREVIOUS round's frozen set; alloc then
@@ -781,14 +784,20 @@ object CorpusStatsQueries {
             .otherwise(when(den > 0, s8(col("w") * rem / den)).otherwise(0.0)))
           .withColumn("frozen", col("frozen") || col("alloc") > col("cap"))
     }
-    fin.select(col("lang"), col("n_tokens"), Num.r4(col("w")).as("w"),
+  }
+
+  def q99MixPlan(spark: SparkSession, dir: String): DataFrame =
+    mixPlanRaw(docs(spark, dir))
+      .select(col("lang"), col("n_tokens"), Num.r4(col("w")).as("w"),
         Num.r2(col("alloc")).as("alloc_tokens"),
         Num.r4(col("alloc") / col("n_tokens")).as("epochs"),
         col("frozen").as("capped"))
       .orderBy(col("lang"))
-  }
 
-  val q99Sql: String = {
+  /** CTE chain ending in `r$MixRounds` (lang, n_tokens, b, w, cap,
+    * frozen, alloc) — the oracle twin of [[mixPlanRaw]], shared by the
+    * q99 and q103 oracles. */
+  private def mixCtes: String = {
     val w8 = (e: String) => Num.sqlR(e, 8)
     val r0 = "r0 AS (SELECT *, false AS frozen, 0.0 AS alloc FROM base)"
     val rounds = (1 to MixRounds).map { r =>
@@ -802,7 +811,7 @@ object CorpusStatsQueries {
          |r$r AS (SELECT lang, n_tokens, b, w, cap,
          |  frozen OR alloc > cap AS frozen, alloc FROM r${r}a)""".stripMargin
     }.mkString(",\n")
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT lang, CAST(sum(${TF.sqlTokenCount("text")}) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY lang),
        |tb AS (SELECT lang, n_tokens, sum(n_tokens) OVER ()::DOUBLE AS b FROM t),
@@ -813,14 +822,77 @@ object CorpusStatsQueries {
        |    ${w8(s"n_tokens * $MixEpochCap")} AS cap
        |  FROM tp),
        |$r0,
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val q99Sql: String =
+    s"""WITH $mixCtes
        |SELECT lang, n_tokens, ${Num.sqlR4("w")} AS w,
        |  ${Num.sqlR2("alloc")} AS alloc_tokens,
        |  ${Num.sqlR4("alloc / n_tokens")} AS epochs,
        |  frozen AS capped
        |FROM r$MixRounds
        |ORDER BY lang""".stripMargin
+
+  // ---- q103: epoch expansion — APPLY the q99 mix plan: each doc is
+  // replicated ⌊e⌋ times plus one more with probability frac(e),
+  // decided by a deterministic per-doc hash (so e < 1 subsamples and
+  // e > 1 upsamples, both reproducibly, and realized copies/doc
+  // converge to the planned epochs per source). This is the step that
+  // turns the planning table into an actual training corpus, the way
+  // q98 turns dedup clusters into one. Scale: plan table is per-lang
+  // (broadcast join), the hash decision is per-row arithmetic, and the
+  // expansion is a generator — no shuffle at all beyond the q99 agg. ----
+
+  private val RepScale = 1000000L
+
+  /** Expanded corpus: one row per (doc, copy_idx). */
+  private[graft] def epochExpand(d: DataFrame): DataFrame = {
+    val plan = mixPlanRaw(d)
+      .select(col("lang"), (col("alloc") / col("n_tokens")).as("e"))
+    d.join(plan, "lang")
+      .withColumn("base", floor(col("e")))
+      .withColumn("thresh", floor((col("e") - floor(col("e"))) * RepScale))
+      .withColumn("hfrac",
+        TF.hash60(concat(col("doc_id").cast("string"), lit("#rep"))) % RepScale)
+      .withColumn("copies",
+        (col("base") + when(col("hfrac") < col("thresh"), 1L).otherwise(0L))
+          .cast("long"))
+      .withColumn("copy_idx", explode(when(col("copies") > 0,
+        sequence(lit(1L), col("copies"))).otherwise(array().cast("array<bigint>"))))
+      .select(col("doc_id"), col("lang"), col("e"), col("copy_idx"))
   }
+
+  def q103EpochExpand(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val in = d.groupBy(col("lang")).agg(count(lit(1)).as("docs_in"))
+    epochExpand(d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("copies_out"), first(col("e")).as("e"))
+      .join(in, "lang")
+      .select(col("lang"), col("docs_in"), col("copies_out"),
+        Num.r4(col("copies_out") / col("docs_in")).as("realized_epochs"),
+        Num.r4(col("e")).as("target_epochs"))
+      .orderBy(col("lang"))
+  }
+
+  val q103Sql: String =
+    s"""WITH $mixCtes,
+       |plan AS (SELECT lang, alloc / n_tokens AS e FROM r$MixRounds),
+       |perdoc AS (
+       |  SELECT d.lang, p.e,
+       |    floor(p.e) +
+       |      CASE WHEN ${TF.sqlHash60("d.doc_id::VARCHAR || '#rep'")} % $RepScale
+       |                < floor((p.e - floor(p.e)) * $RepScale)
+       |           THEN 1 ELSE 0 END AS copies
+       |  FROM documents d JOIN plan p ON d.lang = p.lang)
+       |SELECT lang, count(*) AS docs_in,
+       |  CAST(sum(copies) AS BIGINT) AS copies_out,
+       |  ${Num.sqlR4("sum(copies) / count(*)")} AS realized_epochs,
+       |  ${Num.sqlR4("first(e)")} AS target_epochs
+       |FROM perdoc
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
 
   // ---- q100: MMR diversity-aware top-k retrieval — greedy maximal
   // marginal relevance over the top-m cosine candidates: pick k
@@ -919,7 +991,8 @@ object CorpusStatsQueries {
     "q97_hard_negatives" -> (q97HardNegatives _),
     "q98_canonical_docs" -> (q98CanonicalDocs _),
     "q99_mix_plan" -> (q99MixPlan _),
-    "q100_mmr_topk" -> (q100MmrTopK _))
+    "q100_mmr_topk" -> (q100MmrTopK _),
+    "q103_epoch_expand" -> (q103EpochExpand _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -940,5 +1013,6 @@ object CorpusStatsQueries {
     "q97_hard_negatives" -> q97Sql,
     "q98_canonical_docs" -> q98Sql,
     "q99_mix_plan" -> q99Sql,
-    "q100_mmr_topk" -> q100Sql)
+    "q100_mmr_topk" -> q100Sql,
+    "q103_epoch_expand" -> q103Sql)
 }

@@ -363,6 +363,33 @@ object CurationQueries {
        |GROUP BY zrange
        |ORDER BY zrange""".stripMargin
 
+  // ---- q104: global training order WITHOUT a single-reducer sort —
+  // the total-rank twin of q58's shard-local order: every doc gets its
+  // global position under the deterministic shuffle hash via
+  // GlobalOrder's two-pass range-partition + local-rank + offset
+  // scheme. The oracle is the single-window form (row_number OVER
+  // (ORDER BY ...)) — equality IS the theorem: the distributed plan
+  // computes exactly what the one-reducer window would. ----
+
+  def q104GlobalOrder(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        TF.hash60(concat(col("doc_id").cast("string"), lit("#ord"))).as("ord"))
+    graft.operators.GlobalOrder
+      .withGlobalPos(keyed, numPartitions = 16,
+        order = Seq(col("ord"), col("doc_id")), posCol = "pos")
+      .select(col("pos"), col("doc_id"), col("lang"))
+      .orderBy(col("pos"))
+  }
+
+  val q104Sql: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY ord, doc_id) AS BIGINT) AS pos,
+       |  doc_id, lang
+       |FROM (SELECT doc_id, lang,
+       |        ${TF.sqlHash60("doc_id::VARCHAR || '#ord'")} AS ord
+       |      FROM documents)
+       |ORDER BY pos""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q55_contamination" -> (q55Contamination _),
     "q56_split_assign" -> (q56SplitAssign _),
@@ -372,7 +399,8 @@ object CurationQueries {
     "q60_resize" -> (q60Resize _),
     "q61_curate_pipeline" -> (q61CuratePipeline _),
     "q62_repetition" -> (q62Repetition _),
-    "q63_zorder" -> (q63Zorder _))
+    "q63_zorder" -> (q63Zorder _),
+    "q104_global_order" -> (q104GlobalOrder _))
 
   def oracles: Map[String, String] = Map(
     "q55_contamination" -> q55Sql,
@@ -383,5 +411,6 @@ object CurationQueries {
     "q60_resize" -> q60Sql,
     "q61_curate_pipeline" -> q61Sql,
     "q62_repetition" -> q62Sql,
-    "q63_zorder" -> q63Sql)
+    "q63_zorder" -> q63Sql,
+    "q104_global_order" -> q104Sql)
 }

@@ -369,6 +369,29 @@ class CorpusStatsSpec extends SparkSpec {
     levels.foreach(l => assert(math.abs(l - levels.head) / levels.head < 1e-3))
   }
 
+  // ---- q103 epoch expansion ----
+
+  test("epoch expand: copy_idx contiguous per doc, subsample and upsample " +
+    "branches both exercised, totals reconcile with the report") {
+    val d = graft.Tables.load(spark, sf001, "documents")
+    val exp = CorpusStatsQueries.epochExpand(d)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSeq
+    // contiguous 1..copies per doc
+    exp.groupBy(_._1).foreach { case (id, rows) =>
+      val idxs = rows.map(_._2).sorted
+      assert(idxs == (1L to idxs.size), s"doc $id gapped copies")
+    }
+    // subsampling: some docs absent (en runs at < 1 epoch);
+    // upsampling: some docs appear twice (capped langs at 1.2)
+    val perDoc = exp.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perDoc.size < d.count())
+    assert(perDoc.values.exists(_ >= 2))
+    // totals match the q103 report
+    val report = CorpusStatsQueries.entries("q103_epoch_expand")(spark, sf001)
+      .select("copies_out").as[Long].collect().sum
+    assert(exp.size.toLong == report)
+  }
+
   // ---- q100 MMR diversity-aware top-k ----
 
   test("mmr: skips a near-duplicate of the first pick in favor of a diverse result") {
