@@ -700,8 +700,9 @@ object CorpusStatsQueries {
   // clusters via the checkpointed CC propagation, selection is one
   // cluster-keyed argmax — all shuffles on doc/cluster keys. ----
 
-  def q98CanonicalDocs(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+  /** (doc_id, cluster_id, quality_score, kept) for every doc —
+    * q98's verdict table, shared with q105's end-to-end pipeline. */
+  private[graft] def canonicalVerdicts(d: DataFrame): DataFrame = {
     val edges = TextDedup.prefixJaccardPairs(d, n = 3, threshold = 0.5)
     val clusters = graft.operators.ClusterDedup
       .clusters(edges, "id_a", "id_b")
@@ -718,11 +719,16 @@ object CorpusStatsQueries {
     labeled.join(canon, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("quality_score"),
         (col("doc_id") === col("canonical_id")).as("kept"))
-      .orderBy(col("doc_id"))
   }
 
-  val q98Sql: String =
-    s"""WITH RECURSIVE ${ExtensionQueries.dsCte(3)},
+  def q98CanonicalDocs(spark: SparkSession, dir: String): DataFrame =
+    canonicalVerdicts(docs(spark, dir)).orderBy(col("doc_id"))
+
+  /** Recursive CTE chain ending in `verdicts(doc_id, cluster_id,
+    * quality_score, kept)` — the q98 canonical-selection oracle,
+    * shared with q105's end-to-end pipeline oracle. */
+  private def canonCtes: String =
+    s"""${ExtensionQueries.dsCte(3)},
        |${ExtensionQueries.candCte},
        |${ExtensionQueries.jacCtes},
        |edges AS (SELECT id_a, id_b FROM (${ExtensionQueries.jacSelect(0.5)})),
@@ -736,11 +742,17 @@ object CorpusStatsQueries {
        |scored AS (
        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        |    ${Num.sqlR4(ExtensionQueries.sqlQualityScore("d.text"))} AS quality_score
-       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
-       |SELECT doc_id, cluster_id, quality_score,
-       |  (row_number() OVER (PARTITION BY cluster_id
-       |     ORDER BY quality_score DESC, doc_id) = 1) AS kept
-       |FROM scored
+       |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id),
+       |verdicts AS (
+       |  SELECT doc_id, cluster_id, quality_score,
+       |    (row_number() OVER (PARTITION BY cluster_id
+       |       ORDER BY quality_score DESC, doc_id) = 1) AS kept
+       |  FROM scored)""".stripMargin
+
+  val q98Sql: String =
+    s"""WITH RECURSIVE $canonCtes
+       |SELECT doc_id, cluster_id, quality_score, kept
+       |FROM verdicts
        |ORDER BY doc_id""".stripMargin
 
   // ---- q99: epoch-capped mixture planning (water-filling) — the step
@@ -972,6 +984,51 @@ object CorpusStatsQueries {
        |ORDER BY query_id, pick""".stripMargin
   }
 
+  // ---- q105: the end-to-end corpus pipeline — quality gate →
+  // canonical near-dup selection → deterministic split assignment →
+  // distributed global training order, composed from the building
+  // blocks the tiers above verify individually. The oracle chains the
+  // SAME stages in SQL (recursive-CTE CC + QUALIFY argmax + hash
+  // split + one-reducer row_number), so the equality proves the WHOLE
+  // pipeline, not just its pieces. Every stage keeps its own scale
+  // story: prefix-filtered edges, checkpointed CC, broadcast verdict
+  // join, two-pass global rank. ----
+
+  private val QualityGate = 0.45
+
+  def q105CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val kept = canonicalVerdicts(d)
+      .filter(col("kept") && col("quality_score") >= QualityGate)
+      .select(col("doc_id"))
+    val train = d.join(kept, "doc_id")
+      .withColumn("split", TF.splitAssign(col("doc_id")))
+      .filter(col("split") === "train")
+      .select(col("doc_id"), col("lang"),
+        TF.hash60(concat(col("doc_id").cast("string"), lit("#ord"))).as("ord"))
+    graft.operators.GlobalOrder
+      .withGlobalPos(train, numPartitions = 16,
+        order = Seq(col("ord"), col("doc_id")), posCol = "pos")
+      .select(col("pos"), col("doc_id"), col("lang"))
+      .orderBy(col("pos"))
+  }
+
+  val q105Sql: String =
+    s"""WITH RECURSIVE $canonCtes,
+       |keep AS (SELECT doc_id FROM verdicts
+       |         WHERE kept AND quality_score >= $QualityGate),
+       |tr AS (
+       |  SELECT doc_id, lang,
+       |    ${TF.sqlHash60("doc_id::VARCHAR || '#ord'")} AS ord
+       |  FROM (SELECT d.doc_id, d.lang,
+       |          ${TF.sqlHash60("d.doc_id::VARCHAR")} % 100 AS hk
+       |        FROM documents d JOIN keep k ON d.doc_id = k.doc_id)
+       |  WHERE ${TF.sqlSplitCase("hk")} = 'train')
+       |SELECT CAST(row_number() OVER (ORDER BY ord, doc_id) AS BIGINT) AS pos,
+       |  doc_id, lang
+       |FROM tr
+       |ORDER BY pos""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -992,7 +1049,8 @@ object CorpusStatsQueries {
     "q98_canonical_docs" -> (q98CanonicalDocs _),
     "q99_mix_plan" -> (q99MixPlan _),
     "q100_mmr_topk" -> (q100MmrTopK _),
-    "q103_epoch_expand" -> (q103EpochExpand _))
+    "q103_epoch_expand" -> (q103EpochExpand _),
+    "q105_corpus_pipeline" -> (q105CorpusPipeline _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -1014,5 +1072,6 @@ object CorpusStatsQueries {
     "q98_canonical_docs" -> q98Sql,
     "q99_mix_plan" -> q99Sql,
     "q100_mmr_topk" -> q100Sql,
-    "q103_epoch_expand" -> q103Sql)
+    "q103_epoch_expand" -> q103Sql,
+    "q105_corpus_pipeline" -> q105Sql)
 }

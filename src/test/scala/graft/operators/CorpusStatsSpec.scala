@@ -451,6 +451,29 @@ class CorpusStatsSpec extends SparkSpec {
     queries.foreach(q => assert(got(q) == refMmr(q), s"query $q diverged"))
   }
 
+  // ---- q105 end-to-end corpus pipeline ----
+
+  test("corpus pipeline: output is exactly the gated+kept+train set, " +
+    "contiguously ranked") {
+    val d = graft.Tables.load(spark, sf001, "documents")
+    val out = CorpusStatsQueries.entries("q105_corpus_pipeline")(spark, sf001)
+      .as[(Long, Long, String)].collect().toSeq
+    // contiguous 1..n positions
+    assert(out.map(_._1).sorted == (1L to out.size))
+    // set equality with the independently-composed stages
+    val expected = CorpusStatsQueries.canonicalVerdicts(d)
+      .filter(col("kept") && col("quality_score") >= 0.45)
+      .join(d, "doc_id")
+      .withColumn("split", graft.functions.TextFunctions.splitAssign(col("doc_id")))
+      .filter(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._2).toSet == expected && out.nonEmpty)
+    // the gate actually gates: strictly fewer docs than kept-only
+    val keptOnly = CorpusStatsQueries.canonicalVerdicts(d)
+      .filter(col("kept")).count()
+    assert(out.size < keptOnly)
+  }
+
   // ---- q87 PageRank ----
 
   test("pagerank: symmetric triangle stays uniform at 1/n") {
