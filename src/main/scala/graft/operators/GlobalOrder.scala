@@ -25,23 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
-  /** Add `posCol` (1-based global rank under `order`) to `df`. */
+  /** Add `posCol` (1-based global rank under `order`) to `df`.
+    *
+    * The local rank comes from `monotonically_increasing_id` evaluated
+    * AFTER `sortWithinPartitions` — the DataFrame zipWithIndex idiom:
+    * mid = (partitionId << 33) + rowIndexWithinPartition, so the local
+    * index is `mid − (pid << 33)`. That keeps the whole computation in
+    * the range exchange's stage; ranking with a window partitioned by
+    * `_pid` would re-shuffle the already-partitioned data a second
+    * time (Spark can't see that range output clusters `_pid`).
+    * Assumes < 2^33 rows per partition — guaranteed by any sane
+    * `maxPartitionBytes`. */
   def withGlobalPos(df: DataFrame, numPartitions: Int,
       order: Seq[Column], posCol: String = "global_pos"): DataFrame = {
     require(order.nonEmpty)
     val spark = df.sparkSession
     import spark.implicits._
     val ranged = df.repartitionByRange(numPartitions, order: _*)
-      .withColumn("_pid", spark_partition_id())
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id().cast("long"))
+      .withColumn("_local",
+        monotonically_increasing_id() - shiftleft(col("_pid"), 33))
       .cache()
     val sizes = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
-      .as[(Int, Long)].collect().sortBy(_._1)
+      .as[(Long, Long)].collect().sortBy(_._1)
     val offsets = sizes.map(_._1)
       .zip(sizes.map(_._2).scanLeft(0L)(_ + _))
     val offDf = offsets.toSeq.toDF("_pid", "_off")
-    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
     ranged.join(broadcast(offDf), "_pid")
-      .withColumn(posCol, row_number().over(w).cast("long") + col("_off"))
-      .drop("_pid", "_off")
+      .withColumn(posCol, col("_local") + 1L + col("_off"))
+      .drop("_pid", "_local", "_off")
   }
 }
