@@ -33,9 +33,13 @@ object Quantiles {
     * requested percentile, named by `names` (parallel to `ps`).
     * Output values are raw (callers apply their own snapping).
     * NULL values of `valueCol` are ignored — the `percentile` /
-    * `quantile_cont` convention — and `n` counts non-null rows only;
-    * a group whose values are all NULL emits no row (again matching
-    * both engines, which return NULL from an empty aggregate). */
+    * `quantile_cont` convention — and `n` counts NON-NULL rows only.
+    * Caveat vs full GROUP BY semantics: a group whose values are ALL
+    * NULL emits no row here, whereas `GROUP BY g` with
+    * `quantile_cont(v)` emits the group with NULL quantiles (and a
+    * `count(*)` would count its rows). Callers pairing this with a
+    * GROUP BY oracle must either have no all-NULL groups (true of
+    * every current caller) or outer-join the group list back in. */
   def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], names: Seq[String]): DataFrame = {
     require(ps.nonEmpty && ps.length == names.length)

@@ -144,40 +144,61 @@ object TextDedup {
     * it false to get sort-merge joins on the shingle / id keys with
     * AQE skew handling — the result is identical).
     */
+  /** (id, shingle, sz, rnk) for every df>1 shingle occurrence, ranked
+    * under the global canonical order (document frequency asc,
+    * shingle asc) — deterministic on any cluster layout. Shared
+    * scaffolding of the two prefix-filtered joins.
+    *
+    * Shapes that matter at scale: per-doc sizes and document
+    * frequency come from groupBy+join (map-side partial aggregation —
+    * a window over the exploded table would shuffle every (id,
+    * shingle) row with no combiner); the sizes join-back rides
+    * `bcast`, the same gate as the prefix index (one row per document
+    * grows with the corpus — sort-merge when it no longer fits an
+    * executor). Ranks are computed over the FULL per-doc set BEFORE
+    * the df>1 filter, so `sz − rnk` still counts true remaining
+    * elements; dropping singletons afterwards only removes index rows
+    * that can never collide (a colliding shingle has df ≥ 2), so
+    * completeness is preserved while the (majority) unique-shingle
+    * rows never enter a self-join. */
+  private def rankedShingles(ds: DataFrame,
+      bcast: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    ds.join(df, "shingle")
+      .join(bcast(sizes), "id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("df") > 1)
+      .select(col("id"), col("shingle"), col("sz"), col("rnk"))
+  }
+
+  /** Each doc's first `sz − ⌈tau·sz⌉ + 1` ranked positions — the
+    * prefix-filter index. α = ⌈τ·|S|⌉ under a float-robust ceiling:
+    * 0.4·5 floats to 2.0000000000000004, and a plain ceil would
+    * overshoot α and SHORTEN the prefix — an incompleteness bug, not
+    * a perf detail. Underestimating α (the epsilon's only possible
+    * effect) merely admits extra candidates, which verification
+    * discards. */
+  private def prefixOf(ranked: DataFrame, tau: Double): DataFrame =
+    ranked.filter(col("rnk") <=
+      col("sz") - ceil(lit(tau) * col("sz") - 1e-9) + 1)
+
   def prefixJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastIndex: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     def bcast(d: DataFrame): DataFrame = if (broadcastIndex) broadcast(d) else d
+    // Pruning must use a SNAP-SLACK-relaxed τ: verification accepts the
+    // r4-SNAPPED ratio ≥ τ, and the snap can round a raw ratio up by
+    // at most 0.5e-4 — so a pair with raw J ∈ [τ−5e-5, τ) is emitted
+    // by verification (and by the all-pairs twin + oracle), and the
+    // integer candidate bounds below must not drop it. Pruning with
+    // τ−5e-5 admits a sliver of extra candidates; verification
+    // discards them.
+    val tau = threshold - 5e-5
     val ds = docShingles(docs, idCol, textCol, n).cache()
-    // per-doc set sizes: doc-cardinality rows — broadcast back instead
-    // of a second full-corpus window pass
-    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // document frequency by groupBy+join (map-side partial aggregation
-    // — a window over the exploded table would shuffle every (id,
-    // shingle) row with no combiner), then the per-doc rank shuffle.
-    val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // global canonical order: document frequency asc, shingle asc —
-    // deterministic on any cluster layout.
-    // α = ⌈τ·|S|⌉ under a float-robust ceiling: 0.4·5 floats to
-    // 2.0000000000000004, and a plain ceil would overshoot α and
-    // SHORTEN the prefix — an incompleteness bug, not a perf detail.
-    // Underestimating α (the epsilon's only possible effect) merely
-    // admits extra candidates, which verification discards.
-    // The df > 1 filter prunes singleton shingles from the INDEX only
-    // (prefix lengths were computed over the full sets): a colliding
-    // shingle has df ≥ 2 by definition, so completeness holds and the
-    // self-join skips the (majority) unique-shingle rows.
-    val prefix = ds
-      .join(df, "shingle")
-      .join(broadcast(sizes), "id")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-      .filter(col("rnk") <=
-        col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
-      .filter(col("df") > 1)
-      .select(col("id"), col("shingle"), col("sz"), col("rnk"))
-      .cache()
+    val prefix = prefixOf(rankedShingles(ds, bcast), tau).cache()
     // Candidate aggregation carries the PPJoin filter inputs out of
     // the prefix self-join for free: po = #prefix collisions, pa/pb =
     // rank of the LAST collision on each side. Under the global order
@@ -192,7 +213,7 @@ object TextDedup {
       .join(bcast(prefix.as("b")),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
           least(col("a.sz"), col("b.sz")) >=
-            lit(threshold) * greatest(col("a.sz"), col("b.sz")) - 1e-9)
+            lit(tau) * greatest(col("a.sz"), col("b.sz")) - 1e-9)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("po"),
@@ -200,7 +221,7 @@ object TextDedup {
     // J ≥ τ needs |A∩B| ≥ τ/(1+τ)·(|A|+|B|); float-robust floor on
     // the requirement so rounding can only ADMIT extra candidates.
     val needed = ceil(
-      lit(threshold / (1.0 + threshold)) * (col("sz_a") + col("sz_b")) - 1e-9)
+      lit(tau / (1.0 + tau)) * (col("sz_a") + col("sz_b")) - 1e-9)
     // survivors feeds BOTH the semi-reduction and the verification
     // join — cache it so the candidate join runs once, not three times
     val survivors = cand
@@ -303,37 +324,28 @@ object TextDedup {
   def prefixContainmentPairs(docs: DataFrame, n: Int = 3,
       threshold: Double = 0.6, idCol: String = "doc_id",
       textCol: String = "text", broadcastIndex: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // snap-slack-relaxed τ for pruning, as in prefixJaccardPairs:
+    // verification accepts the r4-snapped containment ≥ τ, which a
+    // raw ratio in [τ−5e-5, τ) also satisfies
+    val tau = threshold - 5e-5
     val ds = docShingles(docs, idCol, textCol, n).cache()
-    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // ranks over the FULL per-doc set (df>1 filtered only afterwards,
-    // so sz − rnk still counts true remaining elements); float-robust
-    // ceiling as in prefixJaccardPairs — underestimating τ·sz only
-    // admits candidates, never drops one
-    val ranked = ds
-      .join(df, "shingle")
-      .join(broadcast(sizes), "id")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
-      .filter(col("df") > 1)
-      .select(col("id"), col("shingle"), col("sz"), col("rnk"))
-      .cache()
-    // contained-side index: first |A| − ⌈τ·|A|⌉ + 1 shingles. A
-    // colliding shingle has df ≥ 2, so the df>1 filter above keeps
-    // completeness while dropping the (majority) singleton rows.
-    val prefix = ranked.filter(col("rnk") <=
-      col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
+    def bcast(d: DataFrame): DataFrame = if (broadcastIndex) broadcast(d) else d
+    // unlike the Jaccard join, BOTH sides of the candidate join need
+    // ranked rows (the container side probes with its full df>1 set),
+    // so the shared ranked frame is what gets cached here
+    val ranked = rankedShingles(ds, bcast).cache()
+    // contained-side index: first |A| − ⌈τ·|A|⌉ + 1 shingles
+    val prefix = prefixOf(ranked, tau)
     val idx = if (broadcastIndex) broadcast(prefix.as("a")) else prefix.as("a")
     val cand = ranked.as("b")
       .join(idx, col("a.shingle") === col("b.shingle") &&
         col("a.id") =!= col("b.id") &&
-        col("b.sz") >= lit(threshold) * col("a.sz") - 1e-9)
+        col("b.sz") >= lit(tau) * col("a.sz") - 1e-9)
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("po"),
         max(col("a.rnk")).as("pa"), max(col("b.rnk")).as("pb"))
-    val needed = ceil(lit(threshold) * col("sz_a") - 1e-9)
+    val needed = ceil(lit(tau) * col("sz_a") - 1e-9)
     val survivors = cand
       .filter(col("po") +
         least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >= needed)

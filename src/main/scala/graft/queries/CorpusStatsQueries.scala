@@ -858,8 +858,9 @@ object CorpusStatsQueries {
 
   private val RepScale = 1000000L
 
-  /** Expanded corpus: one row per (doc, copy_idx). */
-  private[graft] def epochExpand(d: DataFrame): DataFrame = {
+  /** Per-doc replication counts under the plan — one row per doc,
+    * `copies` possibly 0 (subsampled away). */
+  private[graft] def docCopies(d: DataFrame): DataFrame = {
     val plan = mixPlanRaw(d)
       .select(col("lang"), (col("alloc") / col("n_tokens")).as("e"))
     d.join(plan, "lang")
@@ -870,23 +871,30 @@ object CorpusStatsQueries {
       .withColumn("copies",
         (col("base") + when(col("hfrac") < col("thresh"), 1L).otherwise(0L))
           .cast("long"))
+      .select(col("doc_id"), col("lang"), col("e"), col("copies"))
+  }
+
+  /** Expanded corpus: one row per (doc, copy_idx); 0-copy docs drop. */
+  private[graft] def epochExpand(d: DataFrame): DataFrame =
+    docCopies(d)
       .withColumn("copy_idx", explode(when(col("copies") > 0,
         sequence(lit(1L), col("copies"))).otherwise(array().cast("array<bigint>"))))
       .select(col("doc_id"), col("lang"), col("e"), col("copy_idx"))
-  }
 
-  def q103EpochExpand(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val in = d.groupBy(col("lang")).agg(count(lit(1)).as("docs_in"))
-    epochExpand(d)
+  // The report aggregates docCopies, NOT the exploded table: a lang
+  // whose every doc realizes 0 copies must still report
+  // (docs_in, copies_out = 0) — explode would drop the group entirely
+  // while the oracle keeps it.
+  def q103EpochExpand(spark: SparkSession, dir: String): DataFrame =
+    docCopies(docs(spark, dir))
       .groupBy(col("lang"))
-      .agg(count(lit(1)).as("copies_out"), first(col("e")).as("e"))
-      .join(in, "lang")
+      .agg(count(lit(1)).as("docs_in"),
+        sum(col("copies")).cast("long").as("copies_out"),
+        first(col("e")).as("e"))
       .select(col("lang"), col("docs_in"), col("copies_out"),
         Num.r4(col("copies_out") / col("docs_in")).as("realized_epochs"),
         Num.r4(col("e")).as("target_epochs"))
       .orderBy(col("lang"))
-  }
 
   val q103Sql: String =
     s"""WITH $mixCtes,

@@ -507,16 +507,28 @@ object LakehouseQueries {
     math.max(16L, (n + SemTargetCell - 1) / SemTargetCell).toInt
 
   def q76SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     import graft.plans.VectorFunctions.vec_cosine
     val emb = embs(spark, dir)
-    // corpus size → cell count: one count() scan; centroids themselves
-    // are bounded model state (nCells × dim doubles), same contract as
-    // Similarity.ivfTopK / ProductQuantizer codebooks
+    // corpus size → cell count: one count() scan. Because nCells GROWS
+    // with the corpus, the centroids go into a broadcast DataFrame and
+    // assignment is a join + struct-max argmax — embedding them as
+    // plan literals (ivfCellArr, fine for ivfTopK's constant nlist=16)
+    // would blow codegen past method limits as the plan grew with n.
+    // Honest cost note: flat IVF assignment is n·nCells = n²/100
+    // cosines; within SemDeDup that is the assignment stage's known
+    // price (the paper's faiss index pays it approximately) and the
+    // escalation path is hierarchical two-level assignment
+    // (n·2√nCells), same cell semantics, before true web scale.
     val nCells = semCellCount(emb.count())
-    val centroids = Similarity.ivfCentroids(emb, nCells)
-    val cellArr = Similarity.ivfCellArr(centroids) _
-    val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
-      array_max(cellArr(col("embedding"))).getField("cell").as("cell"))
+    val centDf = broadcast(Similarity.ivfCentroids(emb, nCells).toSeq
+      .toDF("cell", "cv"))
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .join(centDf)
+      .withColumn("cos", Num.r4(vec_cosine(col("v"), col("cv"))))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos"), col("cell"))).as("m"), first(col("v")).as("v"))
+      .select(col("id"), col("v"), col("m.cell").as("cell"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .withColumn("cos", Num.r4(vec_cosine(col("a.v"), col("b.v"))))

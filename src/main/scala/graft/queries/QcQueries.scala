@@ -99,7 +99,12 @@ object QcQueries {
     * `snap = 'cur'` halves of `d`. */
   private[graft] def driftReport(d: DataFrame): DataFrame = {
     def featureTable(feature: String, bucket: Column): DataFrame = {
-      val counts = d.groupBy(col("snap"), bucket.as("bucket"))
+      // NULL feature values become an explicit bucket: Spark sorts
+      // NULLs first ascending, DuckDB last — a sentinel keeps the
+      // ordered output identical (and makes the null share visible,
+      // which a drift report wants anyway)
+      val counts = d.groupBy(col("snap"),
+          coalesce(bucket, lit("(null)")).as("bucket"))
         .agg(count(lit(1)).as("n"))
       val tot = counts.groupBy(col("snap")).agg(sum(col("n")).as("tot"))
       counts.join(tot, "snap")
@@ -135,7 +140,7 @@ object QcQueries {
          |    SELECT snap, bucket,
          |      count(*) / (sum(count(*)) OVER (PARTITION BY snap))::DOUBLE AS p
          |    FROM (SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
-         |            $bucket AS bucket FROM documents)
+         |            coalesce($bucket, '(null)') AS bucket FROM documents)
          |    GROUP BY snap, bucket)
          |  GROUP BY bucket)""".stripMargin
     s"""SELECT feature, bucket, p_ref, p_cur, psi FROM (

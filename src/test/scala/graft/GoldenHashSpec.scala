@@ -7,11 +7,16 @@ import org.apache.spark.sql.functions._
   * Their outputs ARE deterministic for fixed input — every source of
   * "randomness" is an md5/xxhash of the data itself — so a pinned
   * value-hash at sf0.01 catches silent regressions the rows-only
-  * driver check would miss. The hash is order-independent (bit_xor
-  * fold of per-row xxhash64 over all columns), matching the driver's
-  * and Bench's materialization convention.
+  * driver check would miss.
   *
-  * If an INTENTIONAL change to one of these operators shifts a hash,
+  * The pin is (row count, bit_xor of per-row xxhash64, decimal SUM of
+  * the same hashes): xor alone is blind to multiplicity changes that
+  * preserve parity (a bug triplicating every row satisfies
+  * h⊕h⊕h = h), so the order-independent sum rides along — a
+  * multiplicity change that fools xor, count AND sum simultaneously
+  * is not a plausible regression.
+  *
+  * If an INTENTIONAL change to one of these operators shifts a pin,
   * re-pin it here and say why in the commit message. */
 class GoldenHashSpec extends SparkSpec {
   import spark.implicits._
@@ -19,17 +24,26 @@ class GoldenHashSpec extends SparkSpec {
   private val sf01 = "/root/testdata/sf0.01"
 
   private val goldens = Map(
-    "q19_approx_distinct" -> -7087515408835177624L,
-    "q29_ann_lsh" -> -5247240000319932891L,
-    "q29b_ann_ivf" -> -1298353714317060049L,
-    "q37b_approx_quantiles" -> 8345016534504703741L,
-    "q68_pq_adc" -> 6339376206052989512L)
+    "q19_approx_distinct" ->
+      (5L, -7087515408835177624L, BigDecimal("-4556082857057981218")),
+    "q29_ann_lsh" ->
+      (50L, -5247240000319932891L, BigDecimal("-58319281504979561101")),
+    "q29b_ann_ivf" ->
+      (50L, -1298353714317060049L, BigDecimal("-26160650858448669069")),
+    "q37b_approx_quantiles" ->
+      (3L, 8345016534504703741L, BigDecimal("5689306019265833249")),
+    "q68_pq_adc" ->
+      (50L, 6339376206052989512L, BigDecimal("22432647692557771132")))
 
-  for ((name, expected) <- goldens.toSeq.sortBy(_._1))
+  for ((name, (en, ex, es)) <- goldens.toSeq.sortBy(_._1))
     test(s"golden hash pins $name at sf0.01") {
       val d = SparkEntry.queries(name)(spark, sf01)
-      val h = d.select(xxhash64(d.columns.toIndexedSeq.map(col): _*).as("h"))
-        .agg(expr("bit_xor(h)")).as[Long].head()
-      assert(h == expected, s"$name output hash drifted: got ${h}L")
+      val (n, x, s) = d
+        .select(xxhash64(d.columns.toIndexedSeq.map(col): _*).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)"),
+          sum(col("h").cast("decimal(38,0)")))
+        .as[(Long, Long, BigDecimal)].head()
+      assert((n, x, s) == ((en, ex, es)),
+        s"$name output drifted: got ($n, ${x}L, $s)")
     }
 }
