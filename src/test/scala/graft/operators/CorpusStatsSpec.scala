@@ -302,6 +302,32 @@ class CorpusStatsSpec extends SparkSpec {
     assert(pref == full && pref.map(p => (p._1, p._2)) == Set((1L, 2L)))
   }
 
+  test("prefix containment survives the r4 snap boundary on large documents") {
+    // |A| = 20000 trigrams, B shares exactly 11999 of them: raw
+    // containment 0.59995 < τ = 0.6, but the r4 SNAP rounds it to
+    // 0.6000, so verification (and the all-pairs twin) emit the pair.
+    // Pruning with exact-τ integer bounds would demand
+    // inter ≥ ⌈0.6·20000⌉ = 12000 > 11999 and silently drop it before
+    // verification ever ran — only the snap-slack-relaxed τ keeps the
+    // candidate alive, and the relaxed prefix (8002 positions vs 8001
+    // singletons) catches it through exactly ONE indexed shingle.
+    // Needs ≥20k-shingle docs: with small sets the ratio lattice 1/sz
+    // can't land inside the [τ−5e-5, τ) snap window.
+    val a = (1 to 20002).map(i => s"a$i").mkString(" ")
+    val b = ((1 to 12001).map(i => s"a$i") ++ (1 to 8000).map(i => s"f$i"))
+      .mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val pref = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = TextDedup.containmentPairs(docs, n = 3, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    // BOTH directions sit in the snap window (B→A = 11999/19999 =
+    // 0.59998) — the all-pairs form emits both, so must the prefix form
+    assert(full.map(p => (p._1, p._2)) == Set((1L, 2L), (2L, 1L)))
+    assert(pref == full) // the prefix join must not lose either
+    assert(pref.forall(_._3 == 0.6)) // snapped ratios, not raw
+  }
+
   // ---- q97 hard negatives ----
 
   test("hard negatives: band excludes near-dups above hi and noise below lo") {
