@@ -27,7 +27,8 @@ object SparkEntry {
       CurationQueries.entries ++
       LakehouseQueries.entries ++
       CorpusStatsQueries.entries ++
-      QcQueries.entries
+      QcQueries.entries ++
+      FeatureQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       CurationQueries.oracles ++
       LakehouseQueries.oracles ++
       CorpusStatsQueries.oracles ++
-      QcQueries.oracles
+      QcQueries.oracles ++
+      FeatureQueries.oracles
 }

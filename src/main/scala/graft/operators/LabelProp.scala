@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation over an undirected graph — the
+  * semi-supervised classifier for graph-shaped corpus signals: a few
+  * seed-labeled documents (human-reviewed language / topic / quality
+  * tags) spread over the near-dup similarity graph, giving every
+  * connected document a best-guess label. Complements
+  * [[ClusterDedup]] (which finds components) by propagating VALUES
+  * with majority votes instead of min-ids.
+  *
+  * Determinism contract (oracle-checkable, like PageRank's unrolled
+  * rounds): a fixed round count, integer vote counts, and a total
+  * tie-break (count desc, label asc). Round semantics: seeds are
+  * clamped; an unseeded node takes the majority label among its
+  * neighbors' PREVIOUS-round labels; with no labeled neighbor it
+  * keeps its previous label (initially null).
+  *
+  * Scale shape (100 TB): each round is one edge-keyed join + one
+  * (node, label)-keyed count + one node-keyed argmax — all shuffles
+  * on node ids, state is one label per node. Rounds are bounded and
+  * unrolled; per-round results are cached so round r+1 doesn't
+  * re-execute rounds 1..r (a growing-plan re-execution is the classic
+  * iterative-DataFrame trap).
+  */
+object LabelProp {
+
+  /** `nodes`: (id, seed) with nullable seed; `edges`: (id_a, id_b)
+    * undirected, ids drawn from `nodes.id`. Returns (id, label,
+    * seeded) after `rounds` synchronous rounds. */
+  def propagate(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    val base = nodes.select(col("id"), col("seed")).cache()
+    var lbl = base.select(col("id"), col("seed").as("lbl"))
+    for (_ <- 1 to rounds) {
+      val votes = sym
+        .join(lbl.filter(col("lbl").isNotNull)
+          .select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val maj = votes
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("cnt").desc, col("lbl"))))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("lbl").as("mlbl"))
+      lbl = base
+        .join(maj, Seq("id"), "left")
+        .join(lbl.withColumnRenamed("lbl", "plbl"), Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("seed"), col("mlbl"), col("plbl")).as("lbl"))
+        .cache()
+    }
+    base.join(lbl, "id")
+      .select(col("id"), col("lbl").as("label"),
+        col("seed").isNotNull.as("seeded"))
+  }
+}

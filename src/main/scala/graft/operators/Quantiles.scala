@@ -79,4 +79,40 @@ object Quantiles {
     }
     agged.select(col("g").as(groupCol) +: col("n").as("n") +: outs: _*)
   }
+
+  /** Exact per-group WEIGHTED quantiles (lower / type-1 convention:
+    * the smallest value v whose cumulative weight reaches p·W). The
+    * frequency-weighted generalization neither Spark's `percentile`
+    * (whose frequency argument must be integral) nor `quantile_cont`
+    * exposes — the shape a training-mix pipeline needs for "median
+    * document length weighted by sampling epochs".
+    *
+    * Same scale skeleton as [[exactQuantiles]]: compress to distinct
+    * (group, value) rows with summed weights, one cumulative window
+    * over the compressed domain, conditional-aggregation rank pick.
+    * Per-(g,v) weight sums are snapped r6 so partial-aggregation
+    * order can't perturb the cumulative sums (the window itself adds
+    * in ascending-v order in every engine — deterministic given
+    * identical inputs). NULL values and NULL/non-positive weights are
+    * ignored; `w_total` reports the group's snapped total weight. */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, ps: Seq[Double], names: Seq[String]): DataFrame = {
+    require(ps.nonEmpty && ps.length == names.length)
+    val cnts = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull && col("w") > 0)
+      .groupBy(col("g"), col("v"))
+      .agg(Num.r(sum(col("w")), 6).as("w"))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = cnts
+      .withColumn("cw", sum(col("w")).over(w))
+      .withColumn("wt", sum(col("w")).over(Window.partitionBy(col("g"))))
+    val picks = ps.zipWithIndex.map { case (p, i) =>
+      min(when(col("cw") >= col("wt") * lit(p), col("v"))).as(names(i))
+    }
+    val aggCols = Num.r(max(col("wt")), 6).as("w_total") +: picks
+    cum.groupBy(col("g")).agg(aggCols.head, aggCols.tail: _*)
+      .withColumnRenamed("g", groupCol)
+  }
 }

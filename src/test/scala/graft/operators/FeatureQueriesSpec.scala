@@ -1,0 +1,173 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.queries.FeatureQueries
+import org.apache.spark.sql.functions._
+
+/** Hand-computed and invariant checks for the feature-engineering
+  * tier (q107–q114 cores); value-level cross-engine correctness is
+  * the DuckDB oracle's job. */
+class FeatureQueriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PMI: hand-computed value on a fixed corpus") {
+    // 5 docs "a b", 5 docs "c d": T=20 tokens, B=10 bigrams,
+    // c("a b")=5, c(a)=c(b)=5 → pmi = ln(5·20·20 / (10·5·5)) = ln 8
+    val d = (Seq.fill(5)("a b") ++ Seq.fill(5)("c d")).toDF("text")
+    val got = FeatureQueries.pmiTable(d)
+      .orderBy(col("bigram"))
+      .as[(String, Long, Double)].collect().toSeq
+    val ln8 = Num.j(math.log(8.0), 6)
+    assert(got == Seq(("a b", 5L, ln8), ("c d", 5L, ln8)))
+  }
+
+  test("PMI: below-min-count bigrams are dropped") {
+    val d = (Seq.fill(5)("x y") ++ Seq.fill(4)("p q")).toDF("text")
+    val got = FeatureQueries.pmiTable(d).select(col("bigram"))
+      .as[String].collect().toSeq
+    assert(got == Seq("x y"))
+  }
+
+  test("trend: exact linear data recovers slope/intercept with r2 = 1") {
+    // y = 2x + 1 over hours 0..9, single event per hour
+    val ev = (0L to 9L).map(h => ("a", 100L + h, 2.0 * h + 1.0))
+      .toDF("event_type", "hr", "value")
+    val r = FeatureQueries.trendTable(ev).head()
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+    assert(r.getAs[Double]("r2") == 1.0)
+  }
+
+  test("trend: single-hour group yields null slope, not a crash") {
+    val ev = Seq(("b", 5L, 3.0), ("b", 5L, 4.0)).toDF("event_type", "hr", "value")
+    val r = FeatureQueries.trendTable(ev).head()
+    assert(r.isNullAt(r.fieldIndex("slope")))
+    assert(r.isNullAt(r.fieldIndex("r2")))
+  }
+
+  test("feature hashing: buckets in range, magnitude bounded by tokens, deterministic") {
+    val d = Seq((1L, "w1 w2 w3 w1 w1"), (2L, "z1 z2")).toDF("doc_id", "text")
+    val a = FeatureQueries.featureHash(d).collect().toSeq
+    val b = FeatureQueries.featureHash(d.repartition(5)).collect().toSeq
+    assert(a == b)
+    assert(a.forall { r =>
+      val bk = r.getAs[Long]("bucket"); bk >= 0 && bk < 64
+    })
+    val absSum = a.filter(_.getAs[Long]("doc_id") == 1L)
+      .map(r => math.abs(r.getAs[Long]("val"))).sum
+    assert(absSum <= 5 && absSum >= 1)
+  }
+
+  test("winsorized stats: clamped mean sits inside the fences, clips counted") {
+    val df = ((1 to 98).map(i => ("g", i.toDouble)) ++
+      Seq(("g", -1000.0), ("g", 1000.0))).toDF("k", "v")
+    val r = FeatureQueries.winsorizedStats(df, "k", "v").head()
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Long]("n_lo") >= 1L && r.getAs[Long]("n_hi") >= 1L)
+    val (p05, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p95"))
+    val mw = r.getAs[Double]("mean_wins")
+    assert(mw >= p05 && mw <= p95)
+    assert(math.abs(r.getAs[Double]("mean_raw")) > math.abs(mw - 49.5) + 1)
+  }
+
+  test("weighted quantiles: hand case + unit weights match type-1 ranks") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
+      .toDF("k", "v", "w")
+    val r = Quantiles.weightedQuantiles(df, "k", "v", "w",
+      Seq(0.5, 0.9), Seq("wmedian", "wp90")).head()
+    assert(r.getAs[Double]("w_total") == 4.0)
+    assert(r.getAs[Double]("wmedian") == 2.0)
+    assert(r.getAs[Double]("wp90") == 3.0)
+    // unit weights: p-th weighted quantile = smallest v with rank ≥ ⌈p·n⌉
+    val u = Seq(("u", 10.0, 1.0), ("u", 20.0, 1.0), ("u", 30.0, 1.0),
+      ("u", 40.0, 1.0)).toDF("k", "v", "w")
+    val r2 = Quantiles.weightedQuantiles(u, "k", "v", "w",
+      Seq(0.5, 1.0), Seq("m", "mx")).head()
+    assert(r2.getAs[Double]("m") == 20.0)
+    assert(r2.getAs[Double]("mx") == 40.0)
+  }
+
+  test("chi2 drift: identical halves give zero chi2 everywhere") {
+    val d = (1 to 50).flatMap(i => Seq(
+      ("ref", "en", 100L), ("cur", "en", 100L),
+      ("ref", "de", 700L), ("cur", "de", 700L)))
+      .toDF("snap", "lang", "n_chars")
+    val rep = FeatureQueries.chi2Report(d)
+    assert(rep.count() == 8)
+    assert(rep.agg(max(col("chi2"))).head().getDouble(0) == 0.0)
+  }
+
+  test("chi2 drift: absent bucket contributes its expected count") {
+    // 'fr' only in ref: cur cell has o=0, e>0, chi2 = e
+    val d = (Seq.fill(10)(("ref", "fr", 10L)) ++
+      Seq.fill(10)(("ref", "en", 10L)) ++ Seq.fill(10)(("cur", "en", 10L)))
+      .toDF("snap", "lang", "n_chars")
+    val cell = FeatureQueries.chi2Report(d)
+      .filter(col("feature") === "lang" && col("bucket") === "fr" &&
+        col("snap") === "cur").head()
+    assert(cell.getAs[Long]("o") == 0L)
+    val e = cell.getAs[Double]("e")
+    assert(e > 0 && cell.getAs[Double]("chi2") == e)
+  }
+
+  test("KMV source overlap: identical sources → jaccard 1, disjoint → 0") {
+    val same = (1 to 30).map(i => ("s1", s"tok$i mid$i")) ++
+      (1 to 30).map(i => ("s2", s"tok$i mid$i"))
+    val disj = (1 to 30).map(i => ("s3", s"aa$i bb$i"))
+    val d = (same ++ disj).toDF("source", "text")
+    val rows = FeatureQueries.sourceOverlap(d)
+      .orderBy(col("src_a"), col("src_b")).collect()
+    assert(rows.length == 3)
+    val m = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // s1/s2 share every token; supports < k so estimates are exact
+    assert(m(("s1", "s2")).getAs[Double]("jaccard") == 1.0)
+    assert(m(("s1", "s3")).getAs[Double]("d_inter") == 0.0)
+    assert(m(("s2", "s3")).getAs[Double]("jaccard") == 0.0)
+  }
+
+  test("correlation: exact ±1 on linear data, null on a constant column") {
+    val d = (1L to 50L).map(i => ("g", i, 2 * i + 3, 100 - i))
+      .toDF("g", "q", "p", "dc")
+    val r = FeatureQueries.corrFromInts(d).head()
+    assert(r.getAs[Double]("c_qty_price") == 1.0)
+    assert(r.getAs[Double]("c_qty_disc") == -1.0)
+    assert(r.getAs[Double]("c_price_disc") == -1.0)
+    val const = (1L to 50L).map(i => ("g", i, 7L, 7L)).toDF("g", "q", "p", "dc")
+    val rc = FeatureQueries.corrFromInts(const).head()
+    assert(rc.isNullAt(rc.fieldIndex("c_qty_price")))
+  }
+
+  test("MAD outliers: known outlier flagged, clean group has none") {
+    val d = ((1 to 99).map(i => ("g", i.toDouble)) ++ Seq(("g", 10000.0)) ++
+      (1 to 100).map(i => ("h", 50.0 + (i % 5)))).toDF("event_type", "value")
+    val rows = FeatureQueries.madOutliers(d, "event_type", "value")
+      .orderBy(col("event_type")).collect()
+    val g = rows(0)
+    assert(g.getAs[Long]("n_outliers") == 1L)
+    assert(g.getAs[Double]("max_abs_z") > 3.5)
+    val h = rows(1)
+    assert(h.getAs[Long]("n_outliers") == 0L)
+  }
+
+  test("zipf: constructed power-law corpus fits slope ≈ -1 with high r2") {
+    // token i (1..30) appears ⌊120/i⌋ times → freq ∝ 1/rank
+    val text = (1 to 30).flatMap(i => Seq.fill(120 / i)(f"tok$i%03d"))
+      .mkString(" ")
+    val d = Seq(("s1", text)).toDF("source", "text")
+    val r = FeatureQueries.zipfSlope(d).head()
+    val slope = r.getAs[Double]("zipf_slope")
+    assert(slope < -0.9 && slope > -1.1)
+    assert(r.getAs[Double]("r2") > 0.98)
+  }
+
+  test("skew report: heaviest key first, share and factor as computed") {
+    val d = (Seq.fill(60)(7L) ++ Seq.fill(30)(8L) ++ Seq.fill(10)(9L))
+      .toDF("user_id")
+    val rows = FeatureQueries.skewReport(d, "user_id", 2).collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSeq == Seq(7L, 8L))
+    assert(rows.head.getAs[Double]("share") == 0.6)
+    // skew factor: 60 / (100/3) = 1.8
+    assert(rows.head.getAs[Double]("skew_factor") == 1.8)
+  }
+}
