@@ -755,6 +755,53 @@ object FeatureQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q119: interval-overlap join, bucketed — "which user-day
+  // activity spans overlap corpus-wide busy hours": spans =
+  // [min hr, max hr] per (user, day); busy hours = hourly totals
+  // above the global hourly average. The naive form is a range-
+  // predicate join (b.hr BETWEEN h0 AND h1 — a broadcast-nested-loop
+  // at scale); the Spark path EXPANDS each span into its hour buckets
+  // (bounded: ≤ 24/day) and equi-joins on the hour key — the standard
+  // interval-join blocking trick. The oracle runs the naive range
+  // form; the equality proves the bucketed rewrite. ----
+
+  def q119IntervalOverlap(spark: SparkSession, dir: String): DataFrame =
+    intervalOverlap(events(spark, dir)
+      .select(col("user_id"), expr("unix_timestamp(ts) div 3600").as("hr")))
+
+  /** `e` needs (user_id, hr: long). */
+  private[graft] def intervalOverlap(e: DataFrame): DataFrame = {
+    val hc = e.groupBy(col("hr")).agg(count(lit(1)).as("cnt"))
+    val avgc = hc.agg((sum(col("cnt")).cast("double") / count(lit(1))).as("avgc"))
+    val busy = hc.crossJoin(broadcast(avgc))
+      .filter(col("cnt") > col("avgc")).select(col("hr"))
+    val sp = e.withColumn("day", expr("hr div 24"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    sp.select(col("user_id"), col("day"), col("h0"), col("h1"),
+        explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .join(busy, "hr")
+      .groupBy(col("user_id"), col("day"), col("h0"), col("h1"))
+      .agg(count(lit(1)).as("n_busy"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val q119Sql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, floor(epoch(ts))::BIGINT // 3600 AS hr FROM events),
+       |hc AS (SELECT hr, count(*) AS cnt FROM e GROUP BY hr),
+       |busy AS (
+       |  SELECT hr FROM hc,
+       |    (SELECT sum(cnt)::DOUBLE / count(*) AS avgc FROM hc) t
+       |  WHERE cnt > avgc),
+       |sp AS (
+       |  SELECT user_id, hr // 24 AS day, min(hr) AS h0, max(hr) AS h1
+       |  FROM e GROUP BY user_id, hr // 24)
+       |SELECT s.user_id, s.day, s.h0, s.h1, count(*) AS n_busy
+       |FROM sp s JOIN busy b ON b.hr BETWEEN s.h0 AND s.h1
+       |GROUP BY s.user_id, s.day, s.h0, s.h1
+       |ORDER BY user_id, day""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_naive_bayes" -> (q106NaiveBayes _),
     "q107_pmi" -> (q107Pmi _),
@@ -768,7 +815,8 @@ object FeatureQueries {
     "q115_correlation" -> (q115Correlation _),
     "q116_mad_outliers" -> (q116MadOutliers _),
     "q117_zipf" -> (q117Zipf _),
-    "q118_label_prop" -> (q118LabelProp _))
+    "q118_label_prop" -> (q118LabelProp _),
+    "q119_interval_overlap" -> (q119IntervalOverlap _))
 
   def oracles: Map[String, String] = Map(
     "q106_naive_bayes" -> q106Sql,
@@ -783,5 +831,6 @@ object FeatureQueries {
     "q115_correlation" -> q115Sql,
     "q116_mad_outliers" -> q116Sql,
     "q117_zipf" -> q117Sql,
-    "q118_label_prop" -> q118Sql)
+    "q118_label_prop" -> q118Sql,
+    "q119_interval_overlap" -> q119Sql)
 }

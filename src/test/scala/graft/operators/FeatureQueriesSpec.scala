@@ -161,6 +161,41 @@ class FeatureQueriesSpec extends SparkSpec {
     assert(r.getAs[Double]("r2") > 0.98)
   }
 
+  test("interval overlap: bucketed equi-join ≡ naive range join") {
+    // 3 users over 2 days; busy hours are the loaded ones
+    val rows = Seq.tabulate(200)(i => (1L + i % 3, (i % 40).toLong)) ++
+      Seq.fill(60)((1L, 5L)) ++ Seq.fill(60)((2L, 30L))
+    val e = rows.toDF("user_id", "hr")
+    val got = FeatureQueries.intervalOverlap(e)
+      .orderBy(col("user_id"), col("day")).collect().toSeq
+    // naive twin: range-predicate join, computed independently
+    val hc = e.groupBy(col("hr")).agg(count(lit(1)).as("cnt"))
+    val avgc = hc.agg((sum(col("cnt")).cast("double") / count(lit(1))))
+      .head().getDouble(0)
+    val busy = hc.filter(col("cnt") > avgc).select(col("hr").as("bhr"))
+    val sp = e.withColumn("day", expr("hr div 24"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+    val naive = sp.join(busy, col("bhr").between(col("h0"), col("h1")))
+      .groupBy(col("user_id"), col("day"), col("h0"), col("h1"))
+      .agg(count(lit(1)).as("n_busy"))
+      .orderBy(col("user_id"), col("day")).collect().toSeq
+    assert(got == naive && got.nonEmpty)
+  }
+
+  test("plan shapes: NB model join and winsorize fences broadcast") {
+    import graft.operators.NaiveBayes
+    val emb = (1L to 40L).map(i =>
+      (i, (i % 3).toInt, Array.fill(4)((i % 7).toFloat))).toDF("vec_id", "label", "embedding")
+    val scored = NaiveBayes.scores(emb, NaiveBayes.gaussStats(emb),
+      NaiveBayes.logPriors(emb))
+    assert(scored.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val li = (1 to 200).map(i => ("A", i.toDouble)).toDF("l_returnflag", "v")
+    val w = FeatureQueries.winsorizedStats(li, "l_returnflag", "v")
+    assert(w.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
   test("skew report: heaviest key first, share and factor as computed") {
     val d = (Seq.fill(60)(7L) ++ Seq.fill(30)(8L) ++ Seq.fill(10)(9L))
       .toDF("user_id")
