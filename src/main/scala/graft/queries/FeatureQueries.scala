@@ -802,6 +802,138 @@ object FeatureQueries {
        |GROUP BY s.user_id, s.day, s.h0, s.h1
        |ORDER BY user_id, day""".stripMargin
 
+  // ---- q120: CCNet perplexity bucketing — the published recipe:
+  // score every document under the corpus bigram LM (q83), then per
+  // LANGUAGE split at the nll terciles into head / middle / tail
+  // (a global threshold would just rank languages; per-lang terciles
+  // rank documents within their language). Composes LanguageModel
+  // with the distributed exact-quantile operator; fence comparisons
+  // on raw interpolated terciles (q74 contract). ----
+
+  def q120PerplexityBucket(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LanguageModel
+    val d = docs(spark, dir)
+    val scored = LanguageModel.scoreDocs(d, alpha = 1.0)
+      .select(col("doc_id"), col("nll"))
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    val terts = Quantiles.exactQuantiles(scored, "lang", "nll",
+      Seq(1.0 / 3, 2.0 / 3), Seq("p33", "p66"))
+      .select(col("lang"), col("p33"), col("p66"))
+    scored.join(broadcast(terts), "lang")
+      .select(col("doc_id"), col("lang"), col("nll"),
+        when(col("nll") <= col("p33"), "head")
+          .when(col("nll") <= col("p66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q120Sql: String =
+    s"""WITH tk AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, ${TF.sqlTokens("text")} AS ts FROM documents)
+       |  WHERE len(ts) >= 2),
+       |bg AS (
+       |  SELECT doc_id, ts[j] AS a, ts[j + 1] AS b
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS j FROM tk)),
+       |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+       |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+       |vv AS (
+       |  SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(${TF.sqlTokens("text")}) AS tok FROM documents)),
+       |s AS (
+       |  SELECT bg.doc_id,
+       |    ln((cab.cab::DOUBLE + 1.0::DOUBLE)
+       |       / (ca.ca::DOUBLE + 1.0::DOUBLE * vv.v::DOUBLE)) AS lp
+       |  FROM bg
+       |  JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+       |  JOIN ca ON bg.a = ca.a
+       |  CROSS JOIN vv),
+       |nl AS (
+       |  SELECT s.doc_id, d.lang, ${Num.sqlR4("-sum(lp) / count(*)")} AS nll
+       |  FROM s JOIN documents d ON d.doc_id = s.doc_id
+       |  GROUP BY s.doc_id, d.lang),
+       |terts AS (
+       |  SELECT lang, quantile_cont(nll, ${1.0 / 3}) AS p33,
+       |    quantile_cont(nll, ${2.0 / 3}) AS p66
+       |  FROM nl GROUP BY lang)
+       |SELECT nl.doc_id, nl.lang, nl.nll,
+       |  CASE WHEN nll <= p33 THEN 'head'
+       |       WHEN nll <= p66 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM nl JOIN terts ON terts.lang = nl.lang
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q121: corpus datasheet — the per-source data card a corpus
+  // release ships with: volume, token counts, length distribution,
+  // quality mean, language mix (share of majority language + language
+  // entropy), duplicate-fingerprint rate. ONE scan feeds one grouped
+  // aggregation (the fingerprint distinct rides the same shuffle);
+  // every number is derived from already-oracled primitives. ----
+
+  def q121Datasheet(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("source"), col("lang"),
+      col("n_chars"),
+      TF.tokenCount(col("text")).as("n_toks"),
+      Num.r4(ExtensionQueries.qualityScore(col("text"))).as("quality"),
+      TF.fingerprint(col("text")).as("fp"))
+    val perLang = d.groupBy(col("source"),
+        coalesce(col("lang"), lit("(null)")).as("lang"))
+      .agg(count(lit(1)).as("nl"))
+    val langStats = perLang.groupBy(col("source")).agg(
+      max(struct(col("nl"), col("lang"))).as("m"),
+      sum(col("nl")).as("nd"),
+      Num.r4(log(sum(col("nl")).cast("double")) -
+        sum(col("nl").cast("double") * log(col("nl").cast("double"))) /
+          sum(col("nl"))).as("lang_entropy"))
+      .select(col("source"), col("m.lang").as("top_lang"),
+        Num.r4(col("m.nl").cast("double") / col("nd")).as("top_lang_share"),
+        col("lang_entropy"))
+    val agg = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("n_tokens"),
+      Num.r2(avg(col("n_chars"))).as("mean_chars"),
+      Num.r4(avg(col("quality"))).as("mean_quality"),
+      countDistinct(col("fp")).as("n_distinct"),
+      Num.r4((count(lit(1)) - countDistinct(col("fp"))).cast("double") /
+        count(lit(1))).as("dup_rate"))
+    agg.join(langStats, "source").orderBy(col("source"))
+  }
+
+  val q121Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, lang, n_chars,
+       |    len(${TF.sqlTokens("text")}) AS n_toks,
+       |    ${Num.sqlR4(ExtensionQueries.sqlQualityScore("text"))} AS quality,
+       |    ${TF.sqlFingerprint("text")} AS fp
+       |  FROM documents),
+       |pl AS (SELECT source, coalesce(lang, '(null)') AS lang, count(*) AS nl
+       |       FROM d GROUP BY source, coalesce(lang, '(null)')),
+       |top AS (
+       |  SELECT source, lang AS top_lang,
+       |    ${Num.sqlR4("nl::DOUBLE / nd")} AS top_lang_share
+       |  FROM (SELECT source, lang, nl,
+       |          sum(nl) OVER (PARTITION BY source) AS nd FROM pl)
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY source ORDER BY nl DESC, lang DESC) = 1),
+       |ent AS (
+       |  SELECT source,
+       |    ${Num.sqlR4("ln(sum(nl)) - sum(nl * ln(nl)) / sum(nl)")} AS lang_entropy
+       |  FROM pl GROUP BY source),
+       |ls AS (
+       |  SELECT top.source, top.top_lang, top.top_lang_share, ent.lang_entropy
+       |  FROM top JOIN ent ON ent.source = top.source),
+       |ag AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       |    ${Num.sqlR2("avg(n_chars)")} AS mean_chars,
+       |    ${Num.sqlR4("avg(quality)")} AS mean_quality,
+       |    count(DISTINCT fp) AS n_distinct,
+       |    ${Num.sqlR4("(count(*) - count(DISTINCT fp))::DOUBLE / count(*)")} AS dup_rate
+       |  FROM d GROUP BY source)
+       |SELECT ag.source AS source, n_docs, n_tokens, mean_chars, mean_quality,
+       |  n_distinct, dup_rate, top_lang, top_lang_share, lang_entropy
+       |FROM ag JOIN ls ON ls.source = ag.source
+       |ORDER BY source""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_naive_bayes" -> (q106NaiveBayes _),
     "q107_pmi" -> (q107Pmi _),
@@ -816,7 +948,9 @@ object FeatureQueries {
     "q116_mad_outliers" -> (q116MadOutliers _),
     "q117_zipf" -> (q117Zipf _),
     "q118_label_prop" -> (q118LabelProp _),
-    "q119_interval_overlap" -> (q119IntervalOverlap _))
+    "q119_interval_overlap" -> (q119IntervalOverlap _),
+    "q120_perplexity_bucket" -> (q120PerplexityBucket _),
+    "q121_datasheet" -> (q121Datasheet _))
 
   def oracles: Map[String, String] = Map(
     "q106_naive_bayes" -> q106Sql,
@@ -832,5 +966,7 @@ object FeatureQueries {
     "q116_mad_outliers" -> q116Sql,
     "q117_zipf" -> q117Sql,
     "q118_label_prop" -> q118Sql,
-    "q119_interval_overlap" -> q119Sql)
+    "q119_interval_overlap" -> q119Sql,
+    "q120_perplexity_bucket" -> q120Sql,
+    "q121_datasheet" -> q121Sql)
 }
