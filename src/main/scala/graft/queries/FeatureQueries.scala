@@ -934,6 +934,50 @@ object FeatureQueries {
        |FROM ag JOIN ls ON ls.source = ag.source
        |ORDER BY source""".stripMargin
 
+  // ---- q122: curriculum ordering — the easy→hard global training
+  // order (documents ranked by LM cross-entropy, easiest first): the
+  // q104 distributed two-pass rank applied to a COMPUTED difficulty
+  // key instead of a stored column. The oracle is the one-reducer
+  // row_number window — the equality proves the composed rank. ----
+
+  def q122Curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{GlobalOrder, LanguageModel}
+    val scored = LanguageModel.scoreDocs(docs(spark, dir), alpha = 1.0)
+      .select(col("doc_id"), col("nll"))
+    GlobalOrder.withGlobalPos(scored, 8,
+        Seq(col("nll"), col("doc_id")), "curriculum_pos")
+      .select(col("doc_id"), col("nll"), col("curriculum_pos"))
+      .orderBy(col("curriculum_pos"))
+  }
+
+  val q122Sql: String =
+    s"""WITH tk AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, ${TF.sqlTokens("text")} AS ts FROM documents)
+       |  WHERE len(ts) >= 2),
+       |bg AS (
+       |  SELECT doc_id, ts[j] AS a, ts[j + 1] AS b
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS j FROM tk)),
+       |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+       |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+       |vv AS (
+       |  SELECT count(DISTINCT tok) AS v
+       |  FROM (SELECT unnest(${TF.sqlTokens("text")}) AS tok FROM documents)),
+       |s AS (
+       |  SELECT bg.doc_id,
+       |    ln((cab.cab::DOUBLE + 1.0::DOUBLE)
+       |       / (ca.ca::DOUBLE + 1.0::DOUBLE * vv.v::DOUBLE)) AS lp
+       |  FROM bg
+       |  JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+       |  JOIN ca ON bg.a = ca.a
+       |  CROSS JOIN vv),
+       |nl AS (
+       |  SELECT doc_id, ${Num.sqlR4("-sum(lp) / count(*)")} AS nll
+       |  FROM s GROUP BY doc_id)
+       |SELECT doc_id, nll,
+       |  row_number() OVER (ORDER BY nll, doc_id) AS curriculum_pos
+       |FROM nl ORDER BY curriculum_pos""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_naive_bayes" -> (q106NaiveBayes _),
     "q107_pmi" -> (q107Pmi _),
@@ -950,7 +994,8 @@ object FeatureQueries {
     "q118_label_prop" -> (q118LabelProp _),
     "q119_interval_overlap" -> (q119IntervalOverlap _),
     "q120_perplexity_bucket" -> (q120PerplexityBucket _),
-    "q121_datasheet" -> (q121Datasheet _))
+    "q121_datasheet" -> (q121Datasheet _),
+    "q122_curriculum" -> (q122Curriculum _))
 
   def oracles: Map[String, String] = Map(
     "q106_naive_bayes" -> q106Sql,
@@ -968,5 +1013,6 @@ object FeatureQueries {
     "q118_label_prop" -> q118Sql,
     "q119_interval_overlap" -> q119Sql,
     "q120_perplexity_bucket" -> q120Sql,
-    "q121_datasheet" -> q121Sql)
+    "q121_datasheet" -> q121Sql,
+    "q122_curriculum" -> q122Sql)
 }

@@ -196,6 +196,36 @@ class FeatureQueriesSpec extends SparkSpec {
     assert(w.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("weighted quantiles: brute-force reference on random integer weights") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map(_ => ("g" + rnd.nextInt(3),
+      rnd.nextInt(50).toDouble, (1 + rnd.nextInt(9)).toDouble))
+    val ps = Seq(0.1, 0.5, 0.9)
+    val got = Quantiles.weightedQuantiles(rows.toDF("k", "v", "w"),
+        "k", "v", "w", ps, Seq("a", "b", "c")).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val sorted = rs.map(t => (t._2, t._3)).sortBy(_._1)
+      val bigW = sorted.map(_._2).sum
+      def q(p: Double): Double = {
+        var c = 0.0
+        sorted.collectFirst { case (v, w) if { c += w; c >= p * bigW } => v }.get
+      }
+      assert(got(g) == ((q(0.1), q(0.5), q(0.9))), s"group $g")
+    }
+  }
+
+  test("curriculum: position is a permutation and nll is non-decreasing") {
+    val out = FeatureQueries.q122Curriculum(spark, "/root/testdata/sf0.001")
+      .orderBy(col("curriculum_pos")).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("curriculum_pos")).toSeq ==
+      (1L to out.length.toLong))
+    val nlls = out.map(_.getAs[Double]("nll"))
+    assert(nlls.zip(nlls.tail).forall { case (a, b) => a <= b })
+  }
+
   test("perplexity buckets: ordered within language, all docs bucketed") {
     val out = FeatureQueries.q120PerplexityBucket(spark, "/root/testdata/sf0.001")
       .cache()
