@@ -262,6 +262,20 @@ class FeatureQueriesSpec extends SparkSpec {
     }
   }
 
+  test("rank-limited windows plan as WindowGroupLimit (map-side top-k)") {
+    // zipf's top-R tokens and the KMV synopsis bottom-k must not sort
+    // the full per-group domain in one reducer: Spark's
+    // WindowGroupLimit pushes the rank filter map-side
+    val d = (1 to 50).flatMap(i => Seq(("s1", s"a$i b$i"), ("s2", s"c$i d$i")))
+      .toDF("source", "text")
+    val zipfPlan = FeatureQueries.zipfSlope(d)
+      .queryExecution.executedPlan.toString
+    assert(zipfPlan.contains("WindowGroupLimit"), zipfPlan.take(500))
+    val ovPlan = FeatureQueries.sourceOverlap(d)
+      .queryExecution.executedPlan.toString
+    assert(ovPlan.contains("WindowGroupLimit"), ovPlan.take(500))
+  }
+
   test("skew report: heaviest key first, share and factor as computed") {
     val d = (Seq.fill(60)(7L) ++ Seq.fill(30)(8L) ++ Seq.fill(10)(9L))
       .toDF("user_id")
