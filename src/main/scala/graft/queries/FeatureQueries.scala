@@ -267,9 +267,11 @@ object FeatureQueries {
 
   private[graft] def winsorizedStats(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
+    // fences snapped r8 — same tie-interpolation ulp defense as q120
     val fences = Quantiles.exactQuantiles(df, groupCol,
       valueCol, Seq(0.05, 0.95), Seq("p05", "p95"))
-      .select(col(groupCol), col("p05"), col("p95"))
+      .select(col(groupCol), Num.r(col("p05"), 8).as("p05"),
+        Num.r(col("p95"), 8).as("p95"))
     val v = col(valueCol)
     df.join(broadcast(fences), groupCol)
       .groupBy(col(groupCol))
@@ -287,8 +289,8 @@ object FeatureQueries {
   val q110Sql: String =
     s"""WITH f AS (
        |  SELECT l_returnflag AS g,
-       |    quantile_cont(l_extendedprice, 0.05) AS p05,
-       |    quantile_cont(l_extendedprice, 0.95) AS p95
+       |    ${r8sql("quantile_cont(l_extendedprice, 0.05)")} AS p05,
+       |    ${r8sql("quantile_cont(l_extendedprice, 0.95)")} AS p95
        |  FROM lineitem GROUP BY 1)
        |SELECT l_returnflag, count(*) AS n,
        |  ${Num.sqlR2("avg(l_extendedprice)")} AS mean_raw,
@@ -816,9 +818,15 @@ object FeatureQueries {
     val scored = LanguageModel.scoreDocs(d, alpha = 1.0)
       .select(col("doc_id"), col("nll"))
       .join(d.select(col("doc_id"), col("lang")), "doc_id")
+    // fences snapped r8: with r4-snapped nll inputs the tercile rank
+    // often lands on TIES (lo == hi) — one engine's interpolation
+    // returns exactly lo while the other's lo·(1−f)+hi·f form can be
+    // 1 ulp off, flipping every doc sitting ON the fence (bit us at
+    // sf0.1). An r8 snap on both sides makes the fence identical.
     val terts = Quantiles.exactQuantiles(scored, "lang", "nll",
       Seq(1.0 / 3, 2.0 / 3), Seq("p33", "p66"))
-      .select(col("lang"), col("p33"), col("p66"))
+      .select(col("lang"), Num.r(col("p33"), 8).as("p33"),
+        Num.r(col("p66"), 8).as("p66"))
     scored.join(broadcast(terts), "lang")
       .select(col("doc_id"), col("lang"), col("nll"),
         when(col("nll") <= col("p33"), "head")
@@ -853,8 +861,8 @@ object FeatureQueries {
        |  FROM s JOIN documents d ON d.doc_id = s.doc_id
        |  GROUP BY s.doc_id, d.lang),
        |terts AS (
-       |  SELECT lang, quantile_cont(nll, ${1.0 / 3}) AS p33,
-       |    quantile_cont(nll, ${2.0 / 3}) AS p66
+       |  SELECT lang, ${r8sql(s"quantile_cont(nll, ${1.0 / 3})")} AS p33,
+       |    ${r8sql(s"quantile_cont(nll, ${2.0 / 3})")} AS p66
        |  FROM nl GROUP BY lang)
        |SELECT nl.doc_id, nl.lang, nl.nll,
        |  CASE WHEN nll <= p33 THEN 'head'
