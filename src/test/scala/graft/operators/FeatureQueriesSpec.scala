@@ -71,6 +71,17 @@ class FeatureQueriesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("mean_raw")) > math.abs(mw - 49.5) + 1)
   }
 
+  test("winsorize fences on tie-dense data equal the tied value exactly") {
+    // both fence ranks land inside runs of ties (lo == hi) — the case
+    // where interpolation forms diverge by 1 ulp across engines; the
+    // r8-snapped fence must be the tied value itself, bit-exact
+    val df = (1 to 300).map(i => ("g", 10.0 + i % 3)).toDF("k", "v")
+    val r = FeatureQueries.winsorizedStats(df, "k", "v").head()
+    assert(r.getAs[Double]("p05") == 10.0)
+    assert(r.getAs[Double]("p95") == 12.0)
+    assert(r.getAs[Long]("n_lo") == 0L && r.getAs[Long]("n_hi") == 0L)
+  }
+
   test("weighted quantiles: hand case + unit weights match type-1 ranks") {
     val df = Seq(("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0))
       .toDF("k", "v", "w")
