@@ -269,3 +269,77 @@ case class VecLshKeys(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Gaussian-NB per-class log-likelihood fold:
+  * Σᵢ r8(c0ᵢ − (xᵢ−mᵢ)²/(2·vᵢ)) over an embedding array, with the
+  * trained per-dimension model as plan reference objects — the
+  * codegen replacement for the `transform` + `aggregate` HOF chain in
+  * streaming NB scoring (higher-order functions are CodegenFallback:
+  * every scored row interprets a lambda tree and allocates the
+  * 64-element contribution array).
+  *
+  * Determinism contract shared with the batch scorer and the HOF
+  * fold: each contribution is snapped to 8 decimals with the exact
+  * [[graft.operators.Num.j]] two-stage floor, accumulation is
+  * left-to-right — bit-equal to both other forms (spec-pinned).
+  */
+case class VecGaussScore(child: Expression, m: IndexedSeq[Double],
+    v: IndexedSeq[Double], c0: IndexedSeq[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with VecElementSupport {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkVecInput(child, "input")
+
+  override def prettyName: String = "vec_gauss_score"
+
+  @transient private lazy val (ma, va, ca) =
+    (m.toArray, v.toArray, c0.toArray)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val t = elemType(child)
+    val n = math.min(a.numElements(), ma.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemAsDouble(a, i, t)
+      val d = x - ma(i)
+      s += graft.operators.Num.j(ca(i) - d * d / (2.0 * va(i)), 8)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mm = ctx.addReferenceObj("nbMean", ma, "double[]")
+      val vv = ctx.addReferenceObj("nbVar", va, "double[]")
+      val cc = ctx.addReferenceObj("nbC0", ca, "double[]")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val d = ctx.freshName("d")
+      val raw = ctx.freshName("raw")
+      val getA = CodeGenerator.getValue(a, elemType(child), i)
+      // the two-stage floor below IS Num.j(raw, 8): p = 1e12, f = 1e8
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $mm.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = ${genElemAsDouble(getA, elemType(child))};
+         |  double $d = $x - $mm[$i];
+         |  double $raw = $cc[$i] - $d * $d / (2.0 * $vv[$i]);
+         |  $s += java.lang.Math.floor(java.lang.Math.floor($raw * 1.0E12 + 0.5)
+         |          / 1.0E12 * 1.0E8 + 0.5) / 1.0E8;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -41,22 +41,20 @@ object StreamNb {
   }
 
   /** Append (pred, score) to a stream (or batch frame) carrying an
-    * `embedding` array column. */
+    * `embedding` array column. Per-class scoring runs through the
+    * codegen [[graft.plans.VecGaussScore]] fold (the equivalent
+    * `transform` + `aggregate` HOF chain is CodegenFallback — an
+    * interpreted lambda tree plus a temp array per scored row). */
   def classified(stream: DataFrame,
       model: Seq[(Int, Double, Array[Double], Array[Double], Array[Double])])
       : DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     val emb = col("embedding")
     val scoreStructs: Seq[Column] = model.map { case (lbl, lp0, m, v, c0) =>
-      val dim = m.length
-      val contribs = transform(sequence(lit(0), lit(dim - 1)), i => {
-        val x = element_at(emb, i + 1).cast("double")
-        val mi = element_at(typedLit(m), i + 1)
-        val vi = element_at(typedLit(v), i + 1)
-        val ci = element_at(typedLit(c0), i + 1)
-        Num.r(ci - (x - mi) * (x - mi) / (lit(2.0) * vi), 8)
-      })
-      val s = aggregate(contribs, lit(0.0), (acc, x) => acc + x)
-      struct(Num.r4(lit(lp0) + s).as("score"), lit(-lbl).as("negc"))
+      val fold = GraftColumnBridge.column(graft.plans.VecGaussScore(
+        GraftColumnBridge.expression(emb),
+        m.toIndexedSeq, v.toIndexedSeq, c0.toIndexedSeq))
+      struct(Num.r4(lit(lp0) + fold).as("score"), lit(-lbl).as("negc"))
     }
     val best = array_max(array(scoreStructs: _*))
     stream

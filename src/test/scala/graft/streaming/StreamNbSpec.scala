@@ -57,6 +57,35 @@ class StreamNbSpec extends SparkSpec {
     assert(streamed == expected && streamed.size == 30)
   }
 
+  test("scoring runs the codegen fold and matches the HOF form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val stats = NaiveBayes.gaussStats(train)
+    val priors = NaiveBayes.logPriors(train)
+    val model = StreamNb.collectModel(stats, priors)
+    // repartition defeats ConvertToLocalRelation, so the fold runs at
+    // execution (whole-stage codegen), not at optimization time
+    val test = testRows.toDF("vec_id", "label", "embedding").repartition(3)
+    val out = StreamNb.classified(test, model)
+    assert(out.queryExecution.executedPlan.toString.contains("vec_gauss_score"))
+    // HOF twin computed here: same snapped contributions, fold order
+    val (lbl, lp0, m, v, c0) = model.head
+    val hof = test.select(col("vec_id"),
+      graft.operators.Num.r4(lit(lp0) + aggregate(
+        transform(sequence(lit(0), lit(m.length - 1)), i => {
+          val x = element_at(col("embedding"), i + 1).cast("double")
+          val mi = element_at(typedLit(m), i + 1)
+          val vi = element_at(typedLit(v), i + 1)
+          val ci = element_at(typedLit(c0), i + 1)
+          graft.operators.Num.r(ci - (x - mi) * (x - mi) / (lit(2.0) * vi), 8)
+        }), lit(0.0), (acc, x) => acc + x)).as("s_hof"))
+      .as[(Long, Double)].collect().toMap
+    val expr = StreamNb.classified(test, model.take(1))
+      .select(col("vec_id"), col("score")).as[(Long, Double)].collect().toMap
+    // with a single candidate class the argmax score IS class 0's fold
+    assert(expr == hof)
+    assert(lbl == model.head._1)
+  }
+
   test("classification is stateless and classifies separable data correctly") {
     val classify = StreamNb.trainedClassifier(train)
     val in = MemoryStream[(Long, Int, Array[Float])](spark)
