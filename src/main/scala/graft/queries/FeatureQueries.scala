@@ -986,6 +986,67 @@ object FeatureQueries {
        |  row_number() OVER (ORDER BY nll, doc_id) AS curriculum_pos
        |FROM nl ORDER BY curriculum_pos""".stripMargin
 
+  // ---- q123: Kolmogorov–Smirnov drift — the exact numeric-
+  // distribution complement to q102's PSI and q112's chi-square:
+  // KS = max |F_ref(v) − F_cur(v)| over the pooled value domain, with
+  // the value where the gap peaks. Exact empirical CDFs from integer
+  // cumulative counts (one grouped agg + one window over DISTINCT
+  // values — row-level data never enters the window); the argmax is
+  // total-ordered on the snapped statistic. ----
+
+  def q123KsDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(docs(spark, dir)
+      .withColumn("snap", when(col("doc_id") % 2 === 0, "ref").otherwise("cur")))
+
+  /** `d` needs (snap, n_chars, text). */
+  private[graft] def ksDrift(d: DataFrame): DataFrame = {
+    def feature(name: String, value: org.apache.spark.sql.Column) = {
+      val counts = d.select(col("snap"), value.as("v"))
+        .groupBy(col("v"))
+        .agg(sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("cr"),
+          sum(when(col("snap") === "cur", 1L).otherwise(0L)).as("cc"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy()
+      val gaps = counts
+        .withColumn("fr", sum(col("cr")).over(w).cast("double") /
+          sum(col("cr")).over(tot))
+        .withColumn("fc", sum(col("cc")).over(w).cast("double") /
+          sum(col("cc")).over(tot))
+        .select(col("v"), Num.r(abs(col("fr") - col("fc")), 6).as("gap"))
+      gaps.agg(max(struct(col("gap"),
+          (-col("v").cast("double")).as("nv"))).as("m"))
+        .select(lit(name).as("feature"), col("m.gap").as("ks"),
+          (-col("m.nv")).as("at_value"))
+    }
+    feature("n_chars", col("n_chars").cast("long"))
+      .unionByName(feature("n_tokens", TF.tokenCount(col("text")).cast("long")))
+      .orderBy(col("feature"))
+  }
+
+  val q123Sql: String = {
+    def feature(name: String, value: String) =
+      s"""SELECT '$name' AS feature, m[1] AS ks, -m[2] AS at_value FROM (
+         |  SELECT max([gap, -v::DOUBLE]) AS m FROM (
+         |    SELECT v, ${r6sql("abs(fr - fc)")} AS gap FROM (
+         |      SELECT v,
+         |        sum(cr) OVER (ORDER BY v)::DOUBLE / sum(cr) OVER () AS fr,
+         |        sum(cc) OVER (ORDER BY v)::DOUBLE / sum(cc) OVER () AS fc
+         |      FROM (
+         |        SELECT $value AS v,
+         |          sum(CASE WHEN snap = 'ref' THEN 1 ELSE 0 END) AS cr,
+         |          sum(CASE WHEN snap = 'cur' THEN 1 ELSE 0 END) AS cc
+         |        FROM base GROUP BY $value))))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS snap,
+       |    n_chars, text FROM documents)
+       |SELECT feature, ks, at_value FROM (
+       |${feature("n_chars", "n_chars")}
+       |UNION ALL
+       |${feature("n_tokens", s"len(${TF.sqlTokens("text")})")})
+       |ORDER BY feature""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_naive_bayes" -> (q106NaiveBayes _),
     "q107_pmi" -> (q107Pmi _),
@@ -1003,7 +1064,8 @@ object FeatureQueries {
     "q119_interval_overlap" -> (q119IntervalOverlap _),
     "q120_perplexity_bucket" -> (q120PerplexityBucket _),
     "q121_datasheet" -> (q121Datasheet _),
-    "q122_curriculum" -> (q122Curriculum _))
+    "q122_curriculum" -> (q122Curriculum _),
+    "q123_ks_drift" -> (q123KsDrift _))
 
   def oracles: Map[String, String] = Map(
     "q106_naive_bayes" -> q106Sql,
@@ -1022,5 +1084,6 @@ object FeatureQueries {
     "q119_interval_overlap" -> q119Sql,
     "q120_perplexity_bucket" -> q120Sql,
     "q121_datasheet" -> q121Sql,
-    "q122_curriculum" -> q122Sql)
+    "q122_curriculum" -> q122Sql,
+    "q123_ks_drift" -> q123Sql)
 }

@@ -287,6 +287,23 @@ class FeatureQueriesSpec extends SparkSpec {
     assert(ovPlan.contains("WindowGroupLimit"), ovPlan.take(500))
   }
 
+  test("KS drift: zero on identical halves; hand case with smallest-value tie-break") {
+    val same = (1 to 100).flatMap(i => Seq(
+      ("ref", (i % 7 + 1).toLong * 100, "a b c"),
+      ("cur", (i % 7 + 1).toLong * 100, "a b c")))
+      .toDF("snap", "n_chars", "text")
+    val zero = FeatureQueries.ksDrift(same).collect()
+    assert(zero.forall(_.getAs[Double]("ks") == 0.0))
+    // ref chars {1,2,3,4}, cur {3,4,5,6}: gap 0.5 first reached at v=2
+    val shifted = ((1 to 100).map(i => ("ref", (i % 4 + 1).toLong, "t")) ++
+      (1 to 100).map(i => ("cur", (i % 4 + 3).toLong, "t")))
+      .toDF("snap", "n_chars", "text")
+    val r = FeatureQueries.ksDrift(shifted)
+      .filter(col("feature") === "n_chars").head()
+    assert(r.getAs[Double]("ks") == 0.5)
+    assert(r.getAs[Double]("at_value") == 2.0)
+  }
+
   test("skew report: heaviest key first, share and factor as computed") {
     val d = (Seq.fill(60)(7L) ++ Seq.fill(30)(8L) ++ Seq.fill(10)(9L))
       .toDF("user_id")
