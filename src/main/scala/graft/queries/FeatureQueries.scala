@@ -1047,6 +1047,47 @@ object FeatureQueries {
        |ORDER BY feature""".stripMargin
   }
 
+  // ---- q124: token frequency-of-frequencies spectrum — the
+  // Good–Turing count-of-counts table (how many vocabulary types
+  // occur exactly f times), with each frequency class's share of the
+  // vocabulary and of the token mass. Hapax share (f = 1) is the
+  // classic vocabulary-growth / OCR-noise QC signal. Two nested
+  // grouped aggregations, both after map-side combine; the second
+  // runs over the count DOMAIN (≪ vocabulary). ----
+
+  def q124FreqSpectrum(spark: SparkSession, dir: String): DataFrame =
+    freqSpectrum(docs(spark, dir))
+
+  private[graft] def freqSpectrum(d: DataFrame): DataFrame = {
+    val uni = d.select(explode(TF.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val spectrum = uni.groupBy(col("c").as("freq"))
+      .agg(count(lit(1)).as("n_types"))
+    val tot = spectrum.agg(sum(col("n_types")).as("v"),
+      sum(col("freq") * col("n_types")).as("n"))
+    spectrum.crossJoin(broadcast(tot))
+      .select(col("freq"), col("n_types"),
+        Num.r(col("n_types").cast("double") / col("v"), 6).as("type_share"),
+        Num.r((col("freq") * col("n_types")).cast("double") / col("n"), 6)
+          .as("token_share"))
+      .orderBy(col("freq"))
+  }
+
+  val q124Sql: String =
+    s"""WITH uni AS (
+       |  SELECT t, count(*) AS c
+       |  FROM (SELECT unnest(${TF.sqlTokens("text")}) AS t FROM documents)
+       |  GROUP BY t),
+       |sp AS (SELECT c AS freq, count(*) AS n_types FROM uni GROUP BY c),
+       |tot AS (
+       |  SELECT CAST(sum(n_types) AS BIGINT) AS v,
+       |    CAST(sum(freq * n_types) AS BIGINT) AS n FROM sp)
+       |SELECT freq, n_types,
+       |  ${r6sql("n_types::DOUBLE / v")} AS type_share,
+       |  ${r6sql("(freq * n_types)::DOUBLE / n")} AS token_share
+       |FROM sp, tot
+       |ORDER BY freq""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_naive_bayes" -> (q106NaiveBayes _),
     "q107_pmi" -> (q107Pmi _),
@@ -1065,7 +1106,8 @@ object FeatureQueries {
     "q120_perplexity_bucket" -> (q120PerplexityBucket _),
     "q121_datasheet" -> (q121Datasheet _),
     "q122_curriculum" -> (q122Curriculum _),
-    "q123_ks_drift" -> (q123KsDrift _))
+    "q123_ks_drift" -> (q123KsDrift _),
+    "q124_freq_spectrum" -> (q124FreqSpectrum _))
 
   def oracles: Map[String, String] = Map(
     "q106_naive_bayes" -> q106Sql,
@@ -1085,5 +1127,6 @@ object FeatureQueries {
     "q120_perplexity_bucket" -> q120Sql,
     "q121_datasheet" -> q121Sql,
     "q122_curriculum" -> q122Sql,
-    "q123_ks_drift" -> q123Sql)
+    "q123_ks_drift" -> q123Sql,
+    "q124_freq_spectrum" -> q124Sql)
 }

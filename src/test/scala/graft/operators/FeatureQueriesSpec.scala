@@ -304,6 +304,17 @@ class FeatureQueriesSpec extends SparkSpec {
     assert(r.getAs[Double]("at_value") == 2.0)
   }
 
+  test("frequency spectrum: hand-computed count-of-counts and shares") {
+    val d = Seq("a a a b b c").toDF("text")
+    val got = FeatureQueries.freqSpectrum(d)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    val third = Num.j(1.0 / 3, 6)
+    assert(got == Seq(
+      (1L, 1L, third, Num.j(1.0 / 6, 6)),
+      (2L, 1L, third, Num.j(2.0 / 6, 6)),
+      (3L, 1L, third, Num.j(3.0 / 6, 6))))
+  }
+
   test("skew report: heaviest key first, share and factor as computed") {
     val d = (Seq.fill(60)(7L) ++ Seq.fill(30)(8L) ++ Seq.fill(10)(9L))
       .toDF("user_id")
