@@ -67,4 +67,28 @@ object StreamQc {
           .unionByName(batch.withColumn("snap", lit("cur")))
         sink(batchId, QcQueries.driftReport(tagged))
       }
+
+  /** KS twin of [[driftStart]]: per micro-batch, the exact numeric
+    * EDF max-gap (q123) of the batch against the static reference —
+    * the distribution-shape alert PSI's fixed buckets can miss (a
+    * within-bucket shift moves KS but not bucketed PSI). Same
+    * stateless foreachBatch shape; per-batch KS is complete by
+    * itself. */
+  def ksStart(docsStream: DataFrame, reference: DataFrame,
+      triggerMs: Long = 1000L)(
+      sink: (Long, DataFrame) => Unit): StreamingQuery =
+    ksWriter(docsStream, reference, triggerMs)(sink).start()
+
+  private[streaming] def ksWriter(docsStream: DataFrame,
+      reference: DataFrame, triggerMs: Long)(
+      sink: (Long, DataFrame) => Unit): DataStreamWriter[Row] =
+    docsStream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions._
+        val tagged = reference.withColumn("snap", lit("ref"))
+          .unionByName(batch.withColumn("snap", lit("cur")))
+        sink(batchId, graft.queries.FeatureQueries.ksDrift(tagged))
+      }
 }

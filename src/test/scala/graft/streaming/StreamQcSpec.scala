@@ -86,6 +86,44 @@ class StreamQcSpec extends SparkSpec {
     assert(b1.nonEmpty && b1.forall(_._4 == 0.0))
   }
 
+  test("streamed KS drift: per-batch max EDF gap ≡ batch ksDrift; zero on match") {
+    import org.apache.spark.sql.functions._
+    val ref = (1 to 40).map(i =>
+      (100L + i, "w " * (i % 4 + 1), "en", "src1", (i % 4 + 1).toLong * 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch 0: longer docs (distribution shift); batch 1: same as ref
+    val long = (1 to 40).map(i =>
+      (300L + i, "w " * (i % 4 + 3), "en", "src1", (i % 4 + 3).toLong * 10))
+    val same = (1 to 40).map(i =>
+      (500L + i, "w " * (i % 4 + 1), "en", "src1", (i % 4 + 1).toLong * 10))
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double, Double)]
+    val q = StreamQc.ksWriter(
+      in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars"),
+      ref, triggerMs = 50L) { (bid, report) =>
+      acc ++= report.select(lit(bid), col("feature"), col("ks"), col("at_value"))
+        .as[(Long, String, Double, Double)].collect()
+    }.start()
+    try {
+      in.addData(long)
+      q.processAllAvailable()
+      in.addData(same)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val expected = graft.queries.FeatureQueries.ksDrift(
+      ref.withColumn("snap", lit("ref")).unionByName(
+        long.toDF("doc_id", "text", "lang", "source", "n_chars")
+          .withColumn("snap", lit("cur"))))
+      .select(col("feature"), col("ks"), col("at_value"))
+      .as[(String, Double, Double)].collect().toSet
+    assert(acc.filter(_._1 == 0).map(r => (r._2, r._3, r._4)).toSet == expected)
+    assert(acc.exists(r => r._1 == 0 && r._3 > 0.4))
+    val b1 = acc.filter(_._1 == 1)
+    assert(b1.nonEmpty && b1.forall(_._3 == 0.0))
+  }
+
   test("uniqueness is intra-batch: a cross-batch duplicate is not counted") {
     val in = MemoryStream[(Long, String, String, String, Long)](spark)
     val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
