@@ -105,9 +105,17 @@ object Quantiles {
       .groupBy(col("g"), col("v"))
       .agg(Num.r(sum(col("w")), 6).as("w"))
     val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    // wt is the FINAL cumulative weight (max of cw), not an
+    // independent unordered sum over the partition: an unordered
+    // frame is free to add in any intra-partition order, which can
+    // differ from the oracle's serial ascending-v running total in
+    // the last ulp and flip the unsnapped `cw >= wt*p` pick when a
+    // cumulative weight lands exactly on a rank boundary (likely
+    // with integral weights). max(cw) is order-independent AND
+    // bit-identical to the ascending-order total by construction.
     val cum = cnts
       .withColumn("cw", sum(col("w")).over(w))
-      .withColumn("wt", sum(col("w")).over(Window.partitionBy(col("g"))))
+      .withColumn("wt", max(col("cw")).over(Window.partitionBy(col("g"))))
     val picks = ps.zipWithIndex.map { case (p, i) =>
       min(when(col("cw") >= col("wt") * lit(p), col("v"))).as(names(i))
     }

@@ -190,13 +190,14 @@ object TextDedup {
       broadcastIndex: Boolean = true): DataFrame = {
     def bcast(d: DataFrame): DataFrame = if (broadcastIndex) broadcast(d) else d
     // Pruning must use a SNAP-SLACK-relaxed τ: verification accepts the
-    // r4-SNAPPED ratio ≥ τ, and the snap can round a raw ratio up by
-    // at most 0.5e-4 — so a pair with raw J ∈ [τ−5e-5, τ) is emitted
-    // by verification (and by the all-pairs twin + oracle), and the
-    // integer candidate bounds below must not drop it. Pruning with
-    // τ−5e-5 admits a sliver of extra candidates; verification
-    // discards them.
-    val tau = threshold - 5e-5
+    // r4-SNAPPED ratio ≥ τ, and Num.r snaps in TWO stages (r8 then
+    // r4), each rounding half-ties up — so a raw ratio as low as
+    // τ − 5e-5 − 0.5e-8 can still snap to τ and be emitted by
+    // verification (and by the all-pairs twin + oracle); the integer
+    // candidate bounds below must not drop it. Pruning with the
+    // doubly-widened slack admits a sliver of extra candidates;
+    // verification discards them.
+    val tau = threshold - (5e-5 + 1e-8)
     val ds = docShingles(docs, idCol, textCol, n).cache()
     val prefix = prefixOf(rankedShingles(ds, bcast), tau).cache()
     // Candidate aggregation carries the PPJoin filter inputs out of
@@ -326,8 +327,9 @@ object TextDedup {
       textCol: String = "text", broadcastIndex: Boolean = true): DataFrame = {
     // snap-slack-relaxed τ for pruning, as in prefixJaccardPairs:
     // verification accepts the r4-snapped containment ≥ τ, which a
-    // raw ratio in [τ−5e-5, τ) also satisfies
-    val tau = threshold - 5e-5
+    // raw ratio in [τ−5e-5−0.5e-8, τ) also satisfies (both Num.r
+    // rounding stages covered — see prefixJaccardPairs)
+    val tau = threshold - (5e-5 + 1e-8)
     val ds = docShingles(docs, idCol, textCol, n).cache()
     def bcast(d: DataFrame): DataFrame = if (broadcastIndex) broadcast(d) else d
     // unlike the Jaccard join, BOTH sides of the candidate join need

@@ -290,17 +290,115 @@ object ExtensionQueries {
           s" * sqrt(list_sum(list_transform(b.e, x -> x * x))))")} >= 0.35
        |ORDER BY id_a, id_b""".stripMargin
 
-  // ---- q29: LSH ANN top-k (rows-only; recall tested in specs) ----
+  // ---- q29: LSH ANN top-k — FULLY oracle-checked. Every source of
+  // "randomness" is the md5-derived plane matrix (Similarity
+  // .planeSign), so the whole pipeline — plane signs → bucket keys →
+  // candidate union → exact re-rank — is re-derivable in SQL. The
+  // sign decision `dot > 0` runs on RAW doubles in both engines:
+  // plane components are ±1.0 and float→double products are exact, so
+  // the only rounding is in the additions, and DuckDB's list_sum
+  // folds left-to-right exactly like the codegen'd VecLshKeys loop —
+  // bit-identical partial sums, verified empirically (0 mismatches
+  // across all planes × vectors at sf0.01). Recall vs brute force is
+  // additionally property-tested in SimilaritySpec. ----
 
   def q29AnnLsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(embs(spark, dir), col("vec_id") % QueryMod === 0, TopK)
       .orderBy(col("query_id"), col("rank"))
 
-  // ---- q29b: IVF ANN (rows-only; recall tested in specs) ----
+  val q29Sql: String = {
+    val numTables = 8; val numPlanes = 6; val dim = 64
+    val dotQN = "list_sum(list_transform(list_zip(q.e, n.e), x -> x[1] * x[2]))"
+    val normQ = "sqrt(list_sum(list_transform(q.e, x -> x * x)))"
+    val normN = "sqrt(list_sum(list_transform(n.e, x -> x * x)))"
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |pe AS (
+       |  SELECT tt.t, pp.p, jj.j,
+       |    CASE WHEN ((('0x' || substr(md5(tt.t::VARCHAR || '_' ||
+       |                 pp.p::VARCHAR || '_' || jj.j::VARCHAR), 1, 8))::BIGINT
+       |                >> 3) & 1) = 1
+       |         THEN 1.0 ELSE -1.0 END AS s
+       |  FROM range($numTables) tt(t), range($numPlanes) pp(p),
+       |       range($dim) jj(j)),
+       |pl AS (SELECT t, p, list(s ORDER BY j) AS pv FROM pe GROUP BY t, p),
+       |keys AS (
+       |  SELECT v.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_sum(list_transform(list_zip(v.e, pl.pv),
+       |                       x -> x[1] * x[2])) > 0
+       |             THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS key
+       |  FROM v, pl GROUP BY v.vec_id, pl.t),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, b.vec_id AS nbr_id
+       |  FROM keys q JOIN keys b ON q.t = b.t AND q.key = b.key
+       |    AND b.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $QueryMod = 0),
+       |scored AS (
+       |  SELECT c.query_id, c.nbr_id,
+       |    ${Num.sqlR4(s"$dotQN / ($normQ * $normN)")} AS cos
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, nbr_id, cos
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- q29b: IVF ANN — FULLY oracle-checked. The coarse quantizer
+  // is deterministic (centroids = first nlist vectors by id), cell
+  // cosines are r4-snapped before every argmax/sort, and ties break
+  // by cell DESC (Spark's array_max / sort_array struct ordering), so
+  // index assignment, probe selection, and the exact re-rank all
+  // re-derive in SQL. Recall vs brute force property-tested. ----
 
   def q29bIvf(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(embs(spark, dir), col("vec_id") % QueryMod === 0, TopK)
       .orderBy(col("query_id"), col("rank"))
+
+  val q29bSql: String = {
+    val nlist = 16; val nprobe = 4
+    def cosOf(a: String, b: String): String = Num.sqlR4(
+      s"list_sum(list_transform(list_zip($a.e, $b.e), x -> x[1] * x[2]))" +
+        s" / (sqrt(list_sum(list_transform($a.e, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b.e, x -> x * x))))")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+       |  FROM v ORDER BY vec_id LIMIT $nlist),
+       |cellcos AS (
+       |  SELECT v.vec_id, cent.cell, ${cosOf("v", "cent")} AS cos
+       |  FROM v, cent),
+       |idx AS (
+       |  SELECT vec_id, cell FROM cellcos
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM cellcos
+       |  WHERE vec_id % $QueryMod = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos DESC, cell DESC) <= $nprobe),
+       |cand AS (
+       |  SELECT p.query_id, i.vec_id AS nbr_id
+       |  FROM probes p JOIN idx i ON i.cell = p.cell
+       |    AND i.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.nbr_id, ${cosOf("q", "n")} AS cos
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, nbr_id, cos
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   // ---- q30: multimodal column plumbing (stub codec) ----
 
@@ -421,5 +519,7 @@ object ExtensionQueries {
     "q26_simhash" -> q26Sql,
     "q27_cosine_topk" -> q27Sql,
     "q28_cosine_pairs" -> q28Sql,
+    "q29_ann_lsh" -> q29Sql,
+    "q29b_ann_ivf" -> q29bSql,
     "q30_multimodal" -> q30Sql)
 }

@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Regression goldens for the five queries with no DuckDB oracle
-  * (approximate/sketch ops: HLL, LSH-ANN, IVF-ANN, KLL, PQ-ADC).
-  * Their outputs ARE deterministic for fixed input — every source of
-  * "randomness" is an md5/xxhash of the data itself — so a pinned
-  * value-hash at sf0.01 catches silent regressions the rows-only
-  * driver check would miss.
+/** Regression goldens for the queries with no DuckDB oracle
+  * (approximate/sketch ops: HLL, KLL, PQ-ADC). Their outputs ARE
+  * deterministic for fixed input — every source of "randomness" is an
+  * md5/xxhash of the data itself — so a pinned value-hash at sf0.01
+  * catches silent regressions the rows-only driver check would miss.
+  * (q29 LSH-ANN and q29b IVF-ANN graduated to full DuckDB oracles in
+  * round 8 — their pins are retired.)
   *
   * The pin is (row count, bit_xor of per-row xxhash64, decimal SUM of
   * the same hashes): xor alone is blind to multiplicity changes that
@@ -26,10 +27,6 @@ class GoldenHashSpec extends SparkSpec {
   private val goldens = Map(
     "q19_approx_distinct" ->
       (5L, -7087515408835177624L, BigDecimal("-4556082857057981218")),
-    "q29_ann_lsh" ->
-      (50L, -5247240000319932891L, BigDecimal("-58319281504979561101")),
-    "q29b_ann_ivf" ->
-      (50L, -1298353714317060049L, BigDecimal("-26160650858448669069")),
     "q37b_approx_quantiles" ->
       (3L, 8345016534504703741L, BigDecimal("5689306019265833249")),
     "q68_pq_adc" ->
