@@ -184,23 +184,90 @@ object LakehouseQueries {
        |ORDER BY cnt DESC, item
        |LIMIT $TopTerms""".stripMargin
 
-  // ---- q68: product-quantized ANN (rows-only; recall +
-  // reconstruction-error bounds in ProductQuantizerSpec): the corpus
-  // is scanned as an (id, 8-code) table — 32× smaller than the float
-  // vectors — candidates ranked by ADC table lookup, then re-ranked
-  // exactly against full vectors. Same (query, k) contract as
-  // q27/q29/q29b for cross-checking. ----
+  // ---- q68: product-quantized ANN — FULLY oracle-checked (recall +
+  // reconstruction-error bounds additionally in
+  // ProductQuantizerSpec): the corpus is scanned as an (id, 8-code)
+  // table — 32× smaller than the float vectors — candidates ranked by
+  // ADC table lookup, then re-ranked exactly against full vectors.
+  // Same (query, k) contract as q27/q29/q29b for cross-checking.
+  // Oracle-expressible because every stage is deterministic: codebooks
+  // are subslices of the first PqK vectors by id, the c·c−2·x·c score
+  // is a fixed-order multiply-add chain (DuckDB's list_sum folds
+  // left-to-right bit-identically to the JVM/codegen loops — the q29
+  // parity fact), the per-pair ADC sum is re-derived with
+  // list_sum(list(d ORDER BY m)) to preserve the m-order addition
+  // chain, and every argmin/top-N tie breaks on an id. ----
 
   private val PqM = 8
   private val PqK = 16
+  private val PqCandN = 64
   private val TopK = 5
   private val QueryMod = 50
 
   def q68PqAdc(spark: SparkSession, dir: String): DataFrame = {
     val e = embs(spark, dir)
     val cb = ProductQuantizer.train(e, PqM, PqK)
-    ProductQuantizer.adcTopK(e, cb, col("vec_id") % QueryMod === 0, TopK, candN = 64)
+    ProductQuantizer.adcTopK(e, cb, col("vec_id") % QueryMod === 0, TopK,
+      candN = PqCandN)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q68Sql: String = {
+    val sub = 64 / PqM
+    def dotZip(a: String, b: String): String =
+      s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, e
+       |  FROM v ORDER BY vec_id LIMIT $PqK),
+       |cw AS (
+       |  SELECT mm.m, cent.code,
+       |    list_slice(cent.e, mm.m * $sub + 1, mm.m * $sub + $sub) AS c,
+       |    list_sum(list_transform(
+       |      list_slice(cent.e, mm.m * $sub + 1, mm.m * $sub + $sub),
+       |      x -> x * x)) AS cc
+       |  FROM cent, range($PqM) mm(m)),
+       |subv AS (
+       |  SELECT v.vec_id, mm.m,
+       |    list_slice(v.e, mm.m * $sub + 1, mm.m * $sub + $sub) AS x
+       |  FROM v, range($PqM) mm(m)),
+       |enc AS (
+       |  SELECT s.vec_id, s.m, cw.code,
+       |    cw.cc - 2.0 * ${dotZip("s.x", "cw.c")} AS d
+       |  FROM subv s JOIN cw ON cw.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, code FROM enc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d, code) = 1),
+       |qtab AS (
+       |  SELECT vec_id AS query_id, m, code, d FROM enc
+       |  WHERE vec_id % $QueryMod = 0),
+       |adc AS (
+       |  SELECT t.query_id, c.vec_id AS nbr_id,
+       |    ${Num.sqlR4("list_sum(list(t.d ORDER BY t.m))")} AS adc
+       |  FROM codes c JOIN qtab t ON t.m = c.m AND t.code = c.code
+       |    AND c.vec_id <> t.query_id
+       |  GROUP BY t.query_id, c.vec_id),
+       |cand AS (
+       |  SELECT query_id, nbr_id FROM adc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |                             ORDER BY adc, nbr_id) <= $PqCandN),
+       |scored AS (
+       |  SELECT c.query_id, c.nbr_id,
+       |    ${Num.sqlR4(dotZip("q.e", "n.e") +
+          s" / (sqrt(list_sum(list_transform(q.e, x -> x * x)))" +
+          s" * sqrt(list_sum(list_transform(n.e, x -> x * x))))")} AS cos
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.nbr_id),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, nbr_id, cos
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   // ---- q69: single-pass column profiling of the orders snapshot —
@@ -783,6 +850,7 @@ object LakehouseQueries {
 
   def oracles: Map[String, String] = Map(
     "q64_boilerplate" -> q64Sql,
+    "q68_pq_adc" -> q68Sql,
     "q65_merge_upsert" -> q65Sql,
     "q66_scd2" -> q66Sql,
     "q67_heavy_hitters" -> q67Sql,
