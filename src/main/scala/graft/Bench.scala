@@ -43,6 +43,29 @@ object Bench {
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
     catch { case _: Throwable => }
 
+    // Load evidence: min-of-3 defends against a transient pause, not
+    // against sustained external load across the whole sweep (the r8
+    // driver run reported one query at 30× its isolated time under a
+    // concurrent JVM — undetectable from the timings alone). Record
+    // the machine's 1-min load average and this JVM's own CPU clock
+    // around the sweep so a contaminated run is self-diagnosing:
+    // trust the numbers when load1 ≈ proc_cpu_sec / wall_sec (this
+    // process is the load); discount them when load1 is far above it
+    // (someone else was burning the cores).
+    def load1(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").getLines()
+        .next().split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def procCpuSec(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    val load1Before = load1()
+    val cpuBefore = procCpuSec()
+    val wallStart = System.nanoTime()
+
     // min of three timed runs per query: run 1 is cold (codegen
     // compile, no broadcast reuse); runs 2–3 are warm, so a single
     // GC/compilation pause cannot inflate the reported number.
@@ -89,8 +112,15 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
+    val wallSec = (System.nanoTime() - wallStart) / 1e9
+    val ncpu = Runtime.getRuntime.availableProcessors
+    def r3(x: Double) = math.rint(x * 1000) / 1000
+    val loadFields =
+      s""""load1_before":${load1Before},"load1_after":${load1()},""" +
+        s""""proc_cpu_sec":${r3(procCpuSec() - cpuBefore)},""" +
+        s""""wall_sec":${r3(wallSec)},"ncpu":$ncpu"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$loadFields,"queries":$qs,"sf":"$sfDir"}"""
     // Full record to a file the driver can always read whole.
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")
@@ -101,7 +131,7 @@ object Bench {
     println(fullJson)
     // Compact line LAST — the driver keeps the tail of the log, so
     // the summary must be the final line to survive truncation.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,$loadFields,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

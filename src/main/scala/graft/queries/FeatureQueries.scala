@@ -998,21 +998,51 @@ object FeatureQueries {
     ksDrift(docs(spark, dir)
       .withColumn("snap", when(col("doc_id") % 2 === 0, "ref").otherwise("cur")))
 
-  /** `d` needs (snap, n_chars, text). */
+  /** `d` needs (snap, n_chars, text).
+    *
+    * CDF construction is range-partitioned: `Window.orderBy(v)` with
+    * no partition key (and the empty `tot` window that fed the
+    * denominators) both plan Exchange SinglePartition — bounded here
+    * by the distinct-value domain, but the one 100 TB funnel this file
+    * had left. Instead: range-repartition the distinct-value counts,
+    * take per-partition subtotals to the driver (numPartitions longs —
+    * the GlobalOrder bounded-state shape), and cumsum INSIDE each
+    * range with the exclusive prefix broadcast back in. Bit-identical
+    * to the single-reducer form: counts are integers, so the offset
+    * addition is exact, and the final long→double division is the
+    * same operation. */
   private[graft] def ksDrift(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
     def feature(name: String, value: org.apache.spark.sql.Column) = {
       val counts = d.select(col("snap"), value.as("v"))
         .groupBy(col("v"))
         .agg(sum(when(col("snap") === "ref", 1L).otherwise(0L)).as("cr"),
           sum(when(col("snap") === "cur", 1L).otherwise(0L)).as("cc"))
-      val w = Window.orderBy(col("v"))
+      val ranged = counts.repartitionByRange(8, col("v"))
+        .withColumn("_pid", spark_partition_id().cast("long"))
+        .cache()
+      val parts = ranged.groupBy(col("_pid"))
+        .agg(sum(col("cr")).as("pr"), sum(col("cc")).as("pc"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      val totR = parts.map(_._2).sum.toDouble
+      val totC = parts.map(_._3).sum.toDouble
+      val offs = parts.map(_._1)
+        .zip(parts.map(_._2).scanLeft(0L)(_ + _)
+          .zip(parts.map(_._3).scanLeft(0L)(_ + _)))
+        .map { case (pid, (or, oc)) => (pid, or, oc) }
+      val offDf = offs.toSeq.toDF("_pid", "_or", "_oc")
+      // the window repartitions by _pid — a balanced 8-way exchange of
+      // the (already aggregated) distinct-value table, never a single
+      // reducer; within a _pid group `v` is distinct, so the frame is
+      // a total order
+      val w = Window.partitionBy(col("_pid")).orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = Window.partitionBy()
-      val gaps = counts
-        .withColumn("fr", sum(col("cr")).over(w).cast("double") /
-          sum(col("cr")).over(tot))
-        .withColumn("fc", sum(col("cc")).over(w).cast("double") /
-          sum(col("cc")).over(tot))
+      val gaps = ranged.join(broadcast(offDf), "_pid")
+        .withColumn("fr",
+          (col("_or") + sum(col("cr")).over(w)).cast("double") / totR)
+        .withColumn("fc",
+          (col("_oc") + sum(col("cc")).over(w)).cast("double") / totC)
         .select(col("v"), Num.r(abs(col("fr") - col("fc")), 6).as("gap"))
       gaps.agg(max(struct(col("gap"),
           (-col("v").cast("double")).as("nv"))).as("m"))

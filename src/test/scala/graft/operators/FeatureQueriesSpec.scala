@@ -304,6 +304,30 @@ class FeatureQueriesSpec extends SparkSpec {
     assert(r.getAs[Double]("at_value") == 2.0)
   }
 
+  test("KS drift: no data-bearing SinglePartition exchange in the plan") {
+    // the CDF cumsum is range-partitioned with driver-carried offsets
+    // (the GlobalOrder shape) — an unpartitioned ORDER BY window (or an
+    // empty total window) would funnel the value domain through one
+    // reducer at scale. The only SinglePartition hops allowed are the
+    // final scalar max's merge, whose child is a partial aggregate
+    // (one pre-aggregated row per partition crosses the wire).
+    val d = (1 to 200).map(i =>
+        (if (i % 2 == 0) "ref" else "cur", (i % 13 + 1).toLong, s"t$i word"))
+      .toDF("snap", "n_chars", "text")
+    val lines = FeatureQueries.ksDrift(d)
+      .queryExecution.executedPlan.toString.split("\n")
+    val sp = lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+    assert(sp.nonEmpty) // the scalar-max merges are expected to be there
+    sp.foreach { i =>
+      assert(i + 1 < lines.length && lines(i + 1).contains("partial_"),
+        s"SinglePartition exchange over non-aggregated rows:\n" +
+          lines.slice(i, (i + 3).min(lines.length)).mkString("\n"))
+    }
+    // and the cumsum window itself is partitioned
+    assert(lines.exists(l => l.contains("windowspecdefinition(_pid")),
+      lines.mkString("\n").take(800))
+  }
+
   test("frequency spectrum: hand-computed count-of-counts and shares") {
     val d = Seq("a a a b b c").toDF("text")
     val got = FeatureQueries.freqSpectrum(d)

@@ -95,6 +95,18 @@ class PropertySpec extends SparkSpec {
   } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
   private val tauGen = Gen.oneOf(0.3, 0.4, 0.5, 0.6, 0.75)
 
+  // τ values straddling the exact ⌈τ·|S|⌉ integer boundaries for the
+  // shingle-set sizes the corpus generator can produce (|S| ≤ 9 for
+  // 3-shingles of ≤ 11 tokens): τ = m/s and τ = m/s ± ε. The prefix
+  // length and the overlap bound both floor/ceil products of τ with
+  // set sizes — an off-by-one-ulp there only shows up when τ·|S| sits
+  // exactly on (or a hair off) an integer.
+  private val boundaryTauGen = for {
+    s <- Gen.chooseNum(2, 9)
+    m <- Gen.chooseNum(1, s - 1)
+    eps <- Gen.oneOf(-1e-9, 0.0, 1e-9)
+  } yield math.min(0.95, math.max(0.05, m.toDouble / s + eps))
+
   test("prefix-filtered Jaccard ≡ all-pairs Jaccard on random corpora") {
     check(Prop.forAll(dedupCorpusGen, tauGen) { (rows, tau) =>
       val docs = rows.toDF("doc_id", "text")
@@ -108,6 +120,28 @@ class PropertySpec extends SparkSpec {
 
   test("prefix-filtered containment ≡ all-pairs containment on random corpora") {
     check(Prop.forAll(dedupCorpusGen, tauGen) { (rows, tau) =>
+      val docs = rows.toDF("doc_id", "text")
+      val full = TextDedup.containmentPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = TextDedup.prefixContainmentPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      pref == full
+    })
+  }
+
+  test("prefix-filtered Jaccard ≡ all-pairs at integer τ·|S| boundaries") {
+    check(Prop.forAll(dedupCorpusGen, boundaryTauGen) { (rows, tau) =>
+      val docs = rows.toDF("doc_id", "text")
+      val full = TextDedup.jaccardPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = TextDedup.prefixJaccardPairs(docs, n = 3, threshold = tau)
+        .as[(Long, Long, Double)].collect().toSet
+      pref == full
+    })
+  }
+
+  test("prefix-filtered containment ≡ all-pairs at integer τ·|S| boundaries") {
+    check(Prop.forAll(dedupCorpusGen, boundaryTauGen) { (rows, tau) =>
       val docs = rows.toDF("doc_id", "text")
       val full = TextDedup.containmentPairs(docs, n = 3, threshold = tau)
         .as[(Long, Long, Double)].collect().toSet
