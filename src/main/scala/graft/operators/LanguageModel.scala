@@ -88,4 +88,36 @@ object LanguageModel {
       .agg(count(lit(1)).as("n_bigrams"),
         Num.r4(-sum(lp) / count(lit(1))).as("nll"))
   }
+
+  /** Per-document (n_bigrams, nll) of `docs` under an EXTERNAL model
+    * `(cab, ca, vocab)` from [[train]] — the cross-domain scorer DSIR
+    * needs (score the raw corpus under a target-domain LM). Unlike
+    * [[scoreDocs]] — where the model is trained on the very docs being
+    * scored, so every bigram is present — a foreign corpus hits
+    * bigrams the model never saw. The add-α estimate already defines
+    * their mass: c(a,b)=0 → α/(c(a,·)+αV), and an unseen history
+    * c(a,·)=0 backs off to the uniform α/(αV) = 1/V — so the joins
+    * become LEFT joins with zero-coalesced counts, nothing else
+    * changes.
+    *
+    * Scale shape is scoreDocs': the model rides the (a,b)/(a) join
+    * keys; `broadcastModel=false` sort-merges when the vocabulary
+    * outgrows an executor. */
+  def scoreAgainst(docs: DataFrame, cab: DataFrame, ca: DataFrame,
+      vocab: DataFrame, alpha: Double = 1.0, idCol: String = "doc_id",
+      textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol)
+    val caJ = if (broadcastModel) broadcast(ca) else ca
+    val cabJ = if (broadcastModel) broadcast(cab) else cab
+    val lp: Column =
+      log((coalesce(col("cab"), lit(0L)) + lit(alpha)) /
+        (coalesce(col("ca"), lit(0L)) + lit(alpha) * col("v")))
+    bg
+      .join(cabJ, Seq("a", "b"), "left")
+      .join(caJ, Seq("a"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r4(-sum(lp) / count(lit(1))).as("nll"))
+  }
 }

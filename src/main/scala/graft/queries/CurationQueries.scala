@@ -390,7 +390,205 @@ object CurationQueries {
        |      FROM documents)
        |ORDER BY pos""".stripMargin
 
+  // ---- q125: DSIR-style importance resampling (Xie et al. 2023,
+  // "Data Selection for Language Models via Importance Resampling" —
+  // arXiv:2302.03169): estimate how target-like each raw document is
+  // with two bigram LMs — one trained on the target domain (here the
+  // `lang = 'en'` slice), one on the full corpus — and resample the
+  // corpus by the importance weight
+  //
+  //   w(doc) = p_target(doc) / p_corpus(doc)
+  //          = exp(nll_corpus − nll_target)     (per-bigram mean nlls)
+  //
+  // via Efraimidis–Spirakis weighted sampling without replacement
+  // (key = ln(u)/w, top-k — q77's machinery on the content-hash tape).
+  // Raw docs hit bigrams the target model never saw, so target scoring
+  // runs through LanguageModel.scoreAgainst (add-α left joins).
+  //
+  // Scale: two (a,b)-keyed model aggregations + two scoring joins over
+  // one shared bigram explode, then a narrow per-doc pass + top-k —
+  // no new shuffle shapes beyond the proven q83/q122 LM plumbing.
+  // Snapping: nll r4 (the LM convention), w r6 after exp, k r8 after
+  // ln (libm calls snap — the q47 convention); w is clamped at 1e-6 so
+  // an extreme nll deficit cannot round the E–S divisor to zero. ----
+
+  private val DsirK = 10
+  private val DsirTargetLang = "en"
+
+  def q125DsirResample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.LanguageModel
+    val d = docs(spark, dir)
+    val (cabT, caT, vT) =
+      LanguageModel.train(d.filter(col("lang") === DsirTargetLang))
+    val nllT = LanguageModel.scoreAgainst(d, cabT, caT, vT)
+      .select(col("doc_id"), col("nll").as("nll_target"))
+    val nllC = LanguageModel.scoreDocs(d)
+      .select(col("doc_id"), col("nll").as("nll_corpus"))
+    val u = (TF.hash32(concat(col("doc_id").cast("string"), lit("#dsir"))) + 1)
+      .cast("double") / 4294967296.0d
+    nllC.join(nllT, Seq("doc_id"))
+      .withColumn("w", greatest(
+        Num.r(exp(col("nll_corpus") - col("nll_target")), 6), lit(1e-6)))
+      .select(col("doc_id"), col("nll_target"), col("nll_corpus"), col("w"),
+        Num.r(log(u) / col("w"), 8).as("k"))
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(DsirK)
+  }
+
+  val q125Sql: String = {
+    val ts = TF.sqlTokens("text")
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, ts FROM (
+       |    SELECT doc_id, lang, $ts AS ts FROM documents)
+       |  WHERE len(ts) >= 2),
+       |bg AS (
+       |  SELECT doc_id, ts[j] AS a, ts[j + 1] AS b
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS j FROM tk)),
+       |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+       |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+       |vv AS (SELECT count(DISTINCT tok) AS v
+       |       FROM (SELECT unnest($ts) AS tok FROM documents)),
+       |tbg AS (SELECT bg.* FROM bg JOIN documents d ON bg.doc_id = d.doc_id
+       |        WHERE d.lang = '$DsirTargetLang'),
+       |tcab AS (SELECT a, b, count(*) AS cab FROM tbg GROUP BY a, b),
+       |tca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM tcab GROUP BY a),
+       |tvv AS (SELECT count(DISTINCT tok) AS v
+       |        FROM (SELECT unnest($ts) AS tok FROM documents
+       |              WHERE lang = '$DsirTargetLang')),
+       |sc AS (
+       |  SELECT bg.doc_id,
+       |    ln((cab.cab::DOUBLE + 1.0::DOUBLE)
+       |       / (ca.ca::DOUBLE + 1.0::DOUBLE * vv.v::DOUBLE)) AS lp
+       |  FROM bg
+       |  JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+       |  JOIN ca ON bg.a = ca.a
+       |  CROSS JOIN vv),
+       |nc AS (SELECT doc_id, ${Num.sqlR4("-sum(lp) / count(*)")} AS nll_corpus
+       |       FROM sc GROUP BY doc_id),
+       |st AS (
+       |  SELECT bg.doc_id,
+       |    ln((coalesce(tcab.cab, 0)::DOUBLE + 1.0::DOUBLE)
+       |       / (coalesce(tca.ca, 0)::DOUBLE + 1.0::DOUBLE * tvv.v::DOUBLE)) AS lp
+       |  FROM bg
+       |  LEFT JOIN tcab ON bg.a = tcab.a AND bg.b = tcab.b
+       |  LEFT JOIN tca ON bg.a = tca.a
+       |  CROSS JOIN tvv),
+       |nt AS (SELECT doc_id, ${Num.sqlR4("-sum(lp) / count(*)")} AS nll_target
+       |       FROM st GROUP BY doc_id),
+       |ws AS (
+       |  SELECT nc.doc_id, nt.nll_target, nc.nll_corpus,
+       |    greatest(${Num.sqlR("exp(nc.nll_corpus - nt.nll_target)", 6)},
+       |             0.000001) AS w
+       |  FROM nc JOIN nt ON nc.doc_id = nt.doc_id)
+       |SELECT doc_id, nll_target, nll_corpus, w,
+       |  ${Num.sqlR(s"ln((${TF.sqlHash32("doc_id::VARCHAR || '#dsir'")} + 1) / 4294967296.0) / w", 8)} AS k
+       |FROM ws
+       |ORDER BY k DESC, doc_id
+       |LIMIT $DsirK""".stripMargin
+  }
+
+  // ---- q126/q127: URL-host / domain curation tier — the first gate
+  // of every public web pipeline (C4, RefinedWeb, FineWeb): roll the
+  // corpus up by registered domain (doc counts, host fan-out, quality
+  // means, exact-dup rate) and drop documents whose domain is on a
+  // blocklist (broadcast anti-join — the blocklist is tiny next to the
+  // corpus, so it ships to the executors and the corpus never
+  // shuffles for the filter).
+  //
+  // The synthetic corpus has no URL column, so one is DERIVED
+  // deterministically from (source, doc_id, lang) — the same
+  // convention as q123's doc_id-parity ref/cur split — which exercises
+  // the real machinery (UrlFunctions host/domain extraction, the
+  // rollup, the anti-join) with subdomain variety (www./m.) and three
+  // TLDs per source. ----
+
+  import graft.functions.{UrlFunctions => UF}
+
+  private val Tlds = Seq("com", "org", "net")
+
+  private def withUrl(d: DataFrame): DataFrame =
+    d.withColumn("url", concat(
+      lit("https://"),
+      when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("m.")).otherwise(lit("")),
+      col("source"), lit("."),
+      element_at(array(Tlds.map(lit): _*), (col("doc_id") % 3 + 1).cast("int")),
+      lit("/"), col("lang"), lit("/"), col("doc_id").cast("string")))
+
+  private val sqlUrl: String =
+    "'https://' || CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END" +
+      " || CASE WHEN doc_id % 11 = 0 THEN 'm.' ELSE '' END" +
+      " || source || '.'" +
+      s" || list_extract(${Tlds.map(t => s"'$t'").mkString("[", ", ", "]")}," +
+      " CAST(doc_id % 3 + 1 AS INT))" +
+      " || '/' || lang || '/' || doc_id::VARCHAR"
+
+  private def withDomain(d: DataFrame): DataFrame =
+    withUrl(d)
+      .withColumn("host", UF.host(col("url")))
+      .withColumn("domain", UF.registeredDomain(col("host")))
+
+  private val sqlDomainCte: String =
+    s"""u AS (SELECT doc_id, lang, source, n_chars, text, $sqlUrl AS url
+       |      FROM documents),
+       |h AS (SELECT u.*, ${UF.sqlHost("url")} AS host FROM u),
+       |dm AS (SELECT h.*, ${UF.sqlRegisteredDomain("host")} AS domain FROM h)""".stripMargin
+
+  def q126HostRollup(spark: SparkSession, dir: String): DataFrame =
+    withDomain(docs(spark, dir))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("host")).as("n_hosts"),
+        countDistinct(TF.fingerprint(col("text"))).as("n_unique"),
+        Num.r4(avg(col("n_chars"))).as("mean_chars"),
+        Num.r4(avg(TF.stopwordRatio(col("text")))).as("mean_stopword"))
+      .select(col("domain"), col("n_docs"), col("n_hosts"),
+        Num.r4(lit(1.0) - col("n_unique").cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        col("mean_chars"), col("mean_stopword"))
+      .orderBy(col("domain"))
+
+  val q126Sql: String =
+    s"""WITH $sqlDomainCte
+       |SELECT domain, count(*) AS n_docs,
+       |  count(DISTINCT host) AS n_hosts,
+       |  ${Num.sqlR4(s"1.0 - (count(DISTINCT ${TF.sqlFingerprint("text")})::DOUBLE / count(*))")} AS dup_rate,
+       |  ${Num.sqlR4("avg(n_chars)")} AS mean_chars,
+       |  ${Num.sqlR4(s"avg(${TF.sqlStopwordRatio("text")})")} AS mean_stopword
+       |FROM dm
+       |GROUP BY domain
+       |ORDER BY domain""".stripMargin
+
+  /** Blocked registered domains — the C4-style bad-host list. Spans
+    * all three TLD buckets so the anti-join removes a strict subset of
+    * each source's docs, never a whole source. */
+  private val DomainBlocklist =
+    Seq("src3.com", "src7.net", "src11.org", "src15.com", "src0.org")
+
+  def q127HostBlocklist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bl = DomainBlocklist.toDF("domain")
+    withDomain(docs(spark, dir))
+      .join(broadcast(bl), Seq("domain"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("domain")).as("n_domains"))
+      .orderBy(col("source"))
+  }
+
+  val q127Sql: String =
+    s"""WITH $sqlDomainCte
+       |SELECT source, count(*) AS n_docs,
+       |  count(DISTINCT domain) AS n_domains
+       |FROM dm
+       |WHERE domain NOT IN (${DomainBlocklist.map(d => s"'$d'").mkString(", ")})
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_dsir_resample" -> (q125DsirResample _),
+    "q126_host_rollup" -> (q126HostRollup _),
+    "q127_host_blocklist" -> (q127HostBlocklist _),
     "q55_contamination" -> (q55Contamination _),
     "q56_split_assign" -> (q56SplitAssign _),
     "q57_embed_quantize" -> (q57EmbedQuantize _),
@@ -403,6 +601,9 @@ object CurationQueries {
     "q104_global_order" -> (q104GlobalOrder _))
 
   def oracles: Map[String, String] = Map(
+    "q125_dsir_resample" -> q125Sql,
+    "q126_host_rollup" -> q126Sql,
+    "q127_host_blocklist" -> q127Sql,
     "q55_contamination" -> q55Sql,
     "q56_split_assign" -> q56Sql,
     "q57_embed_quantize" -> q57Sql,

@@ -153,4 +153,88 @@ class CurationQueriesSpec extends SparkSpec {
     val again = CurationQueries.q58ShuffleShard(spark, dir)
     assert(df.except(again).isEmpty && again.except(df).isEmpty)
   }
+
+  test("url host/domain extraction hand cases") {
+    import spark.implicits._
+    import graft.functions.UrlFunctions
+    val got = Seq(
+      "https://www.Example.COM/path?q=1",
+      "http://user:pw@a.b.example.org:8080/x#f",
+      "ftp://Files.example.net",
+      "https://localhost/x",
+      "not a url")
+      .toDF("url")
+      .select(UrlFunctions.host(col("url")).as("h"))
+      .withColumn("d", UrlFunctions.registeredDomain(col("h")))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      ("www.example.com", "example.com"),
+      ("a.b.example.org", "example.org"),
+      ("files.example.net", "example.net"),
+      ("localhost", "localhost"),
+      ("", "")))
+  }
+
+  test("scoreAgainst: smoothed backoff for unseen bigrams, hand-computed") {
+    import spark.implicits._
+    // model corpus: one doc "x y x y" → tokens {x,y}, V=2,
+    // c(x,y)=2, c(y,x)=1, c(x,·)=2, c(y,·)=1
+    val model = Seq((1L, "x y x y")).toDF("doc_id", "text")
+    val (cab, ca, v) = LanguageModel.train(model)
+    // scored doc "x y z": bigram (x,y) seen — (2+1)/(2+2);
+    // (y,z) unseen with seen history y — (0+1)/(1+2)
+    val got = LanguageModel.scoreAgainst(
+      Seq((7L, "x y z")).toDF("doc_id", "text"), cab, ca, v)
+      .as[(Long, Long, Double)].collect().toSeq
+    val expect = Num.j(-(math.log(3.0 / 4) + math.log(1.0 / 3)) / 2, 4)
+    assert(got == Seq((7L, 2L, expect)))
+    // unseen history too: "z z" → uniform backoff (0+1)/(0+α·V) = 1/2
+    val got2 = LanguageModel.scoreAgainst(
+      Seq((8L, "z z")).toDF("doc_id", "text"), cab, ca, v)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got2 == Seq((8L, 1L, Num.j(-math.log(1.0 / 2), 4))))
+  }
+
+  test("q125 DSIR: weights favor target-like docs; sample size and ties") {
+    val df = CurationQueries.q125DsirResample(spark, dir).cache()
+    assert(df.count() == 10)
+    assert(df.filter(col("w") <= 0).isEmpty)
+    // importance weight must be monotone in the nll gap: recompute from
+    // the emitted nlls and compare
+    val bad = df.filter(
+      abs(col("w") - greatest(
+        graft.operators.Num.r(exp(col("nll_corpus") - col("nll_target")), 6),
+        lit(1e-6))) > 1e-12)
+    assert(bad.isEmpty)
+    // and across the full corpus, the mean weight of target-language
+    // docs exceeds the mean weight of the rest (the POINT of DSIR)
+    import graft.operators.LanguageModel
+    val d = graft.Tables.load(spark, dir, "documents")
+    val (cabT, caT, vT) = LanguageModel.train(d.filter(col("lang") === "en"))
+    val nllT = LanguageModel.scoreAgainst(d, cabT, caT, vT)
+      .select(col("doc_id"), col("nll").as("nt"))
+    val nllC = LanguageModel.scoreDocs(d)
+      .select(col("doc_id"), col("nll").as("nc"))
+    val w = nllC.join(nllT, Seq("doc_id"))
+      .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("lang"), exp(col("nc") - col("nt")).as("w"))
+    val Array(en, rest) = w
+      .groupBy((col("lang") === "en").as("t")).agg(avg(col("w")).as("m"))
+      .orderBy(col("t").desc).collect().map(_.getAs[Double]("m"))
+    assert(en > rest)
+  }
+
+  test("q126/q127: rollup accounts for every doc; blocklist is a broadcast anti-join") {
+    val total = graft.Tables.load(spark, dir, "documents").count()
+    val roll = CurationQueries.q126HostRollup(spark, dir).cache()
+    assert(roll.agg(sum(col("n_docs"))).head().getLong(0) == total)
+    assert(roll.filter(col("dup_rate") < 0 || col("dup_rate") > 1).isEmpty)
+    val kept = CurationQueries.q127HostBlocklist(spark, dir)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(kept < total && kept > 0)
+    val plan = CurationQueries.q127HostBlocklist(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(600))
+  }
 }
