@@ -585,8 +585,135 @@ object CurationQueries {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---- q128: Gopher/C4-style quality-rule gate with per-rule failure
+  // accounting (Rae et al. 2021 §A1.1, Raffel et al. 2020 §2.2 —
+  // published rule families, thresholds adapted to the synthetic
+  // corpus's ranges): length, token count, mean word length, stopword
+  // evidence, type-token ratio. Unlike q22 (a continuous per-doc
+  // score), this is the boolean GATE every public pipeline applies
+  // before training, reported as the per-rule failure table a datasheet
+  // wants — plus the all-rules pass row. One scan, one wide algebraic
+  // aggregate, rows unpivoted from a literal struct array (|rules|+1
+  // rows — never a per-doc materialization). Every rule compares
+  // integer-derived ratios, so no snapping is needed on the gate
+  // itself; fail rates snap r4. ----
+
+  private val QgMinChars = 100L
+  private val QgMinTokens = 20L
+  private val QgMwlRange = (3.0, 10.0)
+  private val QgMinStopHits = 2L
+  private val QgMinTtr = 0.4
+
+  def q128QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val ts = TF.tokens(col("text"))
+    val tc = size(ts).cast("long")
+    val mwl = when(tc > 0,
+      aggregate(ts, lit(0L), (a, t) => a + length(t)).cast("double") / tc)
+      .otherwise(0.0)
+    val stopHits = size(filter(ts,
+      t => t.isInCollection(TF.langMarkers.flatMap(_._2)))).cast("long")
+    val ttr = when(tc > 0,
+      size(array_distinct(ts)).cast("double") / tc).otherwise(0.0)
+    val rules: Seq[(String, Column)] = Seq(
+      "r1_min_chars" -> (col("n_chars") >= QgMinChars),
+      "r2_min_tokens" -> (tc >= QgMinTokens),
+      "r3_mean_word_len" -> (mwl >= QgMwlRange._1 && mwl <= QgMwlRange._2),
+      "r4_stopword_evidence" -> (stopHits >= QgMinStopHits),
+      "r5_type_token_ratio" -> (ttr >= QgMinTtr))
+    val aggs =
+      rules.map { case (n, c) =>
+        sum(when(!c, 1L).otherwise(0L)).as(s"f_$n")
+      } :+ sum(when(rules.map(_._2).reduce(_ && _), 1L).otherwise(0L))
+        .as("pass_all") :+ count(lit(1)).as("n")
+    val wide = docs(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val rows = rules.map { case (n, _) =>
+      struct(lit(n).as("rule"), col(s"f_$n").as("n_fail"))
+    } :+ struct(lit("z_all_rules").as("rule"),
+      (col("n") - col("pass_all")).as("n_fail"))
+    wide.select(col("n"), explode(array(rows: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_fail").as("n_fail"),
+        Num.r4(col("r.n_fail").cast("double") / col("n")).as("fail_rate"))
+      .orderBy(col("rule"))
+  }
+
+  val q128Sql: String = {
+    val ts = TF.sqlTokens("text")
+    val set = TF.langMarkers.flatMap(_._2).map(m => s"'$m'").mkString(", ")
+    val rules: Seq[(String, String)] = Seq(
+      "r1_min_chars" -> s"n_chars >= $QgMinChars",
+      "r2_min_tokens" -> s"tc >= $QgMinTokens",
+      "r3_mean_word_len" ->
+        s"mwl >= ${QgMwlRange._1} AND mwl <= ${QgMwlRange._2}",
+      "r4_stopword_evidence" -> s"stop_hits >= $QgMinStopHits",
+      "r5_type_token_ratio" -> s"ttr >= $QgMinTtr")
+    val failSums = rules.map { case (n, c) =>
+      s"CAST(sum(CASE WHEN NOT ($c) THEN 1 ELSE 0 END) AS BIGINT) AS f_$n"
+    }.mkString(",\n    ")
+    val allPass = rules.map { case (_, c) => s"($c)" }.mkString(" AND ")
+    val unpivot = rules.map { case (n, _) =>
+      s"SELECT '$n' AS rule, f_$n AS n_fail, n FROM wide"
+    }.mkString("\n  UNION ALL\n  ") +
+      "\n  UNION ALL\n  SELECT 'z_all_rules' AS rule, n - pass_all AS n_fail, n FROM wide"
+    s"""WITH f AS (
+       |  SELECT n_chars, len($ts) AS tc,
+       |    CASE WHEN len($ts) > 0
+       |      THEN list_sum(list_transform($ts, t -> length(t)))::DOUBLE / len($ts)
+       |      ELSE 0.0 END AS mwl,
+       |    len(list_filter($ts, t -> t IN ($set))) AS stop_hits,
+       |    CASE WHEN len($ts) > 0
+       |      THEN len(list_distinct($ts))::DOUBLE / len($ts)
+       |      ELSE 0.0 END AS ttr
+       |  FROM documents),
+       |wide AS (
+       |  SELECT count(*) AS n,
+       |    CAST(sum(CASE WHEN $allPass THEN 1 ELSE 0 END) AS BIGINT) AS pass_all,
+       |    $failSums
+       |  FROM f)
+       |SELECT rule, n_fail, ${Num.sqlR4("n_fail::DOUBLE / n")} AS fail_rate
+       |FROM ($unpivot)
+       |ORDER BY rule""".stripMargin
+  }
+
+  // ---- q129: per-domain quota sampling (the FineWeb/RefinedWeb
+  // "don't let one domain dominate the mix" cap): rank each domain's
+  // docs on the deterministic content-hash tape and keep the first
+  // `QuotaK`. The rank window is PARTITIONED by domain — the shuffle
+  // is domain-keyed and balanced, never a global sort; the output is
+  // the per-domain (total, kept) accounting table. ----
+
+  private val QuotaK = 5
+
+  def q129DomainQuota(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = withDomain(docs(spark, dir))
+      .select(col("domain"), col("doc_id"),
+        TF.hash60(concat(col("doc_id").cast("string"), lit("#quota"))).as("hk"))
+    val w = Window.partitionBy(col("domain")).orderBy(col("hk"), col("doc_id"))
+    d.withColumn("rk", row_number().over(w))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("rk") <= QuotaK, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy(col("domain"))
+  }
+
+  val q129Sql: String =
+    s"""WITH $sqlDomainCte,
+       |r AS (
+       |  SELECT domain,
+       |    row_number() OVER (PARTITION BY domain ORDER BY hk, doc_id) AS rk
+       |  FROM (SELECT domain, doc_id,
+       |          ${TF.sqlHash60("doc_id::VARCHAR || '#quota'")} AS hk
+       |        FROM dm))
+       |SELECT domain, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN rk <= $QuotaK THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM r
+       |GROUP BY domain
+       |ORDER BY domain""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_dsir_resample" -> (q125DsirResample _),
+    "q128_quality_gate" -> (q128QualityGate _),
+    "q129_domain_quota" -> (q129DomainQuota _),
     "q126_host_rollup" -> (q126HostRollup _),
     "q127_host_blocklist" -> (q127HostBlocklist _),
     "q55_contamination" -> (q55Contamination _),
@@ -602,6 +729,8 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "q125_dsir_resample" -> q125Sql,
+    "q128_quality_gate" -> q128Sql,
+    "q129_domain_quota" -> q129Sql,
     "q126_host_rollup" -> q126Sql,
     "q127_host_blocklist" -> q127Sql,
     "q55_contamination" -> q55Sql,

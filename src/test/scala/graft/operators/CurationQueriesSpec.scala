@@ -154,6 +154,33 @@ class CurationQueriesSpec extends SparkSpec {
     assert(df.except(again).isEmpty && again.except(df).isEmpty)
   }
 
+  test("q128 quality gate: all-rules failures bound each rule; rates consistent") {
+    val rows = CurationQueries.q128QualityGate(spark, dir).collect()
+    val n = graft.Tables.load(spark, dir, "documents").count()
+    val byRule = rows.map(r =>
+      r.getAs[String]("rule") -> r.getAs[Long]("n_fail")).toMap
+    val all = byRule("z_all_rules")
+    // any single rule's failures are a subset of the any-rule failures,
+    // and the union bound caps the total
+    byRule.filterKeys(_ != "z_all_rules").values.foreach(f =>
+      assert(f <= all))
+    assert(all <= byRule.filterKeys(_ != "z_all_rules").values.sum)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fail_rate") ==
+        Num.j(r.getAs[Long]("n_fail").toDouble / n, 4))
+    }
+  }
+
+  test("q129 domain quota: kept = min(K, n_docs) per domain") {
+    val rows = CurationQueries.q129DomainQuota(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept == math.min(5L, n))
+    }
+  }
+
   test("url host/domain extraction hand cases") {
     import spark.implicits._
     import graft.functions.UrlFunctions
