@@ -604,7 +604,11 @@ object CurationQueries {
   private val QgMinStopHits = 2L
   private val QgMinTtr = 0.4
 
-  def q128QualityGate(spark: SparkSession, dir: String): DataFrame = {
+  /** The rule set as named boolean columns over (text, n_chars) —
+    * shared by the q128 accounting table and the q130 funnel so the
+    * thresholds can never desynchronize. Codegen CSE collapses the
+    * repeated token-array subtrees within the one projection. */
+  private def qgRules: Seq[(String, Column)] = {
     val ts = TF.tokens(col("text"))
     val tc = size(ts).cast("long")
     val mwl = when(tc > 0,
@@ -614,12 +618,38 @@ object CurationQueries {
       t => t.isInCollection(TF.langMarkers.flatMap(_._2)))).cast("long")
     val ttr = when(tc > 0,
       size(array_distinct(ts)).cast("double") / tc).otherwise(0.0)
-    val rules: Seq[(String, Column)] = Seq(
+    Seq(
       "r1_min_chars" -> (col("n_chars") >= QgMinChars),
       "r2_min_tokens" -> (tc >= QgMinTokens),
       "r3_mean_word_len" -> (mwl >= QgMwlRange._1 && mwl <= QgMwlRange._2),
       "r4_stopword_evidence" -> (stopHits >= QgMinStopHits),
       "r5_type_token_ratio" -> (ttr >= QgMinTtr))
+  }
+
+  /** DuckDB twin: the feature select-list (over `documents` columns)
+    * and the rule predicates over those feature names. */
+  private def sqlQgFeatures: String = {
+    val ts = TF.sqlTokens("text")
+    val set = TF.langMarkers.flatMap(_._2).map(m => s"'$m'").mkString(", ")
+    s"""n_chars, len($ts) AS tc,
+       |    CASE WHEN len($ts) > 0
+       |      THEN list_sum(list_transform($ts, t -> length(t)))::DOUBLE / len($ts)
+       |      ELSE 0.0 END AS mwl,
+       |    len(list_filter($ts, t -> t IN ($set))) AS stop_hits,
+       |    CASE WHEN len($ts) > 0
+       |      THEN len(list_distinct($ts))::DOUBLE / len($ts)
+       |      ELSE 0.0 END AS ttr""".stripMargin
+  }
+  private def sqlQgRules: Seq[(String, String)] = Seq(
+    "r1_min_chars" -> s"n_chars >= $QgMinChars",
+    "r2_min_tokens" -> s"tc >= $QgMinTokens",
+    "r3_mean_word_len" ->
+      s"mwl >= ${QgMwlRange._1} AND mwl <= ${QgMwlRange._2}",
+    "r4_stopword_evidence" -> s"stop_hits >= $QgMinStopHits",
+    "r5_type_token_ratio" -> s"ttr >= $QgMinTtr")
+
+  def q128QualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val rules = qgRules
     val aggs =
       rules.map { case (n, c) =>
         sum(when(!c, 1L).otherwise(0L)).as(s"f_$n")
@@ -637,15 +667,7 @@ object CurationQueries {
   }
 
   val q128Sql: String = {
-    val ts = TF.sqlTokens("text")
-    val set = TF.langMarkers.flatMap(_._2).map(m => s"'$m'").mkString(", ")
-    val rules: Seq[(String, String)] = Seq(
-      "r1_min_chars" -> s"n_chars >= $QgMinChars",
-      "r2_min_tokens" -> s"tc >= $QgMinTokens",
-      "r3_mean_word_len" ->
-        s"mwl >= ${QgMwlRange._1} AND mwl <= ${QgMwlRange._2}",
-      "r4_stopword_evidence" -> s"stop_hits >= $QgMinStopHits",
-      "r5_type_token_ratio" -> s"ttr >= $QgMinTtr")
+    val rules = sqlQgRules
     val failSums = rules.map { case (n, c) =>
       s"CAST(sum(CASE WHEN NOT ($c) THEN 1 ELSE 0 END) AS BIGINT) AS f_$n"
     }.mkString(",\n    ")
@@ -655,14 +677,7 @@ object CurationQueries {
     }.mkString("\n  UNION ALL\n  ") +
       "\n  UNION ALL\n  SELECT 'z_all_rules' AS rule, n - pass_all AS n_fail, n FROM wide"
     s"""WITH f AS (
-       |  SELECT n_chars, len($ts) AS tc,
-       |    CASE WHEN len($ts) > 0
-       |      THEN list_sum(list_transform($ts, t -> length(t)))::DOUBLE / len($ts)
-       |      ELSE 0.0 END AS mwl,
-       |    len(list_filter($ts, t -> t IN ($set))) AS stop_hits,
-       |    CASE WHEN len($ts) > 0
-       |      THEN len(list_distinct($ts))::DOUBLE / len($ts)
-       |      ELSE 0.0 END AS ttr
+       |  SELECT $sqlQgFeatures
        |  FROM documents),
        |wide AS (
        |  SELECT count(*) AS n,
@@ -710,10 +725,100 @@ object CurationQueries {
        |GROUP BY domain
        |ORDER BY domain""".stripMargin
 
+  // ---- q130: the web-curation FUNNEL — the stage-by-stage survivor
+  // accounting every public pipeline publishes (C4 §2.2, RefinedWeb
+  // Table 2, FineWeb's datatrove logs): raw → domain blocklist →
+  // quality gate → per-domain quota → exact dedup. ONE declarative
+  // plan: stage membership is a chain of boolean columns, the quota
+  // rank is a conditional cumulative count over the domain window
+  // *among survivors* (rank-among-survivors ≠ q129's rank-among-all —
+  // a doc freed up by a blocklisted neighbor is admitted here), and
+  // dedup keeps the first surviving copy per fingerprint via the same
+  // conditional-cumsum trick on the fingerprint window. Two key-
+  // partitioned windows (domain, fingerprint) — no global sort, no
+  // per-stage rescan of the corpus. ----
+
+  def q130CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = Window.unboundedPreceding
+    val wDom = Window.partitionBy(col("domain"))
+      .orderBy(col("hk"), col("doc_id")).rowsBetween(cum, Window.currentRow)
+    val wFp = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id")).rowsBetween(cum, Window.currentRow)
+    val flagged = withDomain(docs(spark, dir))
+      .withColumn("hk",
+        TF.hash60(concat(col("doc_id").cast("string"), lit("#quota"))))
+      .withColumn("fp", TF.fingerprint(col("text")))
+      .withColumn("s2", !col("domain").isInCollection(DomainBlocklist))
+      .withColumn("s3", col("s2") && qgRules.map(_._2).reduce(_ && _))
+      .withColumn("rk", sum(when(col("s3"), 1L).otherwise(0L)).over(wDom))
+      .withColumn("s4", col("s3") && col("rk") <= QuotaK)
+      .withColumn("dk", sum(when(col("s4"), 1L).otherwise(0L)).over(wFp))
+      .withColumn("s5", col("s4") && col("dk") === 1L)
+    val wide = flagged.agg(
+      count(lit(1)).as("c1"),
+      sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("s3"), 1L).otherwise(0L)).as("c3"),
+      sum(when(col("s4"), 1L).otherwise(0L)).as("c4"),
+      sum(when(col("s5"), 1L).otherwise(0L)).as("c5"))
+    val stages = Seq("1_raw" -> "c1", "2_blocklist" -> "c2",
+      "3_quality" -> "c3", "4_domain_quota" -> "c4", "5_dedup" -> "c5")
+    wide.select(col("c1"), explode(array(stages.map { case (n, c) =>
+        struct(lit(n).as("stage"), col(c).as("n_docs"))
+      }: _*)).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_docs").as("n_docs"),
+        Num.r4(col("r.n_docs").cast("double") / col("c1")).as("survival"))
+      .orderBy(col("stage"))
+  }
+
+  val q130Sql: String = {
+    val allPass = sqlQgRules.map { case (_, c) => s"($c)" }.mkString(" AND ")
+    val blocked = DomainBlocklist.map(d => s"'$d'").mkString(", ")
+    s"""WITH $sqlDomainCte,
+       |ff AS (
+       |  SELECT dm.doc_id, dm.domain,
+       |    ${TF.sqlHash60("dm.doc_id::VARCHAR || '#quota'")} AS hk,
+       |    ${TF.sqlFingerprint("dm.text")} AS fp,
+       |    $sqlQgFeatures
+       |  FROM dm),
+       |gg AS (
+       |  SELECT *, (domain NOT IN ($blocked)) AS s2,
+       |    ((domain NOT IN ($blocked)) AND $allPass) AS s3
+       |  FROM ff),
+       |hh AS (
+       |  SELECT *, sum(CASE WHEN s3 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY domain ORDER BY hk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rk
+       |  FROM gg),
+       |ii AS (SELECT *, (s3 AND rk <= $QuotaK) AS s4 FROM hh),
+       |jj AS (
+       |  SELECT *, sum(CASE WHEN s4 THEN 1 ELSE 0 END) OVER (
+       |      PARTITION BY fp ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dk
+       |  FROM ii),
+       |kk AS (SELECT *, (s4 AND dk = 1) AS s5 FROM jj),
+       |wide AS (
+       |  SELECT count(*) AS c1,
+       |    CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+       |    CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+       |    CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS c5
+       |  FROM kk)
+       |SELECT stage, n_docs, ${Num.sqlR4("n_docs::DOUBLE / c1")} AS survival
+       |FROM (
+       |  SELECT '1_raw' AS stage, c1 AS n_docs, c1 FROM wide
+       |  UNION ALL SELECT '2_blocklist', c2, c1 FROM wide
+       |  UNION ALL SELECT '3_quality', c3, c1 FROM wide
+       |  UNION ALL SELECT '4_domain_quota', c4, c1 FROM wide
+       |  UNION ALL SELECT '5_dedup', c5, c1 FROM wide)
+       |ORDER BY stage""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_dsir_resample" -> (q125DsirResample _),
     "q128_quality_gate" -> (q128QualityGate _),
     "q129_domain_quota" -> (q129DomainQuota _),
+    "q130_curation_funnel" -> (q130CurationFunnel _),
     "q126_host_rollup" -> (q126HostRollup _),
     "q127_host_blocklist" -> (q127HostBlocklist _),
     "q55_contamination" -> (q55Contamination _),
@@ -731,6 +836,7 @@ object CurationQueries {
     "q125_dsir_resample" -> q125Sql,
     "q128_quality_gate" -> q128Sql,
     "q129_domain_quota" -> q129Sql,
+    "q130_curation_funnel" -> q130Sql,
     "q126_host_rollup" -> q126Sql,
     "q127_host_blocklist" -> q127Sql,
     "q55_contamination" -> q55Sql,

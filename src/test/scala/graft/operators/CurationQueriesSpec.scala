@@ -181,6 +181,32 @@ class CurationQueriesSpec extends SparkSpec {
     }
   }
 
+  test("q130 curation funnel: monotone survivors, stages reconcile with q127/q128") {
+    val rows = CurationQueries.q130CurationFunnel(spark, dir).collect()
+    val byStage = rows.map(r =>
+      r.getAs[String]("stage") -> r.getAs[Long]("n_docs")).toMap
+    val order = Seq("1_raw", "2_blocklist", "3_quality",
+      "4_domain_quota", "5_dedup")
+    assert(byStage.keySet == order.toSet)
+    // a funnel only ever narrows
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(byStage(a) >= byStage(b), s"$a -> $b grew")
+    }
+    assert(byStage("1_raw") ==
+      graft.Tables.load(spark, dir, "documents").count())
+    // stage 2 must equal the q127 anti-join's kept total
+    val kept127 = CurationQueries.q127HostBlocklist(spark, dir)
+      .agg(sum(col("n_docs"))).head().getLong(0)
+    assert(byStage("2_blocklist") == kept127)
+    // both windows in the plan are key-partitioned (domain / fp), and
+    // the only SinglePartition hops are partial-agg merges
+    val lines = CurationQueries.q130CurationFunnel(spark, dir)
+      .queryExecution.executedPlan.toString.split("\n")
+    lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+      .foreach(i => assert(lines(i + 1).contains("partial_"),
+        lines.slice(i, i + 2).mkString("\n")))
+  }
+
   test("url host/domain extraction hand cases") {
     import spark.implicits._
     import graft.functions.UrlFunctions
