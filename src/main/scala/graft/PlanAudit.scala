@@ -24,7 +24,10 @@ object PlanAudit {
         "q77_weighted_sample", "q78_bpe_pairs", "q79_triangles",
         "q80_zscore", "q81_kmeans_train", "q86_prefix_jaccard",
         "q88_containment", "q97_hard_negatives", "q98_canonical_docs",
-        "q99_mix_plan", "q100_mmr_topk", "q101_expectations", "q102_drift")
+        "q99_mix_plan", "q100_mmr_topk", "q101_expectations", "q102_drift",
+        "q123_ks_drift", "q125_dsir_resample", "q126_host_rollup",
+        "q127_host_blocklist", "q128_quality_gate", "q129_domain_quota",
+        "q130_curation_funnel")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
