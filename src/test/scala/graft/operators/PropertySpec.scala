@@ -151,6 +151,38 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("url host/domain extraction recovers components of random built URLs") {
+    import graft.functions.UrlFunctions
+    val labelGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val urlGen = for {
+      scheme <- Gen.oneOf("http", "https", "ftp")
+      nLab <- Gen.chooseNum(1, 4)
+      labs <- Gen.listOfN(nLab, labelGen)
+      user <- Gen.option(labelGen)
+      port <- Gen.option(Gen.chooseNum(1, 65535))
+      path <- Gen.option(labelGen)
+      query <- Gen.option(labelGen)
+      upper <- Gen.oneOf(true, false)
+    } yield {
+      val hostLower = labs.mkString(".")
+      val host = if (upper) hostLower.toUpperCase else hostLower
+      val url = scheme + "://" + user.map(_ + "@").getOrElse("") + host +
+        port.map(":" + _).getOrElse("") + path.map("/" + _).getOrElse("") +
+        query.map("?q=" + _).getOrElse("")
+      val dom =
+        if (labs.length >= 2) labs.takeRight(2).mkString(".") else hostLower
+      (url, hostLower, dom)
+    }
+    check(Prop.forAll(Gen.nonEmptyListOf(urlGen)) { rows =>
+      val got = rows.toDF("url", "eh", "ed")
+        .select(col("eh"), col("ed"), UrlFunctions.host(col("url")).as("h"))
+        .withColumn("d", UrlFunctions.registeredDomain(col("h")))
+        .as[(String, String, String, String)].collect()
+      got.forall { case (eh, ed, h, d) => h == eh && d == ed }
+    })
+  }
+
   test("GMV reconciliation: windowed sums add to 2x total value") {
     val itemsGen = Gen.nonEmptyListOf(for {
       id <- Gen.chooseNum(0, 1000)
