@@ -72,10 +72,15 @@ object PipelineQueries {
 
   // ---- q36: transitive near-dup clusters — connected components over
   // the exact-Jaccard pair list (operators.ClusterDedup); oracle is a
-  // DuckDB recursive CTE computing min-reachable-id. ----
+  // DuckDB recursive CTE computing min-reachable-id. Edges come from
+  // the PREFIX-FILTERED generator — identical pairs to the all-pairs
+  // form (PropertySpec pins the equivalence, boundary-τ included; q24
+  // still exercises the naive form) at ~⅓ the cost, and the only
+  // shape that survives corpus scale. ----
 
   def q36DedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TextDedup.jaccardPairs(docs(spark, dir), n = 3, threshold = 0.5)
+    val edges =
+      TextDedup.prefixJaccardPairs(docs(spark, dir), n = 3, threshold = 0.5)
     ClusterDedup.clusters(edges, "id_a", "id_b")
       .select(col("cluster_id"), col("id").as("doc_id"), col("cluster_size"))
       .orderBy(col("cluster_id"), col("doc_id"))
