@@ -16,9 +16,13 @@ object UrlFunctions {
   /** `scheme://[userinfo@]HOST[:port][/path...]` — capture group 1 is
     * the host. Scheme per RFC 3986 (letter then letter/digit/+/-/.);
     * userinfo is dropped, the host ends at `:`, `/`, `?` or `#`.
+    * RFC 3986 IPv6/IPvFuture bracket literals (`[::1]`) are captured
+    * whole via the first alternative — without it the reg-name
+    * character class would stop at the first `:` inside the brackets.
     * Lowercased (host names are case-insensitive); empty string when
     * the input is not a URL. */
-  val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+  val HostRe =
+    "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?(\\[[^\\]]*\\]|[^/:?#]+)"
 
   def host(url: Column): Column = lower(regexp_extract(url, HostRe, 1))
   def sqlHost(e: String): String =

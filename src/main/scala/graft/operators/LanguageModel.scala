@@ -100,9 +100,15 @@ object LanguageModel {
     * become LEFT joins with zero-coalesced counts, nothing else
     * changes.
     *
-    * Scale shape is scoreDocs': the model rides the (a,b)/(a) join
-    * keys; `broadcastModel=false` sort-merges when the vocabulary
-    * outgrows an executor. */
+    * Scale shape is scoreDocs' — EXCEPT that here `broadcastModel`
+    * hints BOTH model joins, including the full bigram table `cab`.
+    * `cab` grows with the distinct-bigram count (quadratic-ish in
+    * vocabulary), so gate the flag on the BIGRAM-table size fitting an
+    * executor, not the vocabulary: a target-domain model whose vocab
+    * broadcasts fine can still blow the limit through `cab`. Set
+    * `broadcastModel=false` to sort-merge both joins (identical
+    * rows); AQE still converts a genuinely small `cab` to a broadcast
+    * at runtime. */
   def scoreAgainst(docs: DataFrame, cab: DataFrame, ca: DataFrame,
       vocab: DataFrame, alpha: Double = 1.0, idCol: String = "doc_id",
       textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {

@@ -154,10 +154,15 @@ object ExtensionQueries {
        |GROUP BY 1, 2
        |ORDER BY lang, predicted""".stripMargin
 
-  // ---- q24: exact n-gram Jaccard near-dup pairs ----
+  // ---- q24: exact n-gram Jaccard near-dup pairs. Routed through the
+  // prefix-filtered generator (identical result set — the prefix-filter
+  // theorem; PropertySpec pins the equivalence against the all-pairs
+  // form, boundary-τ included) so the swept query never pays the
+  // quadratic-in-collisions inverted-index self-join. The oracle below
+  // stays the all-pairs ground truth: equality IS completeness. ----
 
   def q24NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    TextDedup.jaccardPairs(docs(spark, dir), n = 3, threshold = 0.5)
+    TextDedup.prefixJaccardPairs(docs(spark, dir), n = 3, threshold = 0.5)
       .orderBy(col("id_a"), col("id_b"))
 
   val q24Sql: String =

@@ -62,6 +62,13 @@ object StreamDsir {
         Num.r(exp(col("nll_corpus") - col("nll_target")), 6), lit(1e-6)))
   }
 
+  /** `foreachBatch` is AT-LEAST-ONCE: on failure/recovery a batchId
+    * can be re-delivered with the same rows, so a sink that blindly
+    * appends double-counts weights — which biases any downstream
+    * proportional sampler. The sink MUST be idempotent per `batchId`
+    * (that's why the id is passed): dedupe on it, e.g. write to a
+    * batchId-keyed path/partition or upsert on (batchId, doc_id) —
+    * the standard foreachBatch contract. */
   def start(docsStream: DataFrame, m: DsirModels, triggerMs: Long = 1000L)(
       sink: (Long, DataFrame) => Unit): StreamingQuery =
     writer(docsStream, m, triggerMs)(sink).start()

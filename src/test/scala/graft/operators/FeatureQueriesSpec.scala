@@ -314,8 +314,12 @@ class FeatureQueriesSpec extends SparkSpec {
     val d = (1 to 200).map(i =>
         (if (i % 2 == 0) "ref" else "cur", (i % 13 + 1).toLong, s"t$i word"))
       .toDF("snap", "n_chars", "text")
-    val lines = FeatureQueries.ksDrift(d)
-      .queryExecution.executedPlan.toString.split("\n")
+    // ksDrift itself materializes eagerly (to unpersist its cache), so
+    // the plan to audit is the lazy per-feature builder it runs
+    val (res, ranged) = FeatureQueries.ksFeatureLazy(
+      d, "n_chars", org.apache.spark.sql.functions.col("n_chars").cast("long"))
+    val lines = res.queryExecution.executedPlan.toString.split("\n")
+    ranged.unpersist()
     val sp = lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
     assert(sp.nonEmpty) // the scalar-max merges are expected to be there
     sp.foreach { i =>
