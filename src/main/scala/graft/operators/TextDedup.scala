@@ -38,8 +38,16 @@ object TextDedup {
     * runs once per document, not once per shingle. */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
+    shinglesFromTokenCol(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")), n)
+
+  /** Same, from a pre-tokenized (id, toks) frame — the entry point for
+    * pipelines that already carry the token arrays (q105's shared
+    * projection): the regex split is the dominant per-row cost, so a
+    * composed pipeline should pay it once, not once per stage. */
+  private def shinglesFromTokenCol(tokDf: DataFrame, n: Int): DataFrame =
+    tokDf.select(col("id"),
+        explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
       .distinct()
 
   /** Exact n-gram Jaccard similar pairs: |A∩B| / |A∪B| ≥ threshold.
@@ -187,7 +195,15 @@ object TextDedup {
 
   def prefixJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
-      broadcastIndex: Boolean = true): DataFrame = {
+      broadcastIndex: Boolean = true): DataFrame =
+    prefixJaccardPairsFromTokens(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")),
+      n, threshold, broadcastIndex)
+
+  /** [[prefixJaccardPairs]] over a pre-tokenized (id, toks) frame —
+    * identical rows; lets a composed pipeline tokenize once. */
+  def prefixJaccardPairsFromTokens(tokDf: DataFrame, n: Int = 3,
+      threshold: Double = 0.5, broadcastIndex: Boolean = true): DataFrame = {
     def bcast(d: DataFrame): DataFrame = if (broadcastIndex) broadcast(d) else d
     // Pruning must use a SNAP-SLACK-relaxed τ: verification accepts the
     // r4-SNAPPED ratio ≥ τ, and Num.r snaps in TWO stages (r8 then
@@ -198,7 +214,7 @@ object TextDedup {
     // doubly-widened slack admits a sliver of extra candidates;
     // verification discards them.
     val tau = threshold - (5e-5 + 1e-8)
-    val ds = docShingles(docs, idCol, textCol, n).cache()
+    val ds = shinglesFromTokenCol(tokDf, n).cache()
     val prefix = prefixOf(rankedShingles(ds, bcast), tau).cache()
     // Candidate aggregation carries the PPJoin filter inputs out of
     // the prefix self-join for free: po = #prefix collisions, pa/pb =

@@ -702,13 +702,29 @@ object CorpusStatsQueries {
 
   /** (doc_id, cluster_id, quality_score, kept) for every doc —
     * q98's verdict table, shared with q105's end-to-end pipeline. */
-  private[graft] def canonicalVerdicts(d: DataFrame): DataFrame = {
-    val edges = TextDedup.prefixJaccardPairs(d, n = 3, threshold = 0.5)
+  private[graft] def canonicalVerdicts(d: DataFrame): DataFrame =
+    canonicalVerdictsFromBase(pipelineBase(d))
+
+  /** The shared per-doc projection of the composed pipelines: text is
+    * scanned, tokenized, and quality-scored ONCE — every downstream
+    * stage (shingling, cluster labeling, split/order) reads these
+    * columns instead of re-deriving them from `text`. Callers that
+    * fan the base into several jobs should `localCheckpoint()` it
+    * (the ClusterDedup pattern) so the token arrays are computed once
+    * per pipeline, not once per stage. */
+  private[graft] def pipelineBase(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("lang"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"),
+      Num.r4(ExtensionQueries.qualityScore(col("text"))).as("quality_score"))
+
+  /** [[canonicalVerdicts]] over a [[pipelineBase]] frame. */
+  private[graft] def canonicalVerdictsFromBase(base: DataFrame): DataFrame = {
+    val edges = TextDedup.prefixJaccardPairsFromTokens(
+      base.select(col("doc_id").as("id"), col("toks")), n = 3, threshold = 0.5)
     val clusters = graft.operators.ClusterDedup
       .clusters(edges, "id_a", "id_b")
       .select(col("id").as("doc_id"), col("cluster_id"))
-    val scored = d.select(col("doc_id"),
-      Num.r4(ExtensionQueries.qualityScore(col("text"))).as("quality_score"))
+    val scored = base.select(col("doc_id"), col("quality_score"))
     val labeled = scored.join(clusters, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
     // argmax by (quality desc, doc_id asc) via struct max: negate the
@@ -1005,11 +1021,20 @@ object CorpusStatsQueries {
   private val QualityGate = 0.45
 
   def q105CorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
-    val kept = canonicalVerdicts(d)
+    // ONE text scan for the whole pipeline: tokenize + quality-score
+    // in a single projection, pinned with cache() so the dedup stage
+    // (shingles from toks), the cluster labeling, and the split/order
+    // stage all read columnar in-memory blocks — the composed form
+    // previously re-read parquet and re-ran the regex split once per
+    // stage. cache(), not localCheckpoint: the cache manager matches
+    // it by logical plan (shared within AND across invocations), while
+    // a checkpoint RDD is new state each call. At 100 TB the same
+    // structure holds with the base written to an intermediate table.
+    val base = pipelineBase(docs(spark, dir)).cache()
+    val kept = canonicalVerdictsFromBase(base)
       .filter(col("kept") && col("quality_score") >= QualityGate)
       .select(col("doc_id"))
-    val train = d.join(kept, "doc_id")
+    val train = base.select(col("doc_id"), col("lang")).join(kept, "doc_id")
       .withColumn("split", TF.splitAssign(col("doc_id")))
       .filter(col("split") === "train")
       .select(col("doc_id"), col("lang"),
