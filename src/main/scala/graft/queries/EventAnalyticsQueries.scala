@@ -267,16 +267,29 @@ object EventAnalyticsQueries {
   }
 
   /** q19: approximate distinct (A2 — approx_count_distinct, HLL++).
-    * No SQL oracle: DuckDB's HLL differs; the driver records a
-    * rows-only check. The exact variants in q12/q13 pin correctness. */
+    * DuckDB's HLL register layout differs, so the sketch ESTIMATE is
+    * not oracle-matchable — but its error bound is: the output carries
+    * the exact twin (hash-checked) plus `within_bound`, the assertion
+    * |approx − exact| ≤ 3·rsd·exact (rsd = 0.05, Spark's default).
+    * A sketch regression flips `within_bound` to false and fails the
+    * hash match; exact-twin drift fails it directly. This replaces the
+    * retired golden-hash pin with a check that runs at every SF. */
   def q19ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
-      .withColumn("rel_err", Windows.pct(
-        abs(col("approx_users") - col("exact_users")), col("exact_users")))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.15)).as("within_bound"))
       .orderBy(col("event_type"))
+
+  val q19Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_bound
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
 
   /** q32: as-of join — for each purchase, the user's most recent view
     * at-or-before it, within 1 hour (operators.AsOfJoin: union +
@@ -380,6 +393,7 @@ object EventAnalyticsQueries {
     "q16_dedup_exact" -> q16Sql,
     "q17_session" -> q17Sql,
     "q18_tumbling" -> q18Sql,
+    "q19_approx_distinct" -> q19Sql,
     "q32_asof" -> q32Sql,
     "q32b_asof_native" -> q32bSql)
 }

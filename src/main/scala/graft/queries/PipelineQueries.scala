@@ -452,18 +452,36 @@ object PipelineQueries {
 
   // ---- q37b: the sketch twin of q37 — approx_percentile (KLL-style
   // quantile sketch, the 100 TB path: bounded memory, mergeable
-  // partials). Rows-only for the driver (DuckDB's approx sketch
-  // differs); PipelineQueriesSpec bounds its error vs exact. ----
+  // partials). DuckDB's approx sketch differs, so the ESTIMATE is not
+  // oracle-matchable — but its rank-error bound is: the output carries
+  // the exact twin (hash-checked) plus `within_bound`, asserting the
+  // estimate lies between the exact 0.499 and 0.501 quantiles (rank
+  // tolerance 1e-3 = 10× the sketch's ε = 1/accuracy = 1e-4). A
+  // sketch regression flips the boolean and fails the hash match. ----
 
   def q37bApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        Num.r4(expr("approx_percentile(l_extendedprice, 0.5, 10000)"))
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
           .as("p50_approx"),
-        Num.r4(expr("percentile(l_extendedprice, 0.5)")).as("p50_exact"))
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.499)").as("p_lo"),
+        expr("percentile(l_extendedprice, 0.501)").as("p_hi"))
+      .select(col("l_returnflag"), col("n"),
+        Num.r4(col("p50_exact")).as("p50_exact"),
+        (col("p50_approx") >= col("p_lo") &&
+          col("p50_approx") <= col("p_hi")).as("within_bound"))
       .orderBy(col("l_returnflag"))
+
+  val q37bSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${Num.sqlR4("quantile_cont(l_extendedprice, 0.5)")} AS p50_exact,
+       |  TRUE AS within_bound
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
 
   // ---- q46: RANGE JOIN — purchase attribution: every view in the
   // hour before each purchase (not just the latest — that's the as-of
@@ -833,6 +851,7 @@ object PipelineQueries {
     "q35_levenshtein" -> q35Sql,
     "q36_dedup_clusters" -> q36Sql,
     "q37_quantiles" -> q37Sql,
+    "q37b_approx_quantiles" -> q37bSql,
     "q38_lead_lag" -> q38Sql,
     "q11d_cube" -> q11dSql,
     "q39_hash_sample" -> q39Sql,

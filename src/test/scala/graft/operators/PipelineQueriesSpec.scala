@@ -35,12 +35,13 @@ class PipelineQueriesSpec extends SparkSpec {
     }
   }
 
-  test("q37b approx median stays within 1% of exact") {
+  test("q37b approx median is within the rank-error bound of exact") {
     val rows = PipelineQueries.q37bApproxQuantiles(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (a, e) = (r.getAs[Double]("p50_approx"), r.getAs[Double]("p50_exact"))
-      assert(math.abs(a - e) / e < 0.01, s"approx $a vs exact $e")
+      assert(r.getAs[Boolean]("within_bound"),
+        s"sketch estimate out of rank bound for ${r.get(0)}")
+      assert(r.getAs[Double]("p50_exact") > 0.0)
     }
   }
 
