@@ -19,6 +19,50 @@ import org.apache.spark.sql.functions._
   * Env knobs: SPARK_GRAFT_ONLY (comma-separated query names) restricts
   * the sweep for local iteration; absent → full sweep.
   */
+/** Shared per-query timing harness for [[Bench]] and [[SlopeBench]]. */
+object BenchHarness {
+  import org.apache.spark.sql.DataFrame
+
+  /** Min of `runs` timed executions. Times full materialization:
+    * xxhash64 every column of every row and fold — a count() alone
+    * lets Spark prune the projection on narrow queries and
+    * understates the real cost. Failures are NOT wall-timed: a query
+    * that throws reports -1, never a fast-looking elapsed time.
+    *
+    * Between queries, drops everything the query pinned in the block
+    * manager (`.cache()` inside operators, `localCheckpoint` blocks
+    * from iterative ones). Without this the storage pool grows
+    * monotonically across ~100 queries × runs and the LRU-eviction /
+    * GC churn makes a random subset of queries 5–10× slower from
+    * round to round (r3 vs r4 swings on identical code). clearCache
+    * drops cached relations but NOT broadcast blocks — those are
+    * reclaimed by the ContextCleaner only after a driver GC collects
+    * their references, hence the System.gc() nudge (q89 measured
+    * 5.1 s in a full sweep vs 1.0 s isolated without it). */
+  def minOfRuns(spark: SparkSession,
+      fn: (SparkSession, String) => DataFrame,
+      sfDir: String, runs: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          val d = fn(spark, sfDir)
+          d.select(xxhash64(d.columns.toIndexedSeq.map(col): _*).as("h"))
+            .agg(expr("bit_xor(h)")).collect()
+          true
+        } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val times = Seq.fill(runs)(once())
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+    val good = times.filter(_ >= 0)
+    if (good.isEmpty) -1.0 else good.min
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,34 +123,7 @@ object Bench {
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = sweep.map { case (name, fn) =>
-      // Time full materialization: xxhash64 every column of every row
-      // and fold — a count() alone lets Spark prune the projection on
-      // narrow queries and understates the real cost. Failures are NOT
-      // wall-timed: a query that throws reports -1, never a
-      // fast-looking elapsed time.
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        val ok =
-          try {
-            val d = fn(spark, sfDir)
-            d.select(xxhash64(d.columns.toIndexedSeq.map(col): _*).as("h"))
-              .agg(expr("bit_xor(h)")).collect()
-            true
-          } catch { case _: Throwable => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      }
-      val times = Seq(once(), once(), once())
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      // clearCache drops cached relations but NOT broadcast blocks —
-      // those are reclaimed by the ContextCleaner only after a driver
-      // GC collects their references. Without this nudge, ~100 queries
-      // of BHJ broadcasts accumulate in the block manager and tax the
-      // late-alphabet queries (q89 measured 5.1 s in a full sweep vs
-      // 1.0 s isolated — same disease as the r3/r4 cache swings).
-      System.gc()
-      val good = times.filter(_ >= 0)
-      name -> (if (good.isEmpty) -1.0 else good.min)
+      name -> BenchHarness.minOfRuns(spark, fn, sfDir, runs = 3)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -562,7 +562,7 @@ object CurationQueries {
   /** Blocked registered domains — the C4-style bad-host list. Spans
     * all three TLD buckets so the anti-join removes a strict subset of
     * each source's docs, never a whole source. */
-  private val DomainBlocklist =
+  private[graft] val DomainBlocklist =
     Seq("src3.com", "src7.net", "src11.org", "src15.com", "src0.org")
 
   def q127HostBlocklist(spark: SparkSession, dir: String): DataFrame = {
@@ -696,7 +696,7 @@ object CurationQueries {
   // is domain-keyed and balanced, never a global sort; the output is
   // the per-domain (total, kept) accounting table. ----
 
-  private val QuotaK = 5
+  private[graft] val QuotaK = 5
 
   def q129DomainQuota(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -738,14 +738,20 @@ object CurationQueries {
   // partitioned windows (domain, fingerprint) — no global sort, no
   // per-stage rescan of the corpus. ----
 
-  def q130CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+  /** The q130 funnel's per-document flag frame over a documents-shaped
+    * input (doc_id, text, lang, source, n_chars) — exposed package-
+    * private so PropertySpec can assert the stage invariants (monotone
+    * survivors, quota cap among survivors, one kept doc per surviving
+    * fingerprint) on RANDOM corpora, not just the shipped table.
+    * Flags: s2 blocklist, s3 quality, s4 domain quota, s5 dedup. */
+  private[graft] def funnelFlags(d: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cum = Window.unboundedPreceding
     val wDom = Window.partitionBy(col("domain"))
       .orderBy(col("hk"), col("doc_id")).rowsBetween(cum, Window.currentRow)
     val wFp = Window.partitionBy(col("fp"))
       .orderBy(col("doc_id")).rowsBetween(cum, Window.currentRow)
-    val flagged = withDomain(docs(spark, dir))
+    withDomain(d)
       .withColumn("hk",
         TF.hash60(concat(col("doc_id").cast("string"), lit("#quota"))))
       .withColumn("fp", TF.fingerprint(col("text")))
@@ -755,6 +761,10 @@ object CurationQueries {
       .withColumn("s4", col("s3") && col("rk") <= QuotaK)
       .withColumn("dk", sum(when(col("s4"), 1L).otherwise(0L)).over(wFp))
       .withColumn("s5", col("s4") && col("dk") === 1L)
+  }
+
+  def q130CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = funnelFlags(docs(spark, dir))
     val wide = flagged.agg(
       count(lit(1)).as("c1"),
       sum(when(col("s2"), 1L).otherwise(0L)).as("c2"),

@@ -183,6 +183,75 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // Random documents-shaped corpora for the q130 funnel invariants:
+  // a small text pool (so exact duplicates occur and the dedup stage
+  // has work), sources spanning the blocklisted domains, and word
+  // mixes straddling every quality-rule threshold (stopword-free
+  // texts, short texts, low-TTR repetition).
+  private val funnelCorpusGen: Gen[List[(Long, String, String, String, Long)]] = {
+    val contentWords = Seq("data", "pipeline", "spark", "model", "train",
+      "corpus", "quality", "tokens", "filter", "sample", "xylophone")
+    val stopWords = Seq("the", "of", "is", "and", "a")
+    val textGen = for {
+      nWords <- Gen.chooseNum(3, 45)
+      stops <- Gen.chooseNum(0, 6)
+      repeatOne <- Gen.oneOf(true, false) // low-TTR case
+      words <- Gen.listOfN(nWords, Gen.oneOf(contentWords))
+    } yield {
+      val base = if (repeatOne) List.fill(nWords)(words.head) else words
+      (base ++ List.fill(stops)(stopWords(stops % stopWords.size)))
+        .mkString(" ")
+    }
+    for {
+      nTexts <- Gen.chooseNum(1, 6)
+      pool <- Gen.listOfN(nTexts, textGen)
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        t <- Gen.oneOf(pool)
+        src <- Gen.chooseNum(0, 15).map(i => s"src$i")
+        lang <- Gen.oneOf("en", "de", "es")
+      } yield (t, src, lang))
+    } yield rows.zipWithIndex.map { case ((t, s, l), i) =>
+      (i.toLong, t, l, s, t.length.toLong)
+    }
+  }
+
+  test("q130 funnel invariants hold on random corpora") {
+    import graft.queries.CurationQueries
+    check(Prop.forAll(funnelCorpusGen) { rows =>
+      rows.isEmpty || {
+        val d = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        val f = CurationQueries.funnelFlags(d)
+          .select(col("domain"), col("fp"),
+            col("s2"), col("s3"), col("s4"), col("s5"))
+          .as[(String, String, Boolean, Boolean, Boolean, Boolean)]
+          .collect()
+        // stage membership is a chain: s5 ⊆ s4 ⊆ s3 ⊆ s2 — so the
+        // survivor counts are monotone non-increasing by construction
+        val chain = f.forall { case (_, _, s2, s3, s4, s5) =>
+          (!s5 || s4) && (!s4 || s3) && (!s3 || s2)
+        }
+        // per-domain quota: at most QuotaK docs survive stage 4 per
+        // domain (counted among stage-3 SURVIVORS, not all docs)
+        val quota = f.groupBy(_._1).forall { case (_, g) =>
+          g.count(_._4) <= CurationQueries.QuotaK
+        }
+        // dedup keeps EXACTLY one doc per fingerprint that has any
+        // stage-4 survivor — never zero, never two
+        val dedup = f.groupBy(_._2).forall { case (_, g) =>
+          val kept = g.count(_._6)
+          if (g.exists(_._5)) kept == 1 else kept == 0
+        }
+        // blocklist actually blocks: no surviving doc has a
+        // blocklisted domain
+        val blocked = f.forall { case (dom, _, s2, _, _, _) =>
+          !s2 == CurationQueries.DomainBlocklist.contains(dom)
+        }
+        chain && quota && dedup && blocked
+      }
+    })
+  }
+
   test("GMV reconciliation: windowed sums add to 2x total value") {
     val itemsGen = Gen.nonEmptyListOf(for {
       id <- Gen.chooseNum(0, 1000)
