@@ -459,21 +459,26 @@ object PipelineQueries {
   // tolerance 1e-3 = 10× the sketch's ε = 1/accuracy = 1e-4). A
   // sketch regression flips the boolean and fails the hash match. ----
 
-  def q37bApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.load(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)")
-          .as("p50_approx"),
-        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
-        expr("percentile(l_extendedprice, 0.499)").as("p_lo"),
-        expr("percentile(l_extendedprice, 0.501)").as("p_hi"))
+  def q37bApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    // exact rank bounds via the DISTRIBUTED quantile operator (q37's
+    // path) — the built-in `percentile` buffers every group value in
+    // one reducer, and three of those made q37b the slowest query in
+    // the r10 slope sweep (3.9 s at sf0.1; the sketch it showcases
+    // took ~0.5 s of that). The two 3-row aggregates join broadcast.
+    val exact = graft.operators.Quantiles.exactQuantiles(
+      li, "l_returnflag", "l_extendedprice",
+      Seq(0.499, 0.5, 0.501), Seq("p_lo", "p50_exact", "p_hi"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+        .as("p50_approx"))
+    exact.join(broadcast(approx), "l_returnflag")
       .select(col("l_returnflag"), col("n"),
         Num.r4(col("p50_exact")).as("p50_exact"),
         (col("p50_approx") >= col("p_lo") &&
           col("p50_approx") <= col("p_hi")).as("within_bound"))
       .orderBy(col("l_returnflag"))
+  }
 
   val q37bSql: String =
     s"""SELECT l_returnflag, count(*) AS n,
