@@ -117,9 +117,18 @@ class PlanSpec extends SparkSpec {
 
   // ---- round-10 pins for the remaining top-cost queries: the judge's
   // plan audit found these shapes correct by reading; these asserts
-  // make a regression fail `sbt test` instead of a judge read. ----
+  // make a regression fail `sbt test` instead of a judge read.
+  //
+  // Each pin clears the shared session's cache first: other suites
+  // cache() some of these exact query frames, and the cache manager
+  // plan-matches, substituting InMemoryRelation for the shapes these
+  // tests exist to inspect (q126 failed this way in a full suite run
+  // while passing in isolation). ----
+
+  private def uncached(): Unit = spark.catalog.clearCache()
 
   test("q24: swept query runs the prefix-filtered candidate path, all joins broadcast") {
+    uncached()
     val plan = formatted(graft.queries.ExtensionQueries.q24NgramJaccard(spark, sf))
     // the canonical (df asc, shingle asc) rank — the naive inverted-index
     // path has no per-doc rank window and no positional-filter aggregate
@@ -135,6 +144,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q105: one parquet scan feeds every pipeline stage via the cached base") {
+    uncached()
     val df = graft.queries.CorpusStatsQueries.q105CorpusPipeline(spark, sf)
     val plan = formatted(df)
     // tree nodes repeat per InMemoryTableScan reference; count DISTINCT
@@ -149,6 +159,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q126: host/fingerprint/doc stats share one scan via grouping-sets Expand") {
+    uncached()
     val plan = formatted(graft.queries.CurationQueries.q126HostRollup(spark, sf))
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
     // n_hosts / n_unique / doc averages ride one Expand — no join-back,
@@ -160,12 +171,26 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q127: blocklist is a broadcast anti-join, corpus never reshuffled for it") {
+    uncached()
     val plan = formatted(graft.queries.CurationQueries.q127HostBlocklist(spark, sf))
     assert(plan.contains("BroadcastHashJoin LeftAnti"), plan.take(1500))
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q37b: exact bounds ride the distributed quantile path, not percentile()") {
+    uncached()
+    val plan = formatted(PipelineQueries.q37bApproxQuantiles(spark, sf))
+    // the built-in percentile aggregate buffers every group value in
+    // one reducer (the r10 slope gate caught exactly this: 3.9 s at
+    // sf0.1); only the mergeable KLL sketch may appear
+    assert(!"[^_]percentile\\(".r.findFirstIn(plan).isDefined,
+      "reducer-buffering percentile() aggregate crept back in")
+    assert(plan.contains("approx_percentile"), "sketch side missing")
+    assert(plan.contains("BroadcastHashJoin"), "3-row join should broadcast")
+  }
+
   test("q129: quota sampling window is domain-partitioned (no global sort)") {
+    uncached()
     val plan = formatted(graft.queries.CurationQueries.q129DomainQuota(spark, sf))
     assert("windowspecdefinition\\(domain#\\d+".r.findFirstIn(plan).isDefined,
       plan.take(1500))
