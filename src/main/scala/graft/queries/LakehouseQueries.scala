@@ -471,17 +471,20 @@ object LakehouseQueries {
 
   // ---- q74: IQR outlier detection (Tukey fences — the standard
   // data-quality rule): per order priority, flag orders above
-  // q3 + 1.5·IQR. Exact percentiles (q37 proved Spark percentile ≡
-  // DuckDB quantile_cont interpolation); the fence is the same double
-  // arithmetic in both engines, so the comparison is NOT rounded —
-  // rounding could itself flip a boundary row. Group stats broadcast
-  // back; one scan + one tiny join. ----
+  // q3 + 1.5·IQR. Exact percentiles via the DISTRIBUTED quantile
+  // operator — bit-identical to Spark's `percentile` (QuantilesSpec)
+  // whose interpolation q37 proved ≡ DuckDB quantile_cont, without
+  // the built-in's per-group value buffering in one reducer (the
+  // anti-pattern the r10 slope gate caught in q37b). The fence is the
+  // same double arithmetic in both engines, so the comparison is NOT
+  // rounded — rounding could itself flip a boundary row. Group stats
+  // broadcast back; one scan + one tiny join. ----
 
   def q74IqrOutliers(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
-    val fences = orders.groupBy(col("o_orderpriority"))
-      .agg(expr("percentile(o_totalprice, 0.25)").as("q1"),
-        expr("percentile(o_totalprice, 0.75)").as("q3"))
+    val fences = graft.operators.Quantiles.exactQuantiles(
+      orders, "o_orderpriority", "o_totalprice",
+      Seq(0.25, 0.75), Seq("q1", "q3"))
       .withColumn("fence", col("q3") + (col("q3") - col("q1")) * 1.5)
     orders.join(broadcast(fences), Seq("o_orderpriority"))
       .groupBy(col("o_orderpriority"))
