@@ -27,7 +27,8 @@ object PlanAudit {
         "q99_mix_plan", "q100_mmr_topk", "q101_expectations", "q102_drift",
         "q123_ks_drift", "q125_dsir_resample", "q126_host_rollup",
         "q127_host_blocklist", "q128_quality_gate", "q129_domain_quota",
-        "q130_curation_funnel")
+        "q130_curation_funnel", "q131_tpch_q3", "q133_tpch_q5",
+        "q136_tpch_q8", "q143_tpch_q17", "q146_tpch_q21")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -28,7 +28,8 @@ object SparkEntry {
       LakehouseQueries.entries ++
       CorpusStatsQueries.entries ++
       QcQueries.entries ++
-      FeatureQueries.entries
+      FeatureQueries.entries ++
+      WarehouseQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       LakehouseQueries.oracles ++
       CorpusStatsQueries.oracles ++
       QcQueries.oracles ++
-      FeatureQueries.oracles
+      FeatureQueries.oracles ++
+      WarehouseQueries.oracles
 }

@@ -1,0 +1,565 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Num
+
+/** Classic decision-support (TPC-H) tier over the driver testdata.
+  *
+  * The reference's downstream SQL surface (init_metrics.sql:157-239)
+  * is dashboard-shaped: joins + grouped aggregates + top-k. This tier
+  * completes the relational engine claim with the public TPC-H query
+  * set — multi-way star joins, correlated EXISTS / NOT EXISTS, scalar
+  * and IN subqueries, disjunctive join predicates, conditional market-
+  * share aggregation — each adapted to the driver schema (which has no
+  * partsupp table and no l_commitdate/l_receiptdate; lateness is
+  * expressed against o_orderdate instead, and container/comment
+  * predicates map to p_size/o_orderpriority stand-ins).
+  *
+  * Scale notes (100 TB): every query keeps the canonical TPC-H plan
+  * shape — dimension sides broadcast (customer/supplier/nation/region/
+  * part), fact-fact joins shuffle on the join key after pushed-down
+  * date filters, subqueries decorrelate to semi/anti joins (never a
+  * per-row re-execution), top-k is TakeOrderedAndProject (no global
+  * sort). Double aggregates go through the [[Num.r]] two-stage snap so
+  * summation order can't flip an oracle bit.
+  */
+object WarehouseQueries {
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+  private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  /** q131 — TPC-H Q3: shipping-priority top-10 unshipped-order revenue.
+    * Fact-fact join (lineitem ⋈ orders) + broadcast customer filter;
+    * top-k by snapped revenue with key tie-break. */
+  def q131TpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").filter(col("l_shipdate") > ts("1998-03-15"))
+    val o = Tables.load(spark, dir, "orders").filter(col("o_orderdate") < ts("1998-03-15"))
+    val c = Tables.load(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Num.r(sum(rev), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q131Sql: String =
+    s"""SELECT l_orderkey, o_orderdate, ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey
+       |LIMIT 10""".stripMargin
+
+  /** q132 — TPC-H Q4: order-priority checking via correlated EXISTS
+    * (lateness = shipped >60 days after order date; the schema has no
+    * l_commitdate/l_receiptdate). Catalyst decorrelates the EXISTS to
+    * a left-semi join — no per-row subquery execution. */
+  def q132TpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q132Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** q133 — TPC-H Q5: local-supplier volume. Six-way join where the
+    * customer and supplier nations must MATCH — the classic shape
+    * where only lineitem⋈orders shuffles and every dimension side is
+    * broadcast. */
+  def q133TpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n = Tables.load(spark, dir, "nation")
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(Num.r(sum(rev), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q133Sql: String =
+    s"""SELECT n_name, ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'EUROPE'
+       |  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q134 — TPC-H Q6: forecasting revenue change — pure scan-side
+    * filter + single agg; every predicate reaches the parquet scan. */
+  def q134TpchQ6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(Num.r(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+  }
+
+  val q134Sql: String =
+    s"""SELECT ${Num.sqlR2("sum(l_extendedprice * l_discount)")} AS revenue
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** q135 — TPC-H Q7: volume shipping between two nations, with the
+    * nation dimension joined TWICE (supplier side and customer side)
+    * under distinct aliases. */
+  def q135TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1999-01-01"))
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val n1 = Tables.load(spark, dir, "nation").as("n1")
+    val n2 = Tables.load(spark, dir, "nation").as("n2")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2.n_nationkey"))
+      .filter((col("n1.n_name") === "NATION_1" && col("n2.n_name") === "NATION_2") ||
+        (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1"))
+      .groupBy(col("n1.n_name").as("supp_nation"), col("n2.n_name").as("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(Num.r(sum(rev), 2).as("volume"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  val q135Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+       |  ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS volume
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+       |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |GROUP BY n1.n_name, n2.n_name, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q136 — TPC-H Q8: national market share — conditional numerator
+    * over the total volume per year (share of NATION_3 suppliers in
+    * EUROPE-customer PROMO-part volume). */
+  def q136TpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1999-01-01"))
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    val p = Tables.load(spark, dir, "part").filter(col("p_type") === "PROMO")
+    val n1 = Tables.load(spark, dir, "nation").as("n1")
+    val n2 = Tables.load(spark, dir, "nation").as("n2")
+    val r = Tables.load(spark, dir, "region").filter(col("r_name") === "EUROPE")
+    val vol = li
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1.n_nationkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2.n_nationkey"))
+      .join(broadcast(r), col("n2.n_regionkey") === col("r_regionkey"))
+    vol.groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        Num.r(sum(when(col("n1.n_name") === "NATION_3", rev).otherwise(lit(0.0))), 2).as("nation_volume"),
+        Num.r(sum(rev), 2).as("total_volume"))
+      .withColumn("mkt_share", Num.r(col("nation_volume") / col("total_volume"), 6))
+      .orderBy(col("o_year"))
+  }
+
+  val q136Sql: String = {
+    val nat = Num.sqlR2("sum(CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)")
+    val tot = Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")
+    s"""SELECT o_year, nation_volume, total_volume,
+       |  ${Num.sqlR("nation_volume / total_volume", 6)} AS mkt_share
+       |FROM (
+       |  SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+       |    $nat AS nation_volume,
+       |    $tot AS total_volume
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |  JOIN region ON n2.n_regionkey = r_regionkey
+       |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+       |    AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+       |  GROUP BY o_year) t
+       |ORDER BY o_year""".stripMargin
+  }
+
+  /** q137 — TPC-H Q9 (no partsupp in the schema, so profit = revenue):
+    * product-line profit by supplier nation and year for widget parts. */
+  def q137TpchQ9(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val s = Tables.load(spark, dir, "supplier")
+    val p = Tables.load(spark, dir, "part").filter(col("p_name").like("%widget%"))
+    val n = Tables.load(spark, dir, "nation")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(Num.r(sum(rev), 2).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q137Sql: String =
+    s"""SELECT n_name AS nation, CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+       |  ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |WHERE p_name LIKE '%widget%'
+       |GROUP BY n_name, o_year
+       |ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** q138 — TPC-H Q10: returned-item reporting — top 20 customers by
+    * lost revenue in a quarter (l_returnflag = 'R'). */
+  def q138TpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderdate") >= ts("1997-07-01") && col("o_orderdate") < ts("1997-10-01"))
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(Num.r(sum(rev), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q138Sql: String =
+    s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+       |  ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE l_returnflag = 'R'
+       |  AND o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1997-10-01'
+       |GROUP BY c_custkey, c_name, c_acctbal, n_name
+       |ORDER BY revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin
+
+  /** q139 — TPC-H Q12 (adapted: no l_shipmode/l_commitdate — lateness
+    * vs o_orderdate, grouped by linestatus): priority-class line counts
+    * among late shipments. */
+  def q139TpchQ12(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+    val o = Tables.load(spark, dir, "orders")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH", 1)).as("high_line_count"),
+        count(when(col("o_orderpriority") =!= "1-URGENT" && col("o_orderpriority") =!= "2-HIGH", 1)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q139Sql: String =
+    """SELECT l_linestatus,
+      |  count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+      |  count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** q140 — TPC-H Q13: customer order-count distribution — LEFT OUTER
+    * join (customers with zero orders must appear) + two-level agg. */
+  def q140TpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q140Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (
+      |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |  FROM customer
+      |  LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q141 — TPC-H Q14: promotion-revenue share for one ship month —
+    * conditional numerator / total over a broadcast part join. */
+  def q141TpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= ts("1997-09-01") && col("l_shipdate") < ts("1997-10-01"))
+    val p = Tables.load(spark, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        Num.r(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2).as("promo_revenue_sum"),
+        Num.r(sum(rev), 2).as("total_revenue"))
+      .withColumn("promo_revenue_pct",
+        Num.r(lit(100.0) * col("promo_revenue_sum") / col("total_revenue"), 4))
+  }
+
+  val q141Sql: String = {
+    val promo = Num.sqlR2("sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)")
+    val tot = Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")
+    s"""SELECT promo_revenue_sum, total_revenue,
+       |  ${Num.sqlR("100.0 * promo_revenue_sum / total_revenue", 4)} AS promo_revenue_pct
+       |FROM (
+       |  SELECT $promo AS promo_revenue_sum, $tot AS total_revenue
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01') t""".stripMargin
+  }
+
+  // q142 — TPC-H Q15: identical ANSI text runs in BOTH engines (the
+  // Num floor-chain is portable): revenue CTE + scalar-subquery max.
+  private val q142Text: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-10-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue
+       |FROM supplier
+       |JOIN revenue ON s_suppkey = supplier_no
+       |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** q142 — TPC-H Q15: top supplier — aggregate-over-CTE referenced
+    * twice plus a scalar subquery, through the spark.sql surface. */
+  def q142TpchQ15(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q142Text)
+  }
+
+  val q142Sql: String = q142Text
+
+  // q143 — TPC-H Q17 (p_container → p_size stand-in): small-quantity
+  // order revenue; correlated scalar subquery per part. Identical text
+  // in both engines.
+  private val q143Text: String =
+    s"""SELECT ${Num.sqlR2("sum(l_extendedprice) / 7.0")} AS avg_yearly
+       |FROM lineitem
+       |JOIN part ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#23' AND p_size < 5
+       |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+       |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** q143 — TPC-H Q17: correlated scalar subquery (per-part average
+    * quantity threshold); Catalyst decorrelates to an aggregate join. */
+  def q143TpchQ17(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q143Text)
+  }
+
+  val q143Sql: String = q143Text
+
+  // q144 — TPC-H Q18: large-volume customers (IN subquery + HAVING).
+  // Identical text in both engines; l_quantity is integer-valued so
+  // the sums are exact.
+  private val q144Text: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  sum(l_quantity) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+      |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** q144 — TPC-H Q18: large-volume customers via IN + HAVING subquery
+    * (decorrelates to a semi join on the grouped lineitem). */
+  def q144TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q144Text)
+  }
+
+  val q144Sql: String = q144Text
+
+  /** q145 — TPC-H Q19 (p_container → p_size stand-in): disjunctive
+    * brand/size/quantity predicate as part of the JOIN condition —
+    * the equi-key (partkey) still drives a hash join; the OR-of-ANDs
+    * rides along as the join filter. */
+  def q145TpchQ19(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))))
+      .agg(Num.r(sum(rev), 2).as("revenue"))
+  }
+
+  val q145Sql: String =
+    s"""SELECT ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** q146 — TPC-H Q21 (lateness vs o_orderdate): suppliers who were
+    * the ONLY late supplier on a multi-supplier finished order —
+    * correlated EXISTS + NOT EXISTS, decorrelated to semi + anti
+    * joins on the (orderkey) key. */
+  def q146TpchQ21(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAYS
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
+  val q146Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  // q147 — TPC-H Q22 (phone country code → nation key): above-average-
+  // balance customers with no recent orders. Identical text both
+  // engines (scalar subquery + NOT EXISTS anti join).
+  private val q147Text: String =
+    s"""SELECT c_nationkey, count(*) AS numcust,
+       |  ${Num.sqlR2("sum(c_acctbal)")} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${Num.sqlR2("avg(c_acctbal)")}
+       |                   FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders
+       |                  WHERE o_custkey = c_custkey
+       |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
+  /** q147 — TPC-H Q22: global sales opportunity — uncorrelated scalar
+    * subquery threshold + NOT EXISTS anti join. The average is snapped
+    * before the comparison so a summation-order ulp can't flip a
+    * boundary customer across engines. */
+  def q147TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(q147Text)
+  }
+
+  val q147Sql: String = q147Text
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_tpch_q3" -> (q131TpchQ3 _),
+    "q132_tpch_q4" -> (q132TpchQ4 _),
+    "q133_tpch_q5" -> (q133TpchQ5 _),
+    "q134_tpch_q6" -> (q134TpchQ6 _),
+    "q135_tpch_q7" -> (q135TpchQ7 _),
+    "q136_tpch_q8" -> (q136TpchQ8 _),
+    "q137_tpch_q9" -> (q137TpchQ9 _),
+    "q138_tpch_q10" -> (q138TpchQ10 _),
+    "q139_tpch_q12" -> (q139TpchQ12 _),
+    "q140_tpch_q13" -> (q140TpchQ13 _),
+    "q141_tpch_q14" -> (q141TpchQ14 _),
+    "q142_tpch_q15" -> (q142TpchQ15 _),
+    "q143_tpch_q17" -> (q143TpchQ17 _),
+    "q144_tpch_q18" -> (q144TpchQ18 _),
+    "q145_tpch_q19" -> (q145TpchQ19 _),
+    "q146_tpch_q21" -> (q146TpchQ21 _),
+    "q147_tpch_q22" -> (q147TpchQ22 _))
+
+  def oracles: Map[String, String] = Map(
+    "q131_tpch_q3" -> q131Sql,
+    "q132_tpch_q4" -> q132Sql,
+    "q133_tpch_q5" -> q133Sql,
+    "q134_tpch_q6" -> q134Sql,
+    "q135_tpch_q7" -> q135Sql,
+    "q136_tpch_q8" -> q136Sql,
+    "q137_tpch_q9" -> q137Sql,
+    "q138_tpch_q10" -> q138Sql,
+    "q139_tpch_q12" -> q139Sql,
+    "q140_tpch_q13" -> q140Sql,
+    "q141_tpch_q14" -> q141Sql,
+    "q142_tpch_q15" -> q142Sql,
+    "q143_tpch_q17" -> q143Sql,
+    "q144_tpch_q18" -> q144Sql,
+    "q145_tpch_q19" -> q145Sql,
+    "q146_tpch_q21" -> q146Sql,
+    "q147_tpch_q22" -> q147Sql)
+}
