@@ -29,7 +29,8 @@ object SparkEntry {
       CorpusStatsQueries.entries ++
       QcQueries.entries ++
       FeatureQueries.entries ++
-      WarehouseQueries.entries
+      WarehouseQueries.entries ++
+      SignalQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       CorpusStatsQueries.oracles ++
       QcQueries.oracles ++
       FeatureQueries.oracles ++
-      WarehouseQueries.oracles
+      WarehouseQueries.oracles ++
+      SignalQueries.oracles
 }

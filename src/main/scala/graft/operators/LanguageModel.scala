@@ -109,6 +109,50 @@ object LanguageModel {
     * `broadcastModel=false` to sort-merge both joins (identical
     * rows); AQE still converts a genuinely small `cab` to a broadcast
     * at runtime. */
+  /** Per-document (n_bigrams, nll) under an interpolated Kneser–Ney
+    * bigram model trained on these very docs (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form with a fixed discount D):
+    *
+    *   P(b|a) = max(c(a,b) − D, 0)/c(a,·)
+    *          + (D · N1+(a·)/c(a,·)) · (N1+(·b)/NT)
+    *
+    * where N1+(a·) = distinct continuations of history a, N1+(·b) =
+    * distinct histories preceding b (the CONTINUATION count that makes
+    * KN beat add-α: a word seen often but only after one history gets
+    * low novel-context mass), NT = distinct bigram types. Self-scoring
+    * keeps every scored bigram in the model (c(a,b) ≥ 1, c(a,·) ≥ 1),
+    * so the formula needs no unseen-event backoff here.
+    *
+    * Scale shape = [[scoreDocs]]: the bigram explode feeds both the
+    * counting aggregations and the scoring join (cached — one corpus
+    * scan); history/continuation tables are vocabulary-sized a-/b-keyed
+    * joins (broadcast by default, `broadcastModel=false` sort-merges at
+    * web-corpus vocabulary); NT is a one-row frame. */
+  def scoreDocsKneserNey(docs: DataFrame, discount: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastModel: Boolean = true): DataFrame = {
+    val bg = docBigrams(docs, idCol, textCol).cache()
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val ha = cab.groupBy(col("a"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val hb = cab.groupBy(col("b")).agg(count(lit(1)).as("n1b"))
+    val nt = cab.agg(count(lit(1)).as("nt"))
+    val haJ = if (broadcastModel) broadcast(ha) else ha
+    val hbJ = if (broadcastModel) broadcast(hb) else hb
+    val p: Column =
+      greatest(col("cab") - lit(discount), lit(0.0)) / col("ca") +
+        lit(discount) * col("n1a") / col("ca") *
+          (col("n1b").cast("double") / col("nt").cast("double"))
+    bg
+      .join(cab, Seq("a", "b"))
+      .join(haJ, Seq("a"))
+      .join(hbJ, Seq("b"))
+      .crossJoin(broadcast(nt))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        Num.r4(-sum(log(p)) / count(lit(1))).as("nll"))
+  }
+
   def scoreAgainst(docs: DataFrame, cab: DataFrame, ca: DataFrame,
       vocab: DataFrame, alpha: Double = 1.0, idCol: String = "doc_id",
       textCol: String = "text", broadcastModel: Boolean = true): DataFrame = {

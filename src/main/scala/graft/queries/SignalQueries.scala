@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{LanguageModel, Num, Winnowing}
+import graft.functions.{TextFunctions => TF}
+
+/** Document-signal tier (round 10): substring-level fingerprinting and
+  * the stronger LM quality signal.
+  *
+  * q148 — winnowing fingerprints (Schleimer et al. 2003 / MOSS) and the
+  * cross-document near-dup pairs they induce: the CONTIGUOUS-run
+  * complement to MinHash's bag-of-shingles similarity (q25) and the
+  * corpus-wide, cheap form of q71's exact duplicated-span scan.
+  *
+  * q149 — interpolated Kneser–Ney perplexity per document: the
+  * continuation-count smoothing that separates formulaic from natural
+  * text better than the add-α model (q83), published in Kneser & Ney
+  * 1995 / Chen & Goodman 1998.
+  */
+object SignalQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+
+  // Winnowing parameters: k tokens per gram, w grams per window;
+  // fingerprint hashes shared by more than MaxDf documents are dropped
+  // (boilerplate guard — the LSH maxBucket discipline: a hash in half
+  // the corpus would otherwise induce a quadratic bucket), and pairs
+  // need at least MinShared surviving shared hashes.
+  private val K = 3
+  private val W = 4
+  private val MaxDf = 50
+  private val MinShared = 2
+
+  /** q148: winnowed near-dup pairs — per-doc fingerprint sets (one
+    * doc-partitioned window pass, no self-join), df-guarded hash
+    * buckets, then a bucketed equi self-join counting shared
+    * fingerprints per pair. */
+  def q148WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    // The fingerprint set feeds FOUR consumers (df guard, both sides
+    // of the pair join, per-doc sizes) — cache it so the tokenize →
+    // gram-hash → window-min pipeline runs once, not per consumer.
+    val fp = Winnowing.fingerprints(docs(spark, dir), K, W)
+      .select(col("doc_id"), col("fp_hash")).distinct().cache()
+    val kept = fp.join(
+      fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf),
+      Seq("fp_hash")).cache()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("fp_hash"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("fp_hash"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinShared)
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        Num.r4(col("shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")).cast("double")).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin: the expanded-window row_number formulation (rank the
+    * w grams of each window by (hash asc, pos desc), keep rank 1) —
+    * mechanically different from the Spark window-min plan, so the
+    * oracle equality also proves the two winnowing formulations agree. */
+  val q148Sql: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${TF.sqlShingles("text", K)} AS sh FROM documents),
+       |g AS (
+       |  SELECT doc_id, len(sh) AS n_grams, j - 1 AS p,
+       |    ${TF.sqlHash60("sh[j]")} AS h
+       |  FROM (SELECT doc_id, sh, unnest(range(1, len(sh) + 1)) AS j
+       |        FROM sh WHERE len(sh) >= 1)),
+       |sel AS (
+       |  SELECT doc_id, h, p FROM (
+       |    SELECT w.doc_id, w.s, g2.h, g2.p,
+       |      row_number() OVER (PARTITION BY w.doc_id, w.s
+       |                         ORDER BY g2.h, g2.p DESC) AS rn
+       |    FROM (SELECT doc_id, p AS s FROM g
+       |          WHERE p <= greatest(n_grams - $W, 0)) w
+       |    JOIN g g2 ON g2.doc_id = w.doc_id
+       |            AND g2.p BETWEEN w.s AND w.s + ${W - 1})
+       |  WHERE rn = 1),
+       |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+       |kept AS (
+       |  SELECT fp.doc_id, fp.h FROM fp
+       |  JOIN (SELECT h, count(*) AS df FROM fp GROUP BY h
+       |        HAVING count(*) <= $MaxDf) d ON fp.h = d.h),
+       |sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(count(*) AS BIGINT) AS shared
+       |  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY doc_a, doc_b
+       |  HAVING count(*) >= $MinShared)
+       |SELECT doc_a, doc_b, shared,
+       |  ${Num.sqlR4("shared::DOUBLE / least(sa.n_fp, sb.n_fp)::DOUBLE")} AS overlap
+       |FROM pairs
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val KnDiscount = 0.75
+
+  /** q149: interpolated Kneser–Ney per-document nll (self-scored, so
+    * no unseen-event branch — see [[LanguageModel.scoreDocsKneserNey]]). */
+  def q149KnScore(spark: SparkSession, dir: String): DataFrame =
+    LanguageModel.scoreDocsKneserNey(docs(spark, dir), KnDiscount)
+      .orderBy(col("doc_id"))
+
+  val q149Sql: String =
+    s"""WITH tk AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, ${TF.sqlTokens("text")} AS ts FROM documents)
+       |  WHERE len(ts) >= 2),
+       |bg AS (
+       |  SELECT doc_id, ts[j] AS a, ts[j + 1] AS b
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS j FROM tk)),
+       |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+       |ha AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca, count(*) AS n1a
+       |       FROM cab GROUP BY a),
+       |hb AS (SELECT b, count(*) AS n1b FROM cab GROUP BY b),
+       |nt AS (SELECT count(*) AS nt FROM cab),
+       |s AS (
+       |  SELECT bg.doc_id,
+       |    ln(greatest(cab.cab::DOUBLE - $KnDiscount, 0.0) / ha.ca::DOUBLE
+       |       + $KnDiscount * ha.n1a::DOUBLE / ha.ca::DOUBLE
+       |         * (hb.n1b::DOUBLE / nt.nt::DOUBLE)) AS lp
+       |  FROM bg
+       |  JOIN cab ON bg.a = cab.a AND bg.b = cab.b
+       |  JOIN ha ON bg.a = ha.a
+       |  JOIN hb ON bg.b = hb.b
+       |  CROSS JOIN nt)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  ${Num.sqlR4("-sum(lp) / count(*)")} AS nll
+       |FROM s GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_winnow_pairs" -> (q148WinnowPairs _),
+    "q149_kn_score" -> (q149KnScore _))
+
+  def oracles: Map[String, String] = Map(
+    "q148_winnow_pairs" -> q148Sql,
+    "q149_kn_score" -> q149Sql)
+}

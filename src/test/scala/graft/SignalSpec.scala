@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LanguageModel, Winnowing}
+
+/** Specs for the document-signal tier: winnowing fingerprints vs a
+  * plain-Scala reference (the oracle proves Spark≡DuckDB; this proves
+  * both match the PAPER's algorithm), the published substring-match
+  * guarantee, and a hand-computed Kneser–Ney case. */
+class SignalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 3
+  private val W = 4
+
+  /** JVM twin of TextFunctions.hash60 (md5 hex prefix, 15 chars). */
+  private def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** Reference winnowing (Schleimer et al. 2003, Fig. 5 semantics):
+    * per window of w gram hashes keep the rightmost minimum. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[(Long, Int)] = {
+    val toks = text.split("\\s+").filter(_.nonEmpty).toVector
+    if (toks.size < k) Set.empty
+    else {
+      val hs = toks.sliding(k).map(g => hash60(g.mkString(" "))).toVector
+      (0 to math.max(hs.size - w, 0)).map { s =>
+        (s until math.min(s + w, hs.size))
+          .map(p => (hs(p), p))
+          .minBy { case (h, p) => (h, -p) }
+      }.toSet
+    }
+  }
+
+  private def sparkFps(docs: Seq[(Long, String)]): Map[Long, Set[(Long, Int)]] =
+    Winnowing.fingerprints(docs.toDF("doc_id", "text"), K, W)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getInt(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("winnowing matches the plain-Scala reference on random docs") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g")
+    val docs = (1L to 40L).map { id =>
+      val n = 1 + rnd.nextInt(30)
+      (id, Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = sparkFps(docs)
+    docs.foreach { case (id, text) =>
+      val want = winnowRef(text, K, W)
+      assert(got.getOrElse(id, Set.empty) == want, s"doc $id: '$text'")
+    }
+  }
+
+  test("shared substring of >= w+k-1 tokens yields a shared fingerprint") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("p", "q", "r", "s", "t", "u", "v", "w2", "x", "y")
+    def rand(n: Int) = Vector.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // the guarantee needs a run of w+k-1 = 6 tokens present in both
+    val shared = rand(W + K - 1)
+    val docs = Seq(
+      (1L, s"${rand(9)} $shared ${rand(5)}"),
+      (2L, s"${rand(3)} $shared ${rand(11)}"))
+    val got = sparkFps(docs)
+    val common = got(1L).map(_._1) intersect got(2L).map(_._1)
+    assert(common.nonEmpty, s"shared='$shared' docs=$docs")
+  }
+
+  test("fingerprint density is near the published 2/(w+1) expectation") {
+    val rnd = new scala.util.Random(11)
+    // large vocabulary => effectively random hashes, the paper's model
+    val text = Vector.fill(4000)(s"t${rnd.nextInt(100000)}").mkString(" ")
+    val fps = sparkFps(Seq((1L, text)))(1L)
+    val nGrams = 4000 - K + 1
+    val density = fps.size.toDouble / nGrams
+    assert(density > 1.2 / (W + 1) && density < 2.8 / (W + 1), s"density=$density")
+  }
+
+  test("Kneser-Ney nll matches the hand-computed two-doc case") {
+    // doc1 "a b a b": bigrams (a,b)x2 (b,a); doc2 "b c": (b,c)
+    // cab: (a,b)=2 (b,a)=1 (b,c)=1; ca: a=2 b=2; n1a: a=1 b=2
+    // n1b: a=1 b=1 c=1; NT=3; D=0.75
+    // P(b|a) = 1.25/2 + .75*1/2*(1/3)        = 0.75
+    // P(a|b) = 0.25/2 + .75*2/2*(1/3)        = 0.375
+    // P(c|b) = 0.375
+    val docs = Seq((1L, "a b a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = LanguageModel.scoreDocsKneserNey(docs, 0.75)
+      .orderBy("doc_id").collect()
+    val nll1 = -(math.log(0.75) * 2 + math.log(0.375)) / 3.0
+    val nll2 = -math.log(0.375)
+    assert(got(0).getLong(1) == 3 && got(1).getLong(1) == 1)
+    assert(math.abs(got(0).getDouble(2) - nll1) < 1e-4)
+    assert(math.abs(got(1).getDouble(2) - nll2) < 1e-4)
+  }
+
+  test("Kneser-Ney model probabilities sum to 1 over seen continuations' mass") {
+    // For any history a, sum_b P(b|a) over ALL b in the continuation
+    // vocabulary = sum_b [max(c(a,b)-D,0)/ca] + (D*n1a/ca) * sum_b Pcont(b)
+    // = (ca - D*n1a)/ca + (D*n1a/ca) * 1 = 1 — verify numerically on a
+    // small corpus by materializing the model tables the operator builds.
+    val docs = Seq((1L, "x y x z x y z y"), (2L, "y x z z")).toDF("doc_id", "text")
+    val bg = LanguageModel.docBigrams(docs)
+    val cab = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("cab"))
+    val pairs = cab.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val ca = pairs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1a = pairs.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val n1b = pairs.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val nt = pairs.size.toDouble
+    val d = 0.75
+    val vocabB = pairs.keySet.map(_._2)
+    ca.keys.foreach { a =>
+      val total = vocabB.toSeq.map { b =>
+        val c = pairs.getOrElse((a, b), 0L).toDouble
+        math.max(c - d, 0.0) / ca(a) + d * n1a(a) / ca(a) * (n1b(b) / nt)
+      }.sum
+      assert(math.abs(total - 1.0) < 1e-9, s"history $a sums to $total")
+    }
+  }
+}
