@@ -140,11 +140,95 @@ object SignalQueries {
        |FROM s GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // BM25 parameters (Robertson & Zaragoza 2009; Lucene's +1 idf form so
+  // idf stays positive when df > N/2). Queries are derived
+  // deterministically from the corpus: the NQueries lowest doc_ids,
+  // first QueryLen tokens each.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val TopK = 5
+  private val NQueries = 10
+  private val QueryLen = 4
+
+  /** q150: BM25 retrieval top-k — the inverted-index relevance scan.
+    *
+    * Scale shape: postings (doc, term, tf, dl) shard on the TERM key —
+    * the scoring join touches only the posting lists of query terms
+    * (the query set broadcasts; at web scale a semi-join prune on term
+    * precedes it); document-frequency and corpus stats are tiny
+    * term-keyed / one-row frames; per-query top-k is a row_number
+    * window partitioned by query_id — no global sort, no corpus×query
+    * cartesian. */
+  def q150Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(docs(spark, dir))
+
+  /** BM25 over any (doc_id, text) frame — see [[q150Bm25]] for the
+    * query-derivation and scale notes. */
+  def bm25TopK(d0: DataFrame): DataFrame = {
+    val d = d0
+      .select(col("doc_id"), TF.tokens(col("text")).as("ts")).cache()
+    val postings = d
+      .select(col("doc_id"), size(col("ts")).as("dl"), explode(col("ts")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")).cache()
+    val stats = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val corpus = d.agg(count(lit(1)).as("n"), avg(size(col("ts"))).as("avgdl"))
+    val q = d.orderBy(col("doc_id")).limit(NQueries)
+      .select(col("doc_id").as("query_id"), explode(slice(col("ts"), 1, QueryLen)).as("term"))
+      .distinct()
+    val contrib =
+      log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * lit(Bm25K1 + 1)) /
+        (col("tf") + lit(Bm25K1) * (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))
+    val scored = postings
+      .join(broadcast(q), Seq("term"))
+      .join(stats, Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(Num.r(sum(contrib), 6).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q150Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, ${TF.sqlTokens("text")} AS ts FROM documents),
+       |p AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf FROM (
+       |    SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM d)
+       |  GROUP BY doc_id, dl, term),
+       |st AS (SELECT term, count(*) AS df FROM p GROUP BY term),
+       |c AS (SELECT count(*) AS n, avg(len(ts)) AS avgdl FROM d),
+       |q AS (
+       |  SELECT DISTINCT query_id, term FROM (
+       |    SELECT doc_id AS query_id, unnest(ts[1:$QueryLen]) AS term
+       |    FROM (SELECT doc_id, ts FROM d ORDER BY doc_id LIMIT $NQueries))),
+       |s AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    ${Num.sqlR(s"sum(ln(1.0 + (c.n - st.df + 0.5) / (st.df + 0.5)) * (p.tf * ${Bm25K1 + 1}) / (p.tf + $Bm25K1 * (${1 - Bm25B} + $Bm25B * p.dl / c.avgdl)))", 6)} AS score
+       |  FROM p
+       |  JOIN q ON p.term = q.term
+       |  JOIN st ON p.term = st.term
+       |  CROSS JOIN c
+       |  GROUP BY q.query_id, p.doc_id)
+       |SELECT query_id, doc_id, rank, score FROM (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS INT) AS rank FROM s)
+       |WHERE rank <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_winnow_pairs" -> (q148WinnowPairs _),
-    "q149_kn_score" -> (q149KnScore _))
+    "q149_kn_score" -> (q149KnScore _),
+    "q150_bm25" -> (q150Bm25 _))
 
   def oracles: Map[String, String] = Map(
     "q148_winnow_pairs" -> q148Sql,
-    "q149_kn_score" -> q149Sql)
+    "q149_kn_score" -> q149Sql,
+    "q150_bm25" -> q150Sql)
 }

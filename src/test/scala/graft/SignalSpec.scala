@@ -80,6 +80,38 @@ class SignalSpec extends SparkSpec {
     assert(density > 1.2 / (W + 1) && density < 2.8 / (W + 1), s"density=$density")
   }
 
+  test("BM25 output is a well-formed per-query ranking (sf0.001)") {
+    val rows = graft.queries.SignalQueries
+      .q150Bm25(spark, "/root/testdata/sf0.001").collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getInt(2))
+      // ranks are 1..n, scores non-increasing, positive
+      assert(ranked.map(_.getInt(2)).toSeq == (1 to ranked.length))
+      val scores = ranked.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse)
+      assert(scores.forall(_ > 0.0))
+    }
+  }
+
+  test("BM25 favors the rare term over the common one (constructed corpus)") {
+    // 'rare' appears in 2 of 4 docs, 'common' in all 4. Query 1 =
+    // doc 1's first 4 tokens (common rare filler1 filler2): doc 1
+    // matches every term → rank 1; doc 4 (common rare) shares the
+    // high-idf 'rare' → must outrank docs 2/3 (low-idf 'common' only).
+    val corpus = Seq(
+      (1L, "common rare filler1 filler2"),
+      (2L, "common filler3 filler4 filler5"),
+      (3L, "common filler6 filler7 filler8"),
+      (4L, "common rare")).toDF("doc_id", "text")
+    val r = graft.queries.SignalQueries.bm25TopK(corpus).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(row => row.getLong(1) -> row.getInt(2)).toMap
+    assert(r(1L) == 1, s"self-retrieval: $r")
+    assert(r(4L) < r(2L) && r(4L) < r(3L), s"idf ordering: $r")
+  }
+
   test("Kneser-Ney nll matches the hand-computed two-doc case") {
     // doc1 "a b a b": bigrams (a,b)x2 (b,a); doc2 "b c": (b,c)
     // cab: (a,b)=2 (b,a)=1 (b,c)=1; ca: a=2 b=2; n1a: a=1 b=2
