@@ -57,4 +57,45 @@ object Winnowing {
         (-col("m.np")).as("fp_pos"))
       .distinct()
   }
+
+  /** Corpus fingerprint INDEX for incremental probing: distinct
+    * (doc_id, fp_hash) with hashes in more than `maxDf` corpus docs
+    * dropped (boilerplate guard — bounds every probe bucket). Build
+    * once, persist alongside the corpus, probe every ingest batch. */
+  def index(corpus: DataFrame, k: Int = 3, w: Int = 4, maxDf: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = fingerprints(corpus, k, w, idCol, textCol)
+      .select(col(idCol).as("corpus_doc"), col("fp_hash")).distinct()
+    fp.join(
+      fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      Seq("fp_hash"))
+      .select(col("corpus_doc"), col("fp_hash"))
+  }
+
+  /** Probe a batch of documents against a prebuilt corpus [[index]]:
+    * per (batch doc, corpus doc) pair sharing at least `minShared`
+    * surviving fingerprints, the shared count and the overlap fraction
+    * of the BATCH doc's fingerprint set (containment direction — "how
+    * much of the new doc is already in the corpus").
+    *
+    * Scale shape: the batch fingerprints once (window pass over the
+    * batch only), then ONE hash-keyed equi join against the index —
+    * never batch×batch or corpus×corpus; bucket width is bounded by
+    * the index's df guard. */
+  def probeAgainst(batch: DataFrame, corpusIndex: DataFrame,
+      k: Int = 3, w: Int = 4, minShared: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bfp = fingerprints(batch, k, w, idCol, textCol)
+      .select(col("doc_id"), col("fp_hash")).distinct().cache()
+    val sizes = bfp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    bfp.join(corpusIndex, Seq("fp_hash"))
+      .groupBy(col("doc_id"), col("corpus_doc"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .join(broadcast(sizes), Seq("doc_id"))
+      .select(col("doc_id"), col("corpus_doc"), col("shared"),
+        graft.operators.Num.r4(
+          col("shared").cast("double") / col("n_fp").cast("double")).as("overlap"))
+  }
 }
