@@ -413,6 +413,97 @@ object LakehouseQueries {
        |FROM s GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q151: duplicated-span REMOVAL — the "apply" step of q71
+  // (Lee et al. 2022 remove the duplicated substrings, not the
+  // documents): every token covered by a cross-document duplicated
+  // L-gram island is cut, the survivors re-join into the cleaned
+  // text. Same dup-gram detection pipeline as q71 (localCheckpoint
+  // against branch re-execution); coverage expansion is an explode of
+  // per-span position ranges (bounded by span length), the cut is a
+  // (doc, pos)-keyed anti join, and reassembly is the q92
+  // ordered-collect convention — all doc-keyed shuffles. ----
+
+  def q151DedupApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, dir)
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks")).cache()
+    val tok = base
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val t = base
+      .select(col("doc_id"),
+        posexplode(TF.shinglesFromTokens(col("toks"), SpanL)).as(Seq("pos", "g")))
+      .localCheckpoint()
+    val dup = t.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"))
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = t.join(dup, Seq("g"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("p0"), max(col("pos")).as("p1"))
+    val covered = spans
+      .select(col("doc_id"),
+        explode(sequence(col("p0"), col("p1") + lit(SpanL - 1))).as("pos"))
+      .distinct()
+    val keptAgg = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok"))).as("clean_text"))
+    tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(keptAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q151Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, ${TF.sqlTokens("text")} AS ts FROM documents),
+       |tok AS (
+       |  SELECT doc_id, j AS pos, ts[j + 1] AS tok
+       |  FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS j FROM b)),
+       |t AS (
+       |  SELECT doc_id, j AS pos, gs[j + 1] AS g
+       |  FROM (SELECT doc_id, gs, unnest(range(0, len(gs))) AS j
+       |        FROM (SELECT doc_id, ${TF.sqlShingles("text", SpanL)} AS gs
+       |              FROM documents))),
+       |dup AS (
+       |  SELECT g FROM (
+       |    SELECT g, count(DISTINCT doc_id) AS df FROM t GROUP BY g)
+       |  WHERE df >= 2),
+       |d AS (SELECT doc_id, pos FROM t WHERE g IN (SELECT g FROM dup)),
+       |i AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+       |  FROM d),
+       |s AS (
+       |  SELECT doc_id, isl, min(pos) AS p0, max(pos) AS p1
+       |  FROM i GROUP BY doc_id, isl),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(range(p0, p1 + $SpanL)) AS pos FROM s),
+       |kept AS (
+       |  SELECT tok.doc_id, tok.pos, tok.tok FROM tok
+       |  WHERE NOT EXISTS (SELECT 1 FROM cov
+       |                    WHERE cov.doc_id = tok.doc_id AND cov.pos = tok.pos)),
+       |ka AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id),
+       |tot AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM tok GROUP BY doc_id)
+       |SELECT tot.doc_id, tot.n_tokens,
+       |  coalesce(ka.n_kept, 0) AS n_kept,
+       |  tot.n_tokens - coalesce(ka.n_kept, 0) AS n_removed,
+       |  coalesce(ka.clean_text, '') AS clean_text
+       |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   // ---- q72: bottom-k uniform sampling — the EXACT-size counterpart
   // of the hash-threshold samplers (q39 expected-size, q51 stratified):
   // per group, the k items with the smallest independent content hash
@@ -840,6 +931,7 @@ object LakehouseQueries {
     "q69_profile" -> (q69Profile _),
     "q70_cohort" -> (q70Cohort _),
     "q71_dup_spans" -> (q71DupSpans _),
+    "q151_dedup_apply" -> (q151DedupApply _),
     "q72_bottomk_sample" -> (q72BottomkSample _),
     "q73_histogram" -> (q73Histogram _),
     "q74_iqr_outliers" -> (q74IqrOutliers _),
@@ -860,6 +952,7 @@ object LakehouseQueries {
     "q69_profile" -> q69Sql,
     "q70_cohort" -> q70Sql,
     "q71_dup_spans" -> q71Sql,
+    "q151_dedup_apply" -> q151Sql,
     "q72_bottomk_sample" -> q72Sql,
     "q73_histogram" -> q73Sql,
     "q74_iqr_outliers" -> q74Sql,

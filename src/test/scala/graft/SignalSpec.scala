@@ -112,6 +112,30 @@ class SignalSpec extends SparkSpec {
     assert(r(4L) < r(2L) && r(4L) < r(3L), s"idf ordering: $r")
   }
 
+  test("duplicated-span removal cuts exactly the shared run (constructed corpus)") {
+    // q151 semantics on a corpus we can reason about: docs 1 and 2
+    // share a verbatim 10-token run (>= SpanL=8, so it forms a
+    // duplicated island in both); doc 3 has no cross-doc duplication;
+    // doc 4 IS the shared run alone (fully removed).
+    val shared = (1 to 10).map(i => s"dup$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"u1 u2 u3 $shared v1 v2 v3"),
+      (2L, s"w1 w2 $shared x1 x2 x3 x4"),
+      (3L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"),
+      (4L, shared))
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-apply")
+    corpus.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = graft.queries.LakehouseQueries
+      .q151DedupApply(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    assert(got(1L) == (16L, 6L, 10L, "u1 u2 u3 v1 v2 v3"))
+    assert(got(2L) == (16L, 6L, 10L, "w1 w2 x1 x2 x3 x4"))
+    assert(got(3L) == (10L, 10L, 0L, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"))
+    assert(got(4L) == (10L, 0L, 10L, ""))
+  }
+
   test("Kneser-Ney nll matches the hand-computed two-doc case") {
     // doc1 "a b a b": bigrams (a,b)x2 (b,a); doc2 "b c": (b,c)
     // cab: (a,b)=2 (b,a)=1 (b,c)=1; ca: a=2 b=2; n1a: a=1 b=2
