@@ -222,13 +222,75 @@ object SignalQueries {
        |WHERE rank <= $TopK
        |ORDER BY query_id, rank""".stripMargin
 
+  // Unigram-LM tokenizer EM parameters (operators.UnigramLm).
+  private val UniMaxPiece = 6
+  private val UniMaxWord = 16
+  private val UniTopK = 50
+
+  /** q152: one hard-EM round of the SentencePiece unigram tokenizer —
+    * seed inventory → per-word Viterbi segmentation (HOF dynamic
+    * program, vocabulary-bounded) → re-estimated piece table. The
+    * DuckDB twin ENUMERATES every segmentation with a recursive CTE
+    * and takes the (cost, path) minimum, so the oracle equality also
+    * proves the DP against brute force. */
+  def q152UnigramEm(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.UnigramLm.emRound(docs(spark, dir),
+      maxPiece = UniMaxPiece, maxWordLen = UniMaxWord, topK = UniTopK)
+
+  val q152Sql: String =
+    s"""WITH RECURSIVE w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS f, len(word) AS n FROM (
+       |    SELECT unnest(${TF.sqlTokens("text")}) AS word FROM documents) t
+       |  GROUP BY word
+       |  HAVING len(word) <= $UniMaxWord),
+       |ii AS (SELECT word, f, n, unnest(range(0, n)) AS i FROM w),
+       |cand AS (
+       |  SELECT word, f, n, i, substr(word, i + 1, l) AS piece, l FROM (
+       |    SELECT word, f, n, i,
+       |      unnest(range(1, least($UniMaxPiece, n - i) + 1)) AS l
+       |    FROM ii) t),
+       |seed AS (SELECT piece, CAST(sum(f) AS BIGINT) AS scnt
+       |         FROM cand GROUP BY piece),
+       |stot AS (SELECT CAST(sum(scnt) AS BIGINT) AS st FROM seed),
+       |lp AS (SELECT piece, ln(scnt / st) AS lp
+       |       FROM seed CROSS JOIN stot),
+       |seg(word, pos, cost, path) AS (
+       |  SELECT word, 0, 0.0::DOUBLE, '' FROM w
+       |  UNION ALL
+       |  SELECT s.word, s.pos + c.l, s.cost + lp.lp, s.path || '|' || c.piece
+       |  FROM seg s
+       |  JOIN cand c ON c.word = s.word AND c.i = s.pos
+       |  JOIN lp ON lp.piece = c.piece),
+       |best AS (
+       |  SELECT word, path FROM (
+       |    SELECT s.word, s.path,
+       |      row_number() OVER (PARTITION BY s.word
+       |                         ORDER BY s.cost, s.path) AS rn
+       |    FROM seg s JOIN w ON w.word = s.word AND s.pos = w.n) t
+       |  WHERE rn = 1),
+       |used AS (
+       |  SELECT piece, CAST(sum(f) AS BIGINT) AS cnt FROM (
+       |    SELECT w.f,
+       |      unnest(list_filter(string_split(b.path, '|'), t -> t <> '')) AS piece
+       |    FROM best b JOIN w ON w.word = b.word) t
+       |  GROUP BY piece),
+       |mt AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM used)
+       |SELECT rank, piece, cnt, prob FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank,
+       |    piece, cnt, ${Num.sqlR("cnt::DOUBLE / t::DOUBLE", 8)} AS prob
+       |  FROM used CROSS JOIN mt) r
+       |WHERE rank <= $UniTopK
+       |ORDER BY rank""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_winnow_pairs" -> (q148WinnowPairs _),
     "q149_kn_score" -> (q149KnScore _),
-    "q150_bm25" -> (q150Bm25 _))
+    "q150_bm25" -> (q150Bm25 _),
+    "q152_unigram_em" -> (q152UnigramEm _))
 
   def oracles: Map[String, String] = Map(
     "q148_winnow_pairs" -> q148Sql,
     "q149_kn_score" -> q149Sql,
-    "q150_bm25" -> q150Sql)
+    "q150_bm25" -> q150Sql,
+    "q152_unigram_em" -> q152Sql)
 }

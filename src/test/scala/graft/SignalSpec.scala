@@ -112,6 +112,57 @@ class SignalSpec extends SparkSpec {
     assert(r(4L) < r(2L) && r(4L) < r(3L), s"idf ordering: $r")
   }
 
+  test("unigram-EM round matches a plain-Scala reference (adversarial small alphabet)") {
+    // two-letter alphabet => heavy substring sharing and genuine
+    // (cost, path) tie-breaks in the Viterbi argmin
+    val rnd = new scala.util.Random(13)
+    val texts = (1 to 60).map { _ =>
+      (1 to (1 + rnd.nextInt(6)))
+        .map(_ => Vector.fill(1 + rnd.nextInt(8))("ab" (rnd.nextInt(2))).mkString)
+        .mkString(" ")
+    }
+    val L = 4
+    // ---- reference: seed -> enumerate segmentations -> best -> counts
+    val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val seed = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      for (i <- 0 until w.length; l <- 1 to math.min(L, w.length - i))
+        seed.updateWith(w.substring(i, i + l))(c => Some(c.getOrElse(0L) + f))
+    }
+    val st = seed.values.sum
+    val lp = seed.map { case (p, c) => p -> math.log(c.toDouble / st.toDouble) }.toMap
+    def segs(w: String, pos: Int): Seq[(Double, String)] =
+      if (pos == w.length) Seq((0.0, ""))
+      else for {
+        l <- 1 to math.min(L, w.length - pos)
+        piece = w.substring(pos, pos + l)
+        (c, p) <- segs(w, pos + l)
+      } yield (lp(piece) + c, "|" + piece + p)
+    // cost must accumulate in PIECE order (left to right) like both
+    // engines: recompute it forward from the path
+    def forwardCost(path: String): Double =
+      path.split("\\|").filter(_.nonEmpty).foldLeft(0.0)((acc, p) => acc + lp(p))
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      val best = segs(w, 0).map { case (_, p) => (forwardCost(p), p) }
+        .minBy(identity)
+      best._2.split("\\|").filter(_.nonEmpty)
+        .foreach(p => counts.updateWith(p)(c => Some(c.getOrElse(0L) + f)))
+    }
+    val mt = counts.values.sum
+    val want = counts.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+      .zipWithIndex
+      .map { case ((p, c), i) =>
+        (i + 1, p, c, graft.operators.Num.j(c.toDouble / mt.toDouble, 8)) }
+      .toSet
+    // ---- operator on the same corpus
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = graft.operators.UnigramLm.emRound(df, maxPiece = L, topK = 50)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want, s"got=${got.toSeq.sortBy(_._1).take(5)} want=${want.toSeq.sortBy(_._1).take(5)}")
+  }
+
   test("duplicated-span removal cuts exactly the shared run (constructed corpus)") {
     // q151 semantics on a corpus we can reason about: docs 1 and 2
     // share a verbatim 10-token run (>= SpanL=8, so it forms a
