@@ -373,6 +373,43 @@ object EventAnalyticsQueries {
        |FROM m
        |ORDER BY user_id, purchase_ts""".stripMargin
 
+  /** q154: two-level mergeable-sketch rollup — the 100 TB distinct-
+    * count pattern. Level 1 builds one DataSketches HLL sketch of
+    * user_id per (event_type, day) cell (`hll_sketch_agg`, the
+    * store-this-in-your-metrics-lake granularity); level 2 UNIONS the
+    * daily sketches per event_type (`hll_union_agg`) — the
+    * re-aggregation exact distincts cannot do (per-day exact counts
+    * don't add). Correctness gate follows the q19 graduation pattern:
+    * the exact twin is hash-checked and the sketch estimate is
+    * asserted within its published error (lgK=14 ⇒ rse ≈ 1.04/√2¹⁴ ≈
+    * 0.8%; bound 5% ≈ 6σ) via `within_bound` — a register-merge
+    * regression flips the bit at any SF. */
+  def q154SketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val daily = ev
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("day_cells"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, "event_type")
+      .select(col("event_type"), col("day_cells"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_bound"))
+      .orderBy(col("event_type"))
+  }
+
+  val q154Sql: String =
+    """SELECT event_type,
+      |  count(DISTINCT CAST(ts AS DATE)) AS day_cells,
+      |  count(DISTINCT user_id) AS exact_users,
+      |  TRUE AS within_bound
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_funnel" -> (q12Funnel _),
     "q13_gmv" -> (q13Gmv _),
@@ -383,7 +420,8 @@ object EventAnalyticsQueries {
     "q18_tumbling" -> (q18Tumbling _),
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q32_asof" -> (q32AsOf _),
-    "q32b_asof_native" -> (q32bAsOfNative _))
+    "q32b_asof_native" -> (q32bAsOfNative _),
+    "q154_sketch_rollup" -> (q154SketchRollup _))
 
   def oracles: Map[String, String] = Map(
     "q12_funnel" -> q12Sql,
@@ -395,5 +433,6 @@ object EventAnalyticsQueries {
     "q18_tumbling" -> q18Sql,
     "q19_approx_distinct" -> q19Sql,
     "q32_asof" -> q32Sql,
-    "q32b_asof_native" -> q32bSql)
+    "q32b_asof_native" -> q32bSql,
+    "q154_sketch_rollup" -> q154Sql)
 }

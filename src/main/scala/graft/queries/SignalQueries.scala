@@ -282,15 +282,41 @@ object SignalQueries {
        |WHERE rank <= $UniTopK
        |ORDER BY rank""".stripMargin
 
+  // ---- q153: edit-distance similarity self-join over part names —
+  // the fuzzy-match/entity-resolution operator. Spark side routes
+  // through the positional q-gram count filter (never all-pairs,
+  // operators.EditDistanceJoin); the oracle is the brute-force
+  // definitional form (length-filtered cross join + levenshtein),
+  // so the hash match IS the completeness proof of the pruning. ----
+
+  private val EditK = 2
+
+  def q153EditJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.EditDistanceJoin.selfJoin(
+      Tables.load(spark, dir, "part"), "p_name", maxDist = EditK)
+      .select(col("s_a").as("name_a"), col("s_b").as("name_b"), col("dist"))
+      .orderBy(col("name_a"), col("name_b"))
+
+  val q153Sql: String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS s FROM part WHERE p_name IS NOT NULL)
+       |SELECT a.s AS name_a, b.s AS name_b,
+       |  CAST(levenshtein(a.s, b.s) AS INT) AS dist
+       |FROM n a JOIN n b
+       |  ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= $EditK
+       |WHERE levenshtein(a.s, b.s) <= $EditK
+       |ORDER BY name_a, name_b""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_winnow_pairs" -> (q148WinnowPairs _),
     "q149_kn_score" -> (q149KnScore _),
     "q150_bm25" -> (q150Bm25 _),
-    "q152_unigram_em" -> (q152UnigramEm _))
+    "q152_unigram_em" -> (q152UnigramEm _),
+    "q153_edit_join" -> (q153EditJoin _))
 
   def oracles: Map[String, String] = Map(
     "q148_winnow_pairs" -> q148Sql,
     "q149_kn_score" -> q149Sql,
     "q150_bm25" -> q150Sql,
-    "q152_unigram_em" -> q152Sql)
+    "q152_unigram_em" -> q152Sql,
+    "q153_edit_join" -> q153Sql)
 }
