@@ -30,7 +30,8 @@ object SparkEntry {
       QcQueries.entries ++
       FeatureQueries.entries ++
       WarehouseQueries.entries ++
-      SignalQueries.entries
+      SignalQueries.entries ++
+      JourneyQueries.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       QcQueries.oracles ++
       FeatureQueries.oracles ++
       WarehouseQueries.oracles ++
-      SignalQueries.oracles
+      SignalQueries.oracles ++
+      JourneyQueries.oracles
 }

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Num
+
+/** User-journey tier: ordered-sequence analytics over the event
+  * stream — the operator class event warehouses bolt on beside plain
+  * windowed aggregation (ClickHouse's windowFunnel/sequenceMatch,
+  * marketing attribution models, clickstream path mining).
+  *
+  * q155 — STRICTLY-ORDERED funnel (windowFunnel semantics): a user
+  * counts for stage N only with an event chain e1 < e2 < … < eN in
+  * time order. The windowed funnel (q12) counts stage totals per
+  * window regardless of order within it; this one is the
+  * did-they-actually-progress measurement.
+  *
+  * q156 — U-shaped (position-based) multi-touch attribution: each
+  * purchase distributes its value over the user's marketing touches
+  * in a 7-day lookback — 40% first touch, 40% last, 20% split over
+  * the middle (n=1 → 100%, n=2 → 50/50).
+  *
+  * q157 — session path mining: 30-minute-gap sessionization, then the
+  * top-20 3-step event-type paths by frequency.
+  *
+  * 100 TB notes: everything here clusters by user_id (or purchase id —
+  * a refinement of it) and events-per-user is bounded by human
+  * behavior, so no window partition or join group degenerates.
+  * q155 runs one equi-join + partial-aggregated min per stage — the
+  * per-stage frames carry one row per surviving user, never raw
+  * events. q156's lookback join is an equi-join on user_id with the
+  * time predicates as join-level filters; the window over p_id
+  * re-clusters to per-purchase groups (≤ touches-per-week each).
+  * q157 computes sessions AND both leads over ONE user-clustered
+  * sort (the session id is carried to the lead rows and compared,
+  * instead of re-partitioning by (user, session) — one Exchange, not
+  * two); the path space is |event_types|³, so the final top-k is a
+  * TakeOrdered over a tiny aggregate.
+  */
+object JourneyQueries {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "events")
+
+  // ---- q155: strictly-ordered funnel view → click → purchase ----
+
+  def q155SeqFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val v = stage("view").groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"), min(col("t1")).as("t1"))
+    v.agg(count(lit(1)).as("users_view"))
+      .crossJoin(c.agg(count(lit(1)).as("users_click_after_view")))
+      .crossJoin(p.agg(count(lit(1)).as("users_purchase_after_click"),
+        Num.r2(avg(unix_timestamp(col("t3")) - unix_timestamp(col("t1"))))
+          .as("avg_convert_sec")))
+  }
+
+  val q155Sql: String =
+    s"""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+       |           WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1
+       |      FROM events e JOIN v USING (user_id)
+       |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+       |p AS (SELECT e.user_id, min(e.ts) AS t3, min(c.t1) AS t1
+       |      FROM events e JOIN c USING (user_id)
+       |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+       |SELECT (SELECT count(*) FROM v) AS users_view,
+       |  (SELECT count(*) FROM c) AS users_click_after_view,
+       |  (SELECT count(*) FROM p) AS users_purchase_after_click,
+       |  (SELECT ${Num.sqlR2("avg(floor(epoch(t3)) - floor(epoch(t1)))")}
+       |   FROM p) AS avg_convert_sec""".stripMargin
+
+  // ---- q156: U-shaped multi-touch attribution, 7-day lookback ----
+
+  def q156Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value"))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("event_type").as("touch_type"), col("ts").as("t_ts"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS"))
+    val byPurchase = Window.partitionBy(col("p_id"))
+    val ranked = joined
+      .withColumn("n", count(lit(1)).over(byPurchase))
+      .withColumn("rnk", row_number().over(
+        byPurchase.orderBy(col("t_ts"), col("t_id"))))
+    val weight = when(col("n") === 1, lit(1.0))
+      .when(col("n") === 2, lit(0.5))
+      .when(col("rnk") === 1 || col("rnk") === col("n"), lit(0.4))
+      .otherwise(lit(0.2) / (col("n") - 2))
+    ranked.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("touches"),
+        countDistinct(col("p_id")).as("purchases_touched"),
+        Num.r2(sum(weight * col("value"))).as("attributed_revenue"))
+      .orderBy(col("touch_type"))
+  }
+
+  val q156Sql: String =
+    s"""WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts, value
+       |           FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id, event_id AS t_id, event_type AS touch_type,
+       |        ts AS t_ts
+       |      FROM events WHERE event_type IN ('view', 'click')),
+       |j AS (SELECT p.p_id, p.value, t.t_id, t.touch_type, t.t_ts
+       |      FROM p JOIN t USING (user_id)
+       |      WHERE t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+       |r AS (SELECT *,
+       |        count(*) OVER (PARTITION BY p_id) AS n,
+       |        row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rnk
+       |      FROM j)
+       |SELECT touch_type, count(*) AS touches,
+       |  count(DISTINCT p_id) AS purchases_touched,
+       |  ${Num.sqlR2(
+            "sum((CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5 " +
+              "WHEN rnk = 1 OR rnk = n THEN 0.4 " +
+              "ELSE 0.2 / (n - 2) END) * value)")} AS attributed_revenue
+       |FROM r GROUP BY touch_type ORDER BY touch_type""".stripMargin
+
+  // ---- q157: top 3-step session paths (30-min-gap sessions) ----
+
+  private val SessionGapUs: Long = 1800L * 1000000L
+  private val PathTopK = 20
+
+  def q157SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // ts is TIMESTAMP_NTZ (unix_micros wants TIMESTAMP); the session
+    // zone is pinned to UTC, so the cast is the identity instant
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gap = us - lag(us, 1).over(byUser)
+    val withSess = ev
+      .withColumn("new_sess",
+        when(gap.isNull || gap > SessionGapUs, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // leads over the SAME user-clustered sort; rows whose 3rd step
+    // crosses a session boundary are dropped by comparing the carried
+    // session id (sess is monotone per user, so s3 = sess ⇒ s2 = sess)
+    withSess
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("s3", lead(col("sess"), 2).over(byUser))
+      .filter(col("s3") === col("sess"))
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+  }
+
+  val q157Sql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, event_type, ts,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+       |      THEN 1 ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |t AS (SELECT *, sum(new_sess) OVER
+       |        (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+       |        AS sess
+       |      FROM s),
+       |p AS (SELECT
+       |        event_type || '>' || lead(event_type, 1) OVER w2 || '>' ||
+       |          lead(event_type, 2) OVER w2 AS path,
+       |        sess, lead(sess, 2) OVER w2 AS s3
+       |      FROM t WINDOW w2 AS (PARTITION BY user_id ORDER BY ts))
+       |SELECT path, count(*) AS n FROM p WHERE s3 = sess
+       |GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin
+
+  def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_seq_funnel" -> (q155SeqFunnel _),
+    "q156_attribution" -> (q156Attribution _),
+    "q157_session_paths" -> (q157SessionPaths _))
+
+  def oracles: Map[String, String] = Map(
+    "q155_seq_funnel" -> q155Sql,
+    "q156_attribution" -> q156Sql,
+    "q157_session_paths" -> q157Sql)
+}
