@@ -25,6 +25,13 @@ import graft.operators.Num
   * q157 — session path mining: 30-minute-gap sessionization, then the
   * top-20 3-step event-type paths by frequency.
   *
+  * q158 — RFM segmentation: global quintile scores per user on
+  * recency/frequency/monetary, ranked via operators.GlobalOrder (no
+  * single-reducer window).
+  *
+  * q160 — session engagement summary (count/length/duration/bounce)
+  * over the same sessionization as q157.
+  *
   * 100 TB notes: everything here clusters by user_id (or purchase id —
   * a refinement of it) and events-per-user is bounded by human
   * behavior, so no window partition or join group degenerates.
@@ -178,13 +185,137 @@ object JourneyQueries {
        |SELECT path, count(*) AS n FROM p WHERE s3 = sess
        |GROUP BY path ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin
 
+  // ---- q158: RFM segmentation (recency / frequency / monetary
+  // quintile scores). Scoring is rank-based over a TOTAL order
+  // (metric, user_id), bucket = ⌊5·(rank−1)/n⌋ + 1 — the all-ties-
+  // broken quintile rule, spelled out identically in both engines
+  // (never SQL ntile, whose remainder distribution is the one part
+  // engines can disagree on). Spark computes the three global ranks
+  // with operators.GlobalOrder (range-partition + per-partition
+  // offset — one long per partition of driver state), NOT
+  // `row_number() OVER (ORDER BY …)` whose empty frame plans
+  // Exchange SinglePartition; the oracle uses the window form, which
+  // is bit-identical by GlobalOrder's contract. Monetary is r4-
+  // snapped BEFORE ranking so double sum-order can't flip an
+  // ordering between engines. ----
+
+  def q158Rfm(spark: SparkSession, dir: String): DataFrame = {
+    val pu = events(spark, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        Num.r4(sum(col("value"))).as("monetary"))
+    val mx = pu.agg(max(col("last_ts")).as("mts"))
+    val r = pu.crossJoin(broadcast(mx))
+      .withColumn("recency_days",
+        expr("(unix_timestamp(mts) - unix_timestamp(last_ts)) div 86400"))
+      .select(col("user_id"), col("recency_days"), col("freq"), col("monetary"))
+    val n = broadcast(pu.agg(count(lit(1)).as("n")))
+    val ranked = Seq(
+      (Seq(col("recency_days"), col("user_id")), "rr"),
+      (Seq(col("freq"), col("user_id")), "fr"),
+      (Seq(col("monetary"), col("user_id")), "mr"))
+      .foldLeft(r) { case (d, (ord, c)) =>
+        graft.operators.GlobalOrder.withGlobalPos(d, 8, ord, c)
+      }
+    ranked.crossJoin(n)
+      .select(
+        expr("(5 * (rr - 1)) div n + 1").as("r_score"),
+        expr("(5 * (fr - 1)) div n + 1").as("f_score"),
+        expr("(5 * (mr - 1)) div n + 1").as("m_score"),
+        col("monetary"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("users"),
+        Num.r2(avg(col("monetary"))).as("avg_monetary"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  val q158Sql: String =
+    s"""WITH pu AS (
+       |  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+       |    ${Num.sqlR4("sum(value)")} AS monetary
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |mx AS (SELECT max(last_ts) AS mts FROM pu),
+       |r AS (
+       |  SELECT user_id,
+       |    CAST(floor(epoch(mts)) - floor(epoch(last_ts)) AS BIGINT) // 86400
+       |      AS recency_days,
+       |    freq, monetary
+       |  FROM pu CROSS JOIN mx),
+       |k AS (
+       |  SELECT *,
+       |    row_number() OVER (ORDER BY recency_days, user_id) AS rr,
+       |    row_number() OVER (ORDER BY freq, user_id) AS fr,
+       |    row_number() OVER (ORDER BY monetary, user_id) AS mr,
+       |    count(*) OVER () AS n
+       |  FROM r)
+       |SELECT (5 * (rr - 1)) // n + 1 AS r_score,
+       |  (5 * (fr - 1)) // n + 1 AS f_score,
+       |  (5 * (mr - 1)) // n + 1 AS m_score,
+       |  count(*) AS users, ${Num.sqlR2("avg(monetary)")} AS avg_monetary
+       |FROM k GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---- q160: session summary — the web-analytics companion of
+  // q157's path mining: same 30-min-gap sessionization, rolled up to
+  // corpus-level engagement stats (one row). ----
+
+  def q160SessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(col("user_id"), col("ts"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val gap = us - lag(us, 1).over(byUser)
+    val sessions = ev
+      .withColumn("new_sess",
+        when(gap.isNull || gap > SessionGapUs, 1).otherwise(0))
+      .withColumn("sess", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+          .as("duration_sec"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col("user_id")).as("n_users"),
+      Num.r2(avg(col("n_events"))).as("avg_events"),
+      Num.r2(avg(col("duration_sec"))).as("avg_duration_sec"),
+      Num.r4(avg(when(col("n_events") === 1, 1.0).otherwise(0.0)))
+        .as("bounce_rate"))
+  }
+
+  val q160Sql: String =
+    s"""WITH s AS (
+       |  SELECT user_id, ts,
+       |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+       |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > $SessionGapUs
+       |      THEN 1 ELSE 0 END AS new_sess
+       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       |t AS (SELECT *, sum(new_sess) OVER
+       |        (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING)
+       |        AS sess
+       |      FROM s),
+       |g AS (
+       |  SELECT user_id, sess, count(*) AS n_events,
+       |    CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+       |      AS duration_sec
+       |  FROM t GROUP BY 1, 2)
+       |SELECT count(*) AS n_sessions,
+       |  count(DISTINCT user_id) AS n_users,
+       |  ${Num.sqlR2("avg(n_events)")} AS avg_events,
+       |  ${Num.sqlR2("avg(duration_sec)")} AS avg_duration_sec,
+       |  ${Num.sqlR4("avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END)")}
+       |    AS bounce_rate
+       |FROM g""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_seq_funnel" -> (q155SeqFunnel _),
     "q156_attribution" -> (q156Attribution _),
-    "q157_session_paths" -> (q157SessionPaths _))
+    "q157_session_paths" -> (q157SessionPaths _),
+    "q158_rfm" -> (q158Rfm _),
+    "q160_session_stats" -> (q160SessionStats _))
 
   def oracles: Map[String, String] = Map(
     "q155_seq_funnel" -> q155Sql,
     "q156_attribution" -> q156Sql,
-    "q157_session_paths" -> q157Sql)
+    "q157_session_paths" -> q157Sql,
+    "q158_rfm" -> q158Sql,
+    "q160_session_stats" -> q160Sql)
 }

@@ -525,6 +525,69 @@ object WarehouseQueries {
 
   val q147Sql: String = q147Text
 
+  // ---- q159: market-basket association rules over order baskets —
+  // brand pairs co-purchased in one order, scored by support /
+  // confidence / lift. The A-priori discipline at scale: items below
+  // the support floor are pruned BEFORE pair generation (downward
+  // closure — an infrequent item cannot appear in a frequent pair),
+  // so the self-join fans out only over frequent items; the pair
+  // shuffle is keyed on the basket id and bounded per basket by
+  // (frequent items per order)². Lift is computed from exact integer
+  // counts and r4-snapped before the filter so both engines cut the
+  // same pairs. ----
+
+  private val BasketMinSupCnt = 50
+
+  def q159Basket(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      .distinct()
+    val n = broadcast(items.select(col("basket")).distinct()
+      .agg(count(lit(1)).as("n_baskets")))
+    val freq = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= BasketMinSupCnt)
+    val kept = items.join(broadcast(freq), "item")
+    val pairs = kept.as("a")
+      .join(kept.as("b"), col("a.basket") === col("b.basket") &&
+        col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"),
+        col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+      .agg(count(lit(1)).as("cnt_ab"))
+      .filter(col("cnt_ab") >= BasketMinSupCnt)
+    pairs.crossJoin(n)
+      .select(col("item_a"), col("item_b"), col("cnt_ab").as("both"),
+        Num.r4(col("cnt_ab").cast("double") / col("n_baskets")).as("support"),
+        Num.r4(col("cnt_ab").cast("double") / col("cnt_a")).as("confidence"),
+        Num.r4((col("cnt_ab") * col("n_baskets")).cast("double") /
+          (col("cnt_a") * col("cnt_b"))).as("lift"))
+      .orderBy(col("item_a"), col("item_b"))
+  }
+
+  val q159Sql: String =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+       |n AS (SELECT count(DISTINCT basket) AS n_baskets FROM items),
+       |freq AS (SELECT item, count(*) AS cnt FROM items
+       |         GROUP BY item HAVING count(*) >= $BasketMinSupCnt),
+       |kept AS (SELECT i.basket, i.item, f.cnt
+       |         FROM items i JOIN freq f USING (item)),
+       |pairs AS (
+       |  SELECT a.item AS item_a, b.item AS item_b,
+       |    a.cnt AS cnt_a, b.cnt AS cnt_b, count(*) AS cnt_ab
+       |  FROM kept a JOIN kept b
+       |    ON a.basket = b.basket AND a.item < b.item
+       |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= $BasketMinSupCnt)
+       |SELECT item_a, item_b, cnt_ab AS both,
+       |  ${Num.sqlR4("cnt_ab::DOUBLE / n_baskets")} AS support,
+       |  ${Num.sqlR4("cnt_ab::DOUBLE / cnt_a")} AS confidence,
+       |  ${Num.sqlR4("(cnt_ab * n_baskets)::DOUBLE / (cnt_a * cnt_b)")} AS lift
+       |FROM pairs CROSS JOIN n
+       |ORDER BY item_a, item_b""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_tpch_q3" -> (q131TpchQ3 _),
     "q132_tpch_q4" -> (q132TpchQ4 _),
@@ -542,7 +605,8 @@ object WarehouseQueries {
     "q144_tpch_q18" -> (q144TpchQ18 _),
     "q145_tpch_q19" -> (q145TpchQ19 _),
     "q146_tpch_q21" -> (q146TpchQ21 _),
-    "q147_tpch_q22" -> (q147TpchQ22 _))
+    "q147_tpch_q22" -> (q147TpchQ22 _),
+    "q159_basket" -> (q159Basket _))
 
   def oracles: Map[String, String] = Map(
     "q131_tpch_q3" -> q131Sql,
@@ -561,5 +625,6 @@ object WarehouseQueries {
     "q144_tpch_q18" -> q144Sql,
     "q145_tpch_q19" -> q145Sql,
     "q146_tpch_q21" -> q146Sql,
-    "q147_tpch_q22" -> q147Sql)
+    "q147_tpch_q22" -> q147Sql,
+    "q159_basket" -> q159Sql)
 }

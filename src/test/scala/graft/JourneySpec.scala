@@ -47,6 +47,53 @@ class JourneySpec extends SparkSpec {
       s"attributed=$attributed expected=$expected")
   }
 
+  test("q158: GlobalOrder rank scoring matches the single-window form") {
+    // the oracle pins Spark ≡ DuckDB on the range-partitioned path;
+    // this pins the range-partitioned path ≡ the textbook
+    // row_number() OVER (ORDER BY …) form within Spark itself
+    val got = JourneyQueries.q158Rfm(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.load(spark, dir, "events")
+    import org.apache.spark.sql.expressions.Window
+    val pu = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("freq"),
+        graft.operators.Num.r4(sum(col("value"))).as("monetary"))
+    val r = pu.crossJoin(pu.agg(max(col("last_ts")).as("mts")))
+      .withColumn("recency_days",
+        expr("(unix_timestamp(mts) - unix_timestamp(last_ts)) div 86400"))
+    val k = r
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("fr", row_number().over(
+        Window.orderBy(col("freq"), col("user_id"))))
+      .withColumn("mr", row_number().over(
+        Window.orderBy(col("monetary"), col("user_id"))))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy()))
+    val want = k.groupBy(
+        expr("(5 * (rr - 1)) div n + 1").as("r_score"),
+        expr("(5 * (fr - 1)) div n + 1").as("f_score"),
+        expr("(5 * (mr - 1)) div n + 1").as("m_score"))
+      .agg(count(lit(1)).as("users"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet === want.toSet)
+  }
+
+  test("q159: basket rules respect the downward-closure count bounds") {
+    val rows = graft.queries.WarehouseQueries.q159Basket(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (support, confidence, lift) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(support > 0 && support <= 1.0)
+      assert(confidence >= support - 1e-9 && confidence <= 1.0)
+      assert(lift > 0)
+      assert(r.getString(0) < r.getString(1))
+    }
+  }
+
   test("q157: session paths are 3-step, bounded, and positively counted") {
     val rows = JourneyQueries.q157SessionPaths(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
