@@ -410,6 +410,50 @@ object EventAnalyticsQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** q161: SLIDING-window distinct users (trailing 7 days per day) by
+    * HLL re-aggregation — the query shape where sketches beat exact
+    * partials structurally: exact distinct cannot slide (per-day
+    * exact counts don't merge), so the exact form re-reads 7 days of
+    * raw events per output day, while the sketch form unions 7
+    * PRE-BUILT daily sketches — at 100 TB the window pass touches
+    * only (days × 7) sketch rows of bounded size. Each daily sketch
+    * is exploded to the ≤7 windows it serves (shuffle carries
+    * sketches, not events) and union-merged per target day.
+    * Gate: q19/q154 pattern — exact twin hash-checked, estimate
+    * asserted within bound. */
+  def q161SlidingDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("sk"))
+    val rolled = daily
+      .select(col("day"), col("sk"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("window_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    val exact = ev.select(to_date(col("ts")).as("eday"), col("user_id"))
+      .join(broadcast(daily.select(col("day"))),
+        datediff(col("day"), col("eday")).between(0, 6))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, "day")
+      .select(col("day"), col("window_days"), col("exact_users"),
+        (abs(col("approx") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_bound"))
+      .orderBy(col("day"))
+  }
+
+  val q161Sql: String =
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+      |e AS (SELECT CAST(ts AS DATE) AS eday, user_id FROM events)
+      |SELECT d.day, count(DISTINCT e.eday) AS window_days,
+      |  count(DISTINCT e.user_id) AS exact_users,
+      |  TRUE AS within_bound
+      |FROM days d JOIN e ON e.eday BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day
+      |ORDER BY d.day""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_funnel" -> (q12Funnel _),
     "q13_gmv" -> (q13Gmv _),
@@ -421,7 +465,8 @@ object EventAnalyticsQueries {
     "q19_approx_distinct" -> (q19ApproxDistinct _),
     "q32_asof" -> (q32AsOf _),
     "q32b_asof_native" -> (q32bAsOfNative _),
-    "q154_sketch_rollup" -> (q154SketchRollup _))
+    "q154_sketch_rollup" -> (q154SketchRollup _),
+    "q161_sliding_distinct" -> (q161SlidingDistinct _))
 
   def oracles: Map[String, String] = Map(
     "q12_funnel" -> q12Sql,
@@ -434,5 +479,6 @@ object EventAnalyticsQueries {
     "q19_approx_distinct" -> q19Sql,
     "q32_asof" -> q32Sql,
     "q32b_asof_native" -> q32bSql,
-    "q154_sketch_rollup" -> q154Sql)
+    "q154_sketch_rollup" -> q154Sql,
+    "q161_sliding_distinct" -> q161Sql)
 }

@@ -189,6 +189,55 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "3-row join should broadcast")
   }
 
+  test("q153: gram index join is a hash join; no cartesian product") {
+    uncached()
+    val plan = graft.queries.SignalQueries.q153EditJoin(spark, sf)
+      .queryExecution.executedPlan.toString
+    // candidate generation must probe the gram inverted index (equi
+    // hash join on the gram key) — an all-pairs nested loop over the
+    // distinct strings is the shape the q-gram filter exists to avoid
+    assert("BroadcastHashJoin \\[gram#\\d+\\]".r.findFirstIn(plan).isDefined, plan.take(1200))
+    assert(!plan.contains("CartesianProduct"))
+    // verification is the banded-DP threshold form, not full DP
+    assert(plan.contains("levenshtein") && plan.contains("Some(2)"))
+  }
+
+  test("q154: both sketch levels partial-aggregate map-side") {
+    uncached()
+    val plan = EventAnalyticsQueries.q154SketchRollup(spark, sf)
+      .queryExecution.executedPlan.toString
+    // level 1: per-(type, day) sketches combine before the shuffle;
+    // level 2: daily sketches union-merge before the per-type shuffle
+    assert(plan.contains("partial_hll_sketch_agg"), plan.take(1200))
+    assert(plan.contains("partial_hll_union_agg"), plan.take(1200))
+  }
+
+  test("q158: ranks are range-partitioned; only scalar aggregates funnel") {
+    uncached()
+    val lines = graft.queries.JourneyQueries.q158Rfm(spark, sf)
+      .queryExecution.executedPlan.toString.split("\n")
+    // three GlobalOrder passes → three rank-sort range exchanges (plus
+    // the output sort); never a row_number over an empty frame
+    assert(lines.count(_.contains("Exchange rangepartitioning")) >= 3,
+      lines.take(30).mkString("\n"))
+    // any SinglePartition hop must be a scalar (partial-agg) merge —
+    // one row per upstream task, never user-sized data
+    lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+      .foreach(i => assert(lines(i + 1).contains("partial_"),
+        lines.slice(i, i + 2).mkString("\n")))
+  }
+
+  test("q160: sessionization window is user-partitioned") {
+    uncached()
+    val lines = graft.queries.JourneyQueries.q160SessionStats(spark, sf)
+      .queryExecution.executedPlan.toString.split("\n")
+    assert(lines.exists(l => l.contains("windowspecdefinition(user_id")),
+      lines.take(30).mkString("\n"))
+    lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+      .foreach(i => assert(lines(i + 1).contains("partial_"),
+        lines.slice(i, i + 2).mkString("\n")))
+  }
+
   test("q129: quota sampling window is domain-partitioned (no global sort)") {
     uncached()
     val plan = formatted(graft.queries.CurationQueries.q129DomainQuota(spark, sf))
