@@ -454,6 +454,64 @@ object EventAnalyticsQueries {
       |GROUP BY d.day
       |ORDER BY d.day""".stripMargin
 
+  /** q162: sliding-window p95 purchase value per day via MERGEABLE
+    * fixed-bin histograms — the latency/value-dashboard companion of
+    * q161: exact percentiles don't merge across windows any more than
+    * exact distincts do, but per-day bin-count histograms merge by
+    * addition, so the 7-day window pass touches (days × bins) count
+    * rows, never raw events. The p95 read-off is integer-exact end to
+    * end (bin = ⌊value/10⌋; threshold 20·cum ≥ 19·total avoids 0.95
+    * float math), so the oracle hash-matches EXACTLY — no tolerance
+    * row needed. The per-day cumulative window is day-partitioned
+    * (≤ #bins rows per group). */
+  def q162SlidingP95(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val BinW = 10
+    val pv = events(spark, dir).filter(col("event_type") === "purchase")
+      .select(to_date(col("ts")).as("day"),
+        floor(col("value") / BinW).cast("long").as("bin"))
+    val dayBins = pv.groupBy(col("day"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val anchors = pv.select(col("day")).distinct()
+    val merged = dayBins
+      .select(col("day"), col("bin"), col("c"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add(col("day"), col("off")).as("day"), col("bin"), col("c"))
+      .join(broadcast(anchors), Seq("day"))
+      .groupBy(col("day"), col("bin")).agg(sum(col("c")).as("c"))
+    val byDay = Window.partitionBy(col("day"))
+    val cum = merged
+      .withColumn("cum", sum(col("c")).over(byDay.orderBy(col("bin"))))
+      .withColumn("total", sum(col("c")).over(byDay))
+    cum.filter(col("cum") * 20 >= col("total") * 19)
+      .groupBy(col("day"))
+      .agg(max(col("total")).as("n_purchases"),
+        ((min(col("bin")) + 1) * BinW).as("p95_le"))
+      .orderBy(col("day"))
+  }
+
+  val q162Sql: String =
+    """WITH pv AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(floor(value / 10) AS BIGINT) AS bin
+      |  FROM events WHERE event_type = 'purchase'),
+      |db AS (SELECT day, bin, count(*) AS c FROM pv GROUP BY 1, 2),
+      |anchors AS (SELECT DISTINCT day FROM pv),
+      |merged AS (
+      |  SELECT a.day, db.bin, sum(db.c) AS c
+      |  FROM db JOIN anchors a
+      |    ON a.day BETWEEN db.day AND db.day + 6
+      |  GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT day, bin, c,
+      |    sum(c) OVER (PARTITION BY day ORDER BY bin) AS cum,
+      |    sum(c) OVER (PARTITION BY day) AS total
+      |  FROM merged)
+      |SELECT day, max(total) AS n_purchases,
+      |  (min(bin) + 1) * 10 AS p95_le
+      |FROM cum WHERE cum * 20 >= total * 19
+      |GROUP BY day ORDER BY day""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_funnel" -> (q12Funnel _),
     "q13_gmv" -> (q13Gmv _),
@@ -466,7 +524,8 @@ object EventAnalyticsQueries {
     "q32_asof" -> (q32AsOf _),
     "q32b_asof_native" -> (q32bAsOfNative _),
     "q154_sketch_rollup" -> (q154SketchRollup _),
-    "q161_sliding_distinct" -> (q161SlidingDistinct _))
+    "q161_sliding_distinct" -> (q161SlidingDistinct _),
+    "q162_sliding_p95" -> (q162SlidingP95 _))
 
   def oracles: Map[String, String] = Map(
     "q12_funnel" -> q12Sql,
@@ -480,5 +539,6 @@ object EventAnalyticsQueries {
     "q32_asof" -> q32Sql,
     "q32b_asof_native" -> q32bSql,
     "q154_sketch_rollup" -> q154Sql,
-    "q161_sliding_distinct" -> q161Sql)
+    "q161_sliding_distinct" -> q161Sql,
+    "q162_sliding_p95" -> q162Sql)
 }
