@@ -588,6 +588,32 @@ object WarehouseQueries {
        |FROM pairs CROSS JOIN n
        |ORDER BY item_a, item_b""".stripMargin
 
+  // ---- q163: 2-D skyline (Pareto frontier) of parts — no other part
+  // both cheaper and larger. Spark side is the distributed prefix-max
+  // sweep (operators.Skyline: compress per distinct price → range-
+  // partition → driver-carried exclusive prefix-max → balanced
+  // windows); the oracle is the DEFINITIONAL dominance NOT EXISTS,
+  // so the hash match proves the sweep against brute force. ----
+
+  def q163Skyline(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skyline.frontier(
+      Tables.load(spark, dir, "part"), "p_retailprice", "p_size")
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_partkey"))
+
+  val q163Sql: String =
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part a
+      |WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM part b
+      |    WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+      |      AND b.p_retailprice <= a.p_retailprice
+      |      AND b.p_size >= a.p_size
+      |      AND (b.p_retailprice < a.p_retailprice
+      |           OR b.p_size > a.p_size))
+      |ORDER BY p_partkey""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_tpch_q3" -> (q131TpchQ3 _),
     "q132_tpch_q4" -> (q132TpchQ4 _),
@@ -606,7 +632,8 @@ object WarehouseQueries {
     "q145_tpch_q19" -> (q145TpchQ19 _),
     "q146_tpch_q21" -> (q146TpchQ21 _),
     "q147_tpch_q22" -> (q147TpchQ22 _),
-    "q159_basket" -> (q159Basket _))
+    "q159_basket" -> (q159Basket _),
+    "q163_skyline" -> (q163Skyline _))
 
   def oracles: Map[String, String] = Map(
     "q131_tpch_q3" -> q131Sql,
@@ -626,5 +653,6 @@ object WarehouseQueries {
     "q145_tpch_q19" -> q145Sql,
     "q146_tpch_q21" -> q146Sql,
     "q147_tpch_q22" -> q147Sql,
-    "q159_basket" -> q159Sql)
+    "q159_basket" -> q159Sql,
+    "q163_skyline" -> q163Sql)
 }
