@@ -512,6 +512,39 @@ object EventAnalyticsQueries {
       |FROM cum WHERE cum * 20 >= total * 19
       |GROUP BY day ORDER BY day""".stripMargin
 
+  /** q165: week-over-week growth per event type — the dashboard
+    * delta metric. Comparison is CALENDAR-anchored (self-join of the
+    * daily aggregate on day − 7), not `lag(7)` over row positions,
+    * which silently misreports across gaps in the day series. Both
+    * sides of the join are the already-aggregated daily frame —
+    * (types × days) rows at any corpus scale. */
+  def q165WowGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val prev = daily.select(col("event_type").as("prev_type"),
+      col("day").as("prev_day"), col("n").as("n_prev"))
+    daily.join(prev,
+        col("event_type") === col("prev_type") &&
+          date_sub(col("day"), 7) === col("prev_day"), "left")
+      .select(col("event_type"), col("day"), col("n"),
+        when(col("n_prev") > 0,
+          Num.r4((col("n") - col("n_prev")) * lit(100.0) / col("n_prev")))
+          .as("wow_pct"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q165Sql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2)
+       |SELECT a.event_type, a.day, a.n,
+       |  CASE WHEN b.n > 0
+       |    THEN ${Num.sqlR4("(a.n - b.n) * 100.0 / b.n")} END AS wow_pct
+       |FROM d a LEFT JOIN d b
+       |  ON a.event_type = b.event_type AND b.day = a.day - 7
+       |ORDER BY a.event_type, a.day""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_funnel" -> (q12Funnel _),
     "q13_gmv" -> (q13Gmv _),
@@ -525,7 +558,8 @@ object EventAnalyticsQueries {
     "q32b_asof_native" -> (q32bAsOfNative _),
     "q154_sketch_rollup" -> (q154SketchRollup _),
     "q161_sliding_distinct" -> (q161SlidingDistinct _),
-    "q162_sliding_p95" -> (q162SlidingP95 _))
+    "q162_sliding_p95" -> (q162SlidingP95 _),
+    "q165_wow_growth" -> (q165WowGrowth _))
 
   def oracles: Map[String, String] = Map(
     "q12_funnel" -> q12Sql,
@@ -540,5 +574,6 @@ object EventAnalyticsQueries {
     "q32b_asof_native" -> q32bSql,
     "q154_sketch_rollup" -> q154Sql,
     "q161_sliding_distinct" -> q161Sql,
-    "q162_sliding_p95" -> q162Sql)
+    "q162_sliding_p95" -> q162Sql,
+    "q165_wow_growth" -> q165Sql)
 }

@@ -150,11 +150,72 @@ object QcQueries {
        |ORDER BY feature, bucket""".stripMargin
   }
 
+  // ---- q164: referential-integrity audit — the dbt-test / FK-check
+  // tier over the star schema: one row per declared relationship with
+  // child row count, orphan count (children whose key matches no
+  // parent), and distinct orphan keys. Each relationship is a
+  // LEFT ANTI join with the PARENT side broadcast (dimension keys are
+  // always the small side — customer/part keys at 100 TB are still
+  // dimension-sized relative to the fact tables), followed by one
+  // partial-aggregated count; the fact table is never reshuffled. ----
+
+  def q164Integrity(spark: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame = {
+      val keys = parent.select(col(parentKey).as(childKey)).distinct()
+      // null FKs are excluded from the orphan count on both sides
+      // (SQL NOT IN would silently drop them anyway — null-key rows
+      // are a q101-style not-null expectation, not an FK violation)
+      val orphans = child.select(col(childKey))
+        .filter(col(childKey).isNotNull)
+        .join(broadcast(keys), Seq(childKey), "left_anti")
+      child.agg(count(lit(1)).as("child_rows"))
+        .crossJoin(orphans.agg(count(lit(1)).as("orphan_rows"),
+          countDistinct(col(childKey)).as("orphan_keys")))
+        .select(lit(name).as("relationship"), col("child_rows"),
+          col("orphan_rows"), col("orphan_keys"))
+    }
+    val li = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val n = Tables.load(spark, dir, "nation")
+    val p = Tables.load(spark, dir, "part")
+    val s = Tables.load(spark, dir, "supplier")
+    rel("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+      .unionByName(rel("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+      .unionByName(rel("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey"))
+      .unionByName(rel("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+      .unionByName(rel("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+      .orderBy(col("relationship"))
+  }
+
+  val q164Sql: String = {
+    def rel(name: String, child: String, childKey: String,
+        parent: String, parentKey: String): String =
+      s"""SELECT '$name' AS relationship,
+         |  (SELECT count(*) FROM $child) AS child_rows,
+         |  count(*) AS orphan_rows,
+         |  count(DISTINCT $childKey) AS orphan_keys
+         |FROM $child
+         |WHERE $childKey IS NOT NULL
+         |  AND $childKey NOT IN (SELECT $parentKey FROM $parent
+         |                        WHERE $parentKey IS NOT NULL)""".stripMargin
+    Seq(
+      rel("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      rel("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      rel("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      rel("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      rel("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY relationship")
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_expectations" -> (q101Expectations _),
-    "q102_drift" -> (q102Drift _))
+    "q102_drift" -> (q102Drift _),
+    "q164_integrity" -> (q164Integrity _))
 
   def oracles: Map[String, String] = Map(
     "q101_expectations" -> q101Sql,
-    "q102_drift" -> q102Sql)
+    "q102_drift" -> q102Sql,
+    "q164_integrity" -> q164Sql)
 }
