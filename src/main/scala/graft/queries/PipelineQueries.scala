@@ -289,6 +289,72 @@ object PipelineQueries {
        |GROUP BY 1, 2
        |ORDER BY cell, dim""".stripMargin
 
+  // ---- q168: cluster-quality metrics over the q41 cells — within-
+  // cluster inertia (avg squared distance to own centroid) and the
+  // separation to the nearest OTHER centroid, the compactness/
+  // separation pair behind Davies-Bouldin-style cluster diagnostics.
+  // Everything runs in the LONG (cell, dim) form: the per-vector
+  // distance join is against the BROADCAST centroid table (cells ×
+  // dims rows — model-sized at any corpus scale), the centroid×
+  // centroid separation table is (cells² × dims) — trivial; the only
+  // corpus-sized work is one posexplode + partial-aggregated sums.
+  // Centroids are r6-snapped before reuse so partial-agg order in the
+  // mean can't leak into the distances. ----
+
+  def q168ClusterQuality(spark: SparkSession, dir: String): DataFrame = {
+    val long = embs(spark, dir)
+      .select((col("vec_id") % CentroidCells).as("cell"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cell"), col("vec_id"), col("pos"),
+        col("x").cast("double").as("x"))
+    val cent = long.groupBy(col("cell"), col("pos"))
+      .agg(Num.r(avg(col("x")), 6).as("c"))
+    val inertia = long
+      .join(broadcast(cent), Seq("cell", "pos"))
+      .groupBy(col("cell"), col("vec_id"))
+      .agg(sum(pow(col("x") - col("c"), 2)).as("sqd"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), Num.r4(avg(col("sqd"))).as("inertia"))
+    val centB = cent.select(col("cell").as("cell_b"), col("pos"),
+      col("c").as("cb"))
+    val sep = cent.join(centB, Seq("pos"))
+      .filter(col("cell") =!= col("cell_b"))
+      .groupBy(col("cell"), col("cell_b"))
+      .agg(sum(pow(col("c") - col("cb"), 2)).as("d2"))
+      .groupBy(col("cell"))
+      .agg(Num.r4(min(col("d2"))).as("min_sep_sq"))
+    inertia.join(sep, "cell")
+      .select(col("cell"), col("n_vecs"), col("inertia"), col("min_sep_sq"))
+      .orderBy(col("cell"))
+  }
+
+  val q168Sql: String =
+    s"""WITH long AS (
+       |  SELECT vec_id % $CentroidCells AS cell, vec_id, g.i AS pos,
+       |    embedding[g.i]::DOUBLE AS x
+       |  FROM embeddings,
+       |       LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) g),
+       |cent AS (
+       |  SELECT cell, pos, ${Num.sqlR("avg(x)", 6)} AS c
+       |  FROM long GROUP BY 1, 2),
+       |pv AS (
+       |  SELECT l.cell, l.vec_id, sum(pow(l.x - c.c, 2)) AS sqd
+       |  FROM long l JOIN cent c ON l.cell = c.cell AND l.pos = c.pos
+       |  GROUP BY 1, 2),
+       |inert AS (
+       |  SELECT cell, count(*) AS n_vecs,
+       |    ${Num.sqlR4("avg(sqd)")} AS inertia
+       |  FROM pv GROUP BY 1),
+       |sep AS (
+       |  SELECT a.cell, ${Num.sqlR4("min(d2)")} AS min_sep_sq FROM (
+       |    SELECT a.cell, b.cell AS cell_b, sum(pow(a.c - b.c, 2)) AS d2
+       |    FROM cent a JOIN cent b ON a.pos = b.pos AND a.cell <> b.cell
+       |    GROUP BY 1, 2) a
+       |  GROUP BY 1)
+       |SELECT i.cell, i.n_vecs, i.inertia, s.min_sep_sq
+       |FROM inert i JOIN sep s ON i.cell = s.cell
+       |ORDER BY i.cell""".stripMargin
+
   // ---- q42: window FRAMES — running totals (rows unbounded), moving
   // average (rows 2 preceding), and a 7-day RANGE frame on the day
   // number. Frames are order-deterministic, so double accumulation
@@ -837,6 +903,7 @@ object PipelineQueries {
     "q39_hash_sample" -> (q39HashSample _),
     "q40_scrub" -> (q40Scrub _),
     "q41_centroids" -> (q41Centroids _),
+    "q168_cluster_quality" -> (q168ClusterQuality _),
     "q42_window_frames" -> (q42WindowFrames _),
     "q43_datetime" -> (q43DateTime _),
     "q44_strings" -> (q44Strings _),
@@ -862,6 +929,7 @@ object PipelineQueries {
     "q39_hash_sample" -> q39Sql,
     "q40_scrub" -> q40Sql,
     "q41_centroids" -> q41Sql,
+    "q168_cluster_quality" -> q168Sql,
     "q42_window_frames" -> q42Sql,
     "q43_datetime" -> q43Sql,
     "q44_strings" -> q44Sql,

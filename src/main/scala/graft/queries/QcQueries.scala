@@ -209,13 +209,68 @@ object QcQueries {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY relationship")
   }
 
+  // ---- q166: delete-one-bucket jackknife standard error of the mean
+  // purchase value — uncertainty quantification for a pipeline metric
+  // without a second data pass: B deterministic hash buckets, one
+  // grouped (sum, count) scan, then B leave-one-out means computed
+  // from the 20-row bucket frame. This is how a 100 TB pipeline puts
+  // an error bar on a mean: the only per-row work is the bucket
+  // assignment; everything statistical happens on B rows. Per-bucket
+  // sums are r6-snapped so partial-aggregation order can't leak into
+  // the leave-one-out arithmetic. ----
+
+  private val JkB = 20
+
+  def q166Jackknife(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val buckets = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select((TF.hash60(col("event_id").cast("string")) % JkB).as("b"),
+        col("value"))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_i"), Num.r(sum(col("value")), 6).as("s_i"))
+    val tot = buckets.agg(sum(col("n_i")).as("n"), sum(col("s_i")).as("s"),
+      count(lit(1)).as("nb"))
+    val loo = buckets.crossJoin(broadcast(tot))
+      .select(((col("s") - col("s_i")) / (col("n") - col("n_i"))).as("m_i"),
+        col("n"), col("s"), col("nb"))
+    val mbar = loo.agg(avg(col("m_i")).as("mbar"))
+    loo.crossJoin(broadcast(mbar))
+      .agg(
+        max(col("n")).as("n_purchases"),
+        Num.r4(max(col("s") / col("n"))).as("mean_value"),
+        Num.r(sqrt(
+          ((max(col("nb")) - 1).cast("double") / max(col("nb"))) *
+            sum(pow(col("m_i") - col("mbar"), 2))), 6).as("jackknife_se"))
+  }
+
+  val q166Sql: String = {
+    import graft.functions.{TextFunctions => TF}
+    s"""WITH b AS (
+       |  SELECT ${TF.sqlHash60("event_id::VARCHAR")} % $JkB AS b,
+       |    count(*) AS n_i, ${Num.sqlR("sum(value)", 6)} AS s_i
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |tot AS (SELECT sum(n_i) AS n, sum(s_i) AS s, count(*) AS nb FROM b),
+       |loo AS (SELECT (t.s - b.s_i) / (t.n - b.n_i) AS m_i, t.n, t.s, t.nb
+       |        FROM b CROSS JOIN tot t),
+       |mb AS (SELECT avg(m_i) AS mbar FROM loo)
+       |SELECT max(n) AS n_purchases,
+       |  ${Num.sqlR4("max(s / n)")} AS mean_value,
+       |  ${Num.sqlR(
+          "sqrt(((max(nb) - 1)::DOUBLE / max(nb)) * sum(pow(m_i - mbar, 2)))",
+          6)} AS jackknife_se
+       |FROM loo CROSS JOIN mb""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_expectations" -> (q101Expectations _),
     "q102_drift" -> (q102Drift _),
-    "q164_integrity" -> (q164Integrity _))
+    "q164_integrity" -> (q164Integrity _),
+    "q166_jackknife" -> (q166Jackknife _))
 
   def oracles: Map[String, String] = Map(
     "q101_expectations" -> q101Sql,
     "q102_drift" -> q102Sql,
-    "q164_integrity" -> q164Sql)
+    "q164_integrity" -> q164Sql,
+    "q166_jackknife" -> q166Sql)
 }
