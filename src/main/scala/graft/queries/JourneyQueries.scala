@@ -305,17 +305,67 @@ object JourneyQueries {
        |    AS bounce_rate
        |FROM g""".stripMargin
 
+  // ---- q169: seasonality decomposition of the daily event series —
+  // classical ratio-to-moving-average: trend = centered 7-day moving
+  // average per event type (window FRAME over the tiny daily series,
+  // type-partitioned), seasonal index = mean detrended ratio per
+  // day-of-week. The index says "Mondays run 0.93× trend" — the
+  // normalization a forecasting/anomaly layer divides out first.
+  // Ratios are r6-snapped before the per-dow mean so double sum order
+  // can't leak; the frame is order-deterministic in both engines. ----
+
+  def q169Seasonality(spark: SparkSession, dir: String): DataFrame = {
+    val daily = events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val detrended = daily
+      .withColumn("n_days", count(lit(1)).over(frame))
+      .withColumn("trend", avg(col("n")).over(frame))
+      // only FULL 7-day frames: edge days have a biased trend
+      .filter(col("n_days") === 7)
+      .select(col("event_type"),
+        dayofweek(col("day")).as("dow"),
+        Num.r(col("n") / col("trend"), 6).as("ratio"))
+    detrended.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        Num.r4(avg(col("ratio"))).as("seasonal_index"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  val q169Sql: String =
+    s"""WITH d AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |t AS (
+       |  SELECT event_type, day, n,
+       |    count(*) OVER w AS n_days,
+       |    avg(n) OVER w AS trend
+       |  FROM d
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+       |r AS (
+       |  SELECT event_type, dayofweek(day) + 1 AS dow,
+       |    ${Num.sqlR("n / trend", 6)} AS ratio
+       |  FROM t WHERE n_days = 7)
+       |SELECT event_type, dow, count(*) AS n_days,
+       |  ${Num.sqlR4("avg(ratio)")} AS seasonal_index
+       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_seq_funnel" -> (q155SeqFunnel _),
     "q156_attribution" -> (q156Attribution _),
     "q157_session_paths" -> (q157SessionPaths _),
     "q158_rfm" -> (q158Rfm _),
-    "q160_session_stats" -> (q160SessionStats _))
+    "q160_session_stats" -> (q160SessionStats _),
+    "q169_seasonality" -> (q169Seasonality _))
 
   def oracles: Map[String, String] = Map(
     "q155_seq_funnel" -> q155Sql,
     "q156_attribution" -> q156Sql,
     "q157_session_paths" -> q157Sql,
     "q158_rfm" -> q158Sql,
-    "q160_session_stats" -> q160Sql)
+    "q160_session_stats" -> q160Sql,
+    "q169_seasonality" -> q169Sql)
 }

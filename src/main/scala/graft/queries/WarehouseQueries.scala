@@ -614,6 +614,47 @@ object WarehouseQueries {
       |           OR b.p_size > a.p_size))
       |ORDER BY p_partkey""".stripMargin
 
+  // ---- q170: fulfillment-SLA percentiles — days from order to FIRST
+  // shipment, p50/p90/p99 per order priority. The latency-SLO query
+  // shape: one fact-fact aggregation (min shipdate per order), one
+  // join back to the order header, then the DISTRIBUTED exact-
+  // quantile operator (operators.Quantiles — no per-group value
+  // buffering; the built-in percentile() aggregate is a single
+  // reducer per group). Negative gaps (data-quality artifacts) are
+  // kept — an SLA report that silently drops them hides exactly the
+  // rows q164 exists to surface. ----
+
+  def q170FulfillmentSla(spark: SparkSession, dir: String): DataFrame = {
+    val firstShip = Tables.load(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_shipdate")).as("first_ship"))
+    val gaps = Tables.load(spark, dir, "orders")
+      .join(firstShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("first_ship"), col("o_orderdate")).as("gap_days"))
+    graft.operators.Quantiles.exactQuantiles(
+      gaps, "o_orderpriority", "gap_days",
+      Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99"))
+      .select(col("o_orderpriority"), col("n"),
+        Num.r4(col("p50")).as("p50"), Num.r4(col("p90")).as("p90"),
+        Num.r4(col("p99")).as("p99"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q170Sql: String =
+    s"""WITH fs AS (
+       |  SELECT l_orderkey, min(l_shipdate) AS first_ship
+       |  FROM lineitem GROUP BY 1),
+       |g AS (
+       |  SELECT o_orderpriority,
+       |    date_diff('day', o_orderdate, first_ship) AS gap_days
+       |  FROM orders JOIN fs ON o_orderkey = l_orderkey)
+       |SELECT o_orderpriority, count(*) AS n,
+       |  ${Num.sqlR4("quantile_cont(gap_days, 0.5)")} AS p50,
+       |  ${Num.sqlR4("quantile_cont(gap_days, 0.9)")} AS p90,
+       |  ${Num.sqlR4("quantile_cont(gap_days, 0.99)")} AS p99
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_tpch_q3" -> (q131TpchQ3 _),
     "q132_tpch_q4" -> (q132TpchQ4 _),
@@ -633,7 +674,8 @@ object WarehouseQueries {
     "q146_tpch_q21" -> (q146TpchQ21 _),
     "q147_tpch_q22" -> (q147TpchQ22 _),
     "q159_basket" -> (q159Basket _),
-    "q163_skyline" -> (q163Skyline _))
+    "q163_skyline" -> (q163Skyline _),
+    "q170_fulfillment_sla" -> (q170FulfillmentSla _))
 
   def oracles: Map[String, String] = Map(
     "q131_tpch_q3" -> q131Sql,
@@ -654,5 +696,6 @@ object WarehouseQueries {
     "q146_tpch_q21" -> q146Sql,
     "q147_tpch_q22" -> q147Sql,
     "q159_basket" -> q159Sql,
-    "q163_skyline" -> q163Sql)
+    "q163_skyline" -> q163Sql,
+    "q170_fulfillment_sla" -> q170Sql)
 }
