@@ -922,9 +922,77 @@ object LakehouseQueries {
        |ORDER BY cell, dim""".stripMargin
   }
 
+  // ---- q171: snapshot reconciliation (table diff) — the "what
+  // changed between yesterday's and today's load" audit: added /
+  // removed / changed / identical row counts from ONE full-outer
+  // key join of the two snapshots' (key, fingerprint) projections.
+  // The fingerprint is the cross-engine md5-prefix hash over
+  // CANONICAL column renderings (cents as BIGINT, dates as epoch
+  // seconds — never raw double/timestamp casts, whose string forms
+  // are engine-specific). Snapshots are deterministic variants of
+  // `orders`: A drops keys %103=0, B drops %101=0 and bumps the
+  // price on %97=0 — so all four diff classes are non-empty. At
+  // scale this is one shuffle on the key with map-side-combined
+  // counts; the fingerprint collapses row width to (key, 8 bytes)
+  // before the join. ----
+
+  def q171TableDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TFn}
+    val base = Tables.load(spark, dir, "orders")
+    def fingerprinted(d: DataFrame): DataFrame =
+      d.select(col("o_orderkey").as("key"),
+        TFn.hash60(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long"),
+          unix_timestamp(col("o_orderdate")),
+          col("o_orderpriority"))).as("fp"))
+    val a = fingerprinted(base.filter(col("o_orderkey") % 103 =!= 0))
+    val b = fingerprinted(
+      base.filter(col("o_orderkey") % 101 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 97 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice"))))
+    a.select(col("key"), col("fp").as("fp_a"))
+      .join(b.select(col("key"), col("fp").as("fp_b")), Seq("key"), "full_outer")
+      .agg(
+        sum(when(col("fp_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("fp_b").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("fp_a").isNotNull && col("fp_b").isNotNull &&
+          col("fp_a") =!= col("fp_b"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L)).as("n_same"))
+  }
+
+  val q171Sql: String = {
+    import graft.functions.{TextFunctions => TFn}
+    val fpExpr = TFn.sqlHash60(
+      "o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || " +
+        "o_orderstatus || '|' || " +
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)::VARCHAR || '|' || " +
+        "CAST(floor(epoch(o_orderdate)) AS BIGINT)::VARCHAR || '|' || " +
+        "o_orderpriority")
+    s"""WITH a AS (
+       |  SELECT o_orderkey AS key, $fpExpr AS fp_a
+       |  FROM orders WHERE o_orderkey % 103 <> 0),
+       |b AS (
+       |  SELECT o_orderkey AS key, $fpExpr AS fp_b
+       |  FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+       |          CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+       |               ELSE o_totalprice END AS o_totalprice,
+       |          o_orderdate, o_orderpriority
+       |        FROM orders WHERE o_orderkey % 101 <> 0))
+       |SELECT
+       |  CAST(sum(CASE WHEN fp_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(sum(CASE WHEN fp_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL
+       |           AND fp_a <> fp_b THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+       |FROM a FULL OUTER JOIN b USING (key)""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),
+    "q171_table_diff" -> (q171TableDiff _),
     "q66_scd2" -> (q66Scd2 _),
     "q67_heavy_hitters" -> (q67HeavyHitters _),
     "q68_pq_adc" -> (q68PqAdc _),
@@ -947,6 +1015,7 @@ object LakehouseQueries {
     "q64_boilerplate" -> q64Sql,
     "q68_pq_adc" -> q68Sql,
     "q65_merge_upsert" -> q65Sql,
+    "q171_table_diff" -> q171Sql,
     "q66_scd2" -> q66Sql,
     "q67_heavy_hitters" -> q67Sql,
     "q69_profile" -> q69Sql,
