@@ -456,6 +456,57 @@ object CorpusStatsQueries {
        |GROUP BY ${(0 until d).map(j => s"w.w$j").mkString(", ")}""".stripMargin
   }
 
+  // ---- q172: classifier CALIBRATION (reliability diagram) — the
+  // ML-eval companion of q91: bucket the trained model's predicted
+  // probabilities into deciles and compare avg predicted vs actual
+  // positive rate per bin. A model can be accurate yet miscalibrated;
+  // a routing threshold (q94) inherits exactly that bias, so the
+  // reliability table is what a corpus-routing deployment checks
+  // before trusting scores as probabilities. Probabilities are
+  // r6-snapped BEFORE bucketing so the exp() ulp between engines
+  // can't flip a boundary document's bin. ----
+
+  /** Binning is EQUAL-FREQUENCY (score deciles), not fixed-width:
+    * a few-round GD model's probabilities cluster in a narrow band
+    * (measured [0.09, 0.14] here), so fixed 0.1-wide bins leave the
+    * diagram with one populated row. Equal-count bins are the
+    * standard reliability-diagram variant for exactly this case and
+    * always yield 10 informative rows. Ranks come from the range-
+    * partitioned GlobalOrder (total order (p, doc_id)); probabilities
+    * are r6-snapped BEFORE ranking so the exp() ulp between engines
+    * can't reorder a boundary document. */
+  def q172Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, w) = lrFit(spark, dir)
+    val z = LogisticGd.linearScore(w.toSeq)
+    val p = Num.r(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    val scored = feat.select(col("doc_id"), p.as("p"), col("y"))
+    val n = broadcast(scored.agg(count(lit(1)).as("n")))
+    graft.operators.GlobalOrder
+      .withGlobalPos(scored, 8, Seq(col("p"), col("doc_id")), "rk")
+      .crossJoin(n)
+      .select(expr("(10 * (rk - 1)) div n").as("bin"), col("p"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        Num.r4(avg(col("p"))).as("avg_pred"),
+        Num.r4(avg(col("y"))).as("actual_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val q172Sql: String =
+    s"""WITH ${lrSqlCtes("doc_id,")},
+       |scored AS (
+       |  SELECT doc_id, ${Num.sqlR(s"1.0/(1.0+exp(-($lrSqlDotW)))", 6)} AS p, y
+       |  FROM feat, w$LrIters w),
+       |k AS (
+       |  SELECT *, row_number() OVER (ORDER BY p, doc_id) AS rk,
+       |    count(*) OVER () AS n
+       |  FROM scored)
+       |SELECT (10 * (rk - 1)) // n AS bin,
+       |  count(*) AS n,
+       |  ${Num.sqlR4("avg(p)")} AS avg_pred,
+       |  ${Num.sqlR4("avg(y)")} AS actual_rate
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q94: classifier-scored corpus routing — the train → score →
   // route composition a production corpus runs: every document gets
   // the trained model's verdict (z ≥ 0 ⇒ predicted positive) and the
@@ -1073,6 +1124,7 @@ object CorpusStatsQueries {
     "q89_incremental_dedup" -> (q89IncrementalDedup _),
     "q90_novelty" -> (q90Novelty _),
     "q91_quality_lr" -> (q91QualityLr _),
+    "q172_calibration" -> (q172Calibration _),
     "q92_listagg" -> (q92Listagg _),
     "q93_covariance" -> (q93Covariance _),
     "q94_classifier_route" -> (q94ClassifierRoute _),
@@ -1096,6 +1148,7 @@ object CorpusStatsQueries {
     "q89_incremental_dedup" -> q89Sql,
     "q90_novelty" -> q90Sql,
     "q91_quality_lr" -> q91Sql,
+    "q172_calibration" -> q172Sql,
     "q92_listagg" -> q92Sql,
     "q93_covariance" -> q93Sql,
     "q94_classifier_route" -> q94Sql,
