@@ -507,6 +507,41 @@ object CorpusStatsQueries {
        |  ${Num.sqlR4("avg(y)")} AS actual_rate
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q173: exact ROC-AUC of the quality classifier — the ranking
+  // metric beside q172's calibration table (operators.Auc: Mann-
+  // Whitney midrank form, integer rank arithmetic over the range-
+  // partitioned cumulative count — exact at any scale, never a
+  // single-reducer sort). Scores share q172's r6-snapped sigmoid so
+  // the tie structure is identical in both engines; the oracle
+  // computes the same midrank formula with a window cumsum, so the
+  // hash match proves the distributed ranks against the definitional
+  // form. ----
+
+  def q173Auc(spark: SparkSession, dir: String): DataFrame = {
+    val (feat, w) = lrFit(spark, dir)
+    val z = LogisticGd.linearScore(w.toSeq)
+    val p = Num.r(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+    graft.operators.Auc.auc(
+      feat.select(p.as("p"), col("y")), "p", "y")
+  }
+
+  val q173Sql: String =
+    s"""WITH ${lrSqlCtes("")},
+       |scored AS (
+       |  SELECT ${Num.sqlR(s"1.0/(1.0+exp(-($lrSqlDotW)))", 6)} AS p,
+       |    CAST(y AS BIGINT) AS yl
+       |  FROM feat, w$LrIters w),
+       |g AS (SELECT p, count(*) AS c, sum(yl) AS pos FROM scored GROUP BY 1),
+       |k AS (SELECT *, sum(c) OVER (ORDER BY p) AS e FROM g),
+       |m AS (SELECT pos, c, 2 * (e - c) + c + 1 AS mr2 FROM k),
+       |t AS (SELECT sum(pos) AS np, sum(c - pos) AS nn,
+       |        sum(pos * mr2) AS s2 FROM m)
+       |SELECT np AS n_pos, nn AS n_neg,
+       |  CASE WHEN np > 0 AND nn > 0 THEN
+       |    ${Num.sqlR("(s2 - np * (np + 1))::DOUBLE / (2.0 * np * nn)", 6)}
+       |  END AS auc
+       |FROM t""".stripMargin
+
   // ---- q94: classifier-scored corpus routing — the train → score →
   // route composition a production corpus runs: every document gets
   // the trained model's verdict (z ≥ 0 ⇒ predicted positive) and the
@@ -1125,6 +1160,7 @@ object CorpusStatsQueries {
     "q90_novelty" -> (q90Novelty _),
     "q91_quality_lr" -> (q91QualityLr _),
     "q172_calibration" -> (q172Calibration _),
+    "q173_auc" -> (q173Auc _),
     "q92_listagg" -> (q92Listagg _),
     "q93_covariance" -> (q93Covariance _),
     "q94_classifier_route" -> (q94ClassifierRoute _),
@@ -1149,6 +1185,7 @@ object CorpusStatsQueries {
     "q90_novelty" -> q90Sql,
     "q91_quality_lr" -> q91Sql,
     "q172_calibration" -> q172Sql,
+    "q173_auc" -> q173Sql,
     "q92_listagg" -> q92Sql,
     "q93_covariance" -> q93Sql,
     "q94_classifier_route" -> q94Sql,
