@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact ROC-AUC (Mann–Whitney U form) with MIDRANK tie handling —
@@ -31,32 +30,18 @@ import org.apache.spark.sql.functions._
 object Auc {
 
   /** One row: (n_pos, n_neg, auc). `labelCol` must be 0/1 (numeric);
-    * null scores/labels are dropped. */
+    * null scores/labels are dropped. Rank machinery is the shared
+    * [[Ranks.midranks2]] (doubled midranks ⇒ integer-exact). */
   def auc(df: DataFrame, scoreCol: String, labelCol: String,
       numPartitions: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val g = df
-      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
-      .groupBy(col(scoreCol).cast("double").as("_s"))
-      .agg(count(lit(1)).as("_c"),
-        sum(col(labelCol).cast("long")).as("_pos"))
-    val ranged = g.repartitionByRange(numPartitions, col("_s"))
-      .withColumn("_pid", spark_partition_id().cast("long"))
-      .cache()
-    val parts = ranged.groupBy(col("_pid")).agg(sum(col("_c")).as("_n"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val offs = parts.map(_._1).zip(parts.map(_._2).scanLeft(0L)(_ + _))
-    val offDf = offs.toSeq.toDF("_pid", "_off")
-    val win = Window.partitionBy(col("_pid")).orderBy(col("_s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sums = ranged.join(broadcast(offDf), "_pid")
-      .withColumn("_e", sum(col("_c")).over(win) + col("_off"))
-      // 2·midrank of the tie group: 2(e−c) + c + 1, integer-exact
-      .withColumn("_mr2", lit(2) * (col("_e") - col("_c")) + col("_c") + 1)
+    val sums = Ranks.midranks2(
+      df.filter(col(labelCol).isNotNull)
+        .select(col(scoreCol).cast("double").as("s"),
+          col(labelCol).cast("long").as("y")),
+      "s", Seq(sum(col("y")).as("_pos")), numPartitions)
       .agg(sum(col("_pos")).as("np"),
-        sum(col("_c") - col("_pos")).as("nn"),
-        sum(col("_pos") * col("_mr2")).as("s2"))
+        sum(col("c") - col("_pos")).as("nn"),
+        sum(col("_pos") * col("mr2")).as("s2"))
     sums.select(col("np").as("n_pos"), col("nn").as("n_neg"),
       when(col("np") > 0 && col("nn") > 0,
         Num.r((col("s2") - col("np") * (col("np") + 1)).cast("double") /

@@ -532,6 +532,74 @@ object FeatureQueries {
   // the rounded measures is what's reported). At 100 TB this is one
   // map-side-combined shuffle; column-pair count is schema-bounded. ----
 
+  // ---- q174: exact Spearman rank correlation between document
+  // length and token count — the robust (monotone-invariant)
+  // companion of q115's Pearson, and like q173 a metric usually
+  // approximated at scale because it needs global ranks. Midranks
+  // per feature come from operators.Ranks (range-partitioned, doubled
+  // ⇒ integer-exact); Spearman ρ is then Pearson over the two mr2
+  // columns via integer sufficient sums (the q115 contract: exact,
+  // order-independent 64-bit sums, doubles only in the final
+  // formula — the 2× on both ranks cancels in the correlation). ----
+
+  def q174Spearman(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks
+    val d = docs(spark, dir)
+      .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      .select(col("n_chars").cast("long").as("x"),
+        TF.tokenCount(col("text")).cast("long").as("y"))
+    val rx = Ranks.midranks2(d, "x")
+      .select(col("value").as("x"), col("mr2").as("rx"))
+    val ry = Ranks.midranks2(d, "y")
+      .select(col("value").as("y"), col("mr2").as("ry"))
+    val s = d.join(rx, "x").join(ry, "y").agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"),
+      sum(col("rx") * col("ry")).as("sxy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val vx = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    s.select(col("n"),
+      when(vx > 0 && vy > 0, Num.r(num / sqrt(vx * vy), 6))
+        .as("spearman_rho"))
+  }
+
+  val q174Sql: String = {
+    val tc = TF.sqlTokenCount("text")
+    s"""WITH d AS (
+       |  SELECT n_chars::BIGINT AS x, ($tc)::BIGINT AS y
+       |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+       |gx AS (SELECT x AS value, count(*) AS c FROM d GROUP BY 1),
+       |kx AS (SELECT value,
+       |         2 * (sum(c) OVER (ORDER BY value) - c) + c + 1 AS rx
+       |       FROM gx),
+       |gy AS (SELECT y AS value, count(*) AS c FROM d GROUP BY 1),
+       |ky AS (SELECT value,
+       |         2 * (sum(c) OVER (ORDER BY value) - c) + c + 1 AS ry
+       |       FROM gy),
+       |j AS (SELECT rx, ry FROM d
+       |      JOIN kx ON d.x = kx.value JOIN ky ON d.y = ky.value),
+       |s AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+       |        sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+       |        sum(rx * ry) AS sxy
+       |      FROM j)
+       |SELECT n,
+       |  CASE WHEN (n::DOUBLE * sxx - sx::DOUBLE * sx) > 0
+       |        AND (n::DOUBLE * syy - sy::DOUBLE * sy) > 0 THEN
+       |    ${Num.sqlR(
+          "(n::DOUBLE * sxy - sx::DOUBLE * sy) / " +
+            "sqrt((n::DOUBLE * sxx - sx::DOUBLE * sx) * " +
+            "(n::DOUBLE * syy - sy::DOUBLE * sy))", 6)}
+       |  END AS spearman_rho
+       |FROM s""".stripMargin
+  }
+
   def q115Correlation(spark: SparkSession, dir: String): DataFrame =
     corrFromInts(lineitem(spark, dir).select(col("l_returnflag").as("g"),
       col("l_quantity").cast("long").as("q"),
@@ -1164,6 +1232,7 @@ object FeatureQueries {
     "q112_chi2_drift" -> (q112Chi2Drift _),
     "q113_source_overlap" -> (q113SourceOverlap _),
     "q114_skew" -> (q114Skew _),
+    "q174_spearman" -> (q174Spearman _),
     "q115_correlation" -> (q115Correlation _),
     "q116_mad_outliers" -> (q116MadOutliers _),
     "q117_zipf" -> (q117Zipf _),
@@ -1185,6 +1254,7 @@ object FeatureQueries {
     "q112_chi2_drift" -> q112Sql,
     "q113_source_overlap" -> q113Sql,
     "q114_skew" -> q114Sql,
+    "q174_spearman" -> q174Sql,
     "q115_correlation" -> q115Sql,
     "q116_mad_outliers" -> q116Sql,
     "q117_zipf" -> q117Sql,

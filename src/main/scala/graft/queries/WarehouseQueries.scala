@@ -655,6 +655,58 @@ object WarehouseQueries {
        |  ${Num.sqlR4("quantile_cont(gap_days, 0.99)")} AS p99
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q175: revenue-concentration metrics — exact Gini coefficient
+  // and top-decile share of per-customer revenue. The inequality
+  // formula Σ(2i − n − 1)·xᵢ / (n·Σx) needs every customer's GLOBAL
+  // rank — computed with the range-partitioned GlobalOrder, never an
+  // empty-frame row_number. Revenue is snapped to integer CENTS
+  // before ranking and summing, so the rank coefficients ride exact
+  // 64-bit products; ties in cents are rank-order-invariant in the
+  // Gini sum (equal x within a tie group makes the coefficient sum
+  // independent of the tiebreak), so the custkey tiebreak is only
+  // for determinism of the intermediate frame. ----
+
+  def q175Gini(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.load(spark, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(floor(Num.r(sum(col("o_totalprice")), 2) * 100 + 0.5)
+        .cast("long").as("cents"))
+    val ranked = graft.operators.GlobalOrder.withGlobalPos(
+      rev, 8, Seq(col("cents"), col("o_custkey")), "i")
+    val n = broadcast(rev.agg(count(lit(1)).as("n")))
+    ranked.crossJoin(n)
+      .agg(max(col("n")).as("n_customers"),
+        sum(col("cents")).as("total_cents"),
+        sum((lit(2) * col("i") - col("n") - 1) * col("cents")).as("gnum"),
+        sum(when(col("i") > col("n") - expr("n div 10"), col("cents"))
+          .otherwise(0L)).as("top_cents"))
+      .select(col("n_customers"),
+        Num.r(col("gnum").cast("double") /
+          (col("n_customers").cast("double") * col("total_cents")), 6)
+          .as("gini"),
+        Num.r(col("top_cents").cast("double") / col("total_cents"), 6)
+          .as("top_decile_share"))
+  }
+
+  val q175Sql: String =
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    CAST(floor(${Num.sqlR2("sum(o_totalprice)")} * 100 + 0.5) AS BIGINT)
+       |      AS cents
+       |  FROM orders GROUP BY 1),
+       |k AS (SELECT *,
+       |        row_number() OVER (ORDER BY cents, o_custkey) AS i,
+       |        count(*) OVER () AS n
+       |      FROM rev)
+       |SELECT max(n) AS n_customers,
+       |  ${Num.sqlR(
+          "sum((2 * i - n - 1) * cents)::DOUBLE / (max(n)::DOUBLE * sum(cents))",
+          6)} AS gini,
+       |  ${Num.sqlR(
+          "sum(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END)::DOUBLE / sum(cents)",
+          6)} AS top_decile_share
+       |FROM k""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_tpch_q3" -> (q131TpchQ3 _),
     "q132_tpch_q4" -> (q132TpchQ4 _),
@@ -675,7 +727,8 @@ object WarehouseQueries {
     "q147_tpch_q22" -> (q147TpchQ22 _),
     "q159_basket" -> (q159Basket _),
     "q163_skyline" -> (q163Skyline _),
-    "q170_fulfillment_sla" -> (q170FulfillmentSla _))
+    "q170_fulfillment_sla" -> (q170FulfillmentSla _),
+    "q175_gini" -> (q175Gini _))
 
   def oracles: Map[String, String] = Map(
     "q131_tpch_q3" -> q131Sql,
@@ -697,5 +750,6 @@ object WarehouseQueries {
     "q147_tpch_q22" -> q147Sql,
     "q159_basket" -> q159Sql,
     "q163_skyline" -> q163Sql,
-    "q170_fulfillment_sla" -> q170Sql)
+    "q170_fulfillment_sla" -> q170Sql,
+    "q175_gini" -> q175Sql)
 }
