@@ -539,24 +539,37 @@ object WarehouseQueries {
   private val BasketMinSupCnt = 50
 
   def q159Basket(spark: SparkSession, dir: String): DataFrame = {
+    // cached: the basket frame feeds the frequency table AND both
+    // sides of the pair self-join — uncached, the scan + broadcast
+    // join + distinct re-executes three times
     val items = Tables.load(spark, dir, "lineitem")
       .join(broadcast(Tables.load(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
       .distinct()
+      .cache()
     val n = broadcast(items.select(col("basket")).distinct()
       .agg(count(lit(1)).as("n_baskets")))
     val freq = items.groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= BasketMinSupCnt)
-    val kept = items.join(broadcast(freq), "item")
+    // A-priori prune via LEFT SEMI (the item row needs no payload in
+    // the self-join); per-item counts re-attach AFTER the pair
+    // aggregation by broadcast — the ≤items² pair frame is tiny,
+    // while carrying cnt through the basket self-join widened every
+    // shuffled row and the groupBy key for nothing
+    val kept = items.join(broadcast(freq.select(col("item"))),
+      Seq("item"), "left_semi")
     val pairs = kept.as("a")
       .join(kept.as("b"), col("a.basket") === col("b.basket") &&
         col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"),
-        col("a.cnt").as("cnt_a"), col("b.cnt").as("cnt_b"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("cnt_ab"))
       .filter(col("cnt_ab") >= BasketMinSupCnt)
+      .join(broadcast(freq.select(col("item").as("item_a"),
+        col("cnt").as("cnt_a"))), "item_a")
+      .join(broadcast(freq.select(col("item").as("item_b"),
+        col("cnt").as("cnt_b"))), "item_b")
     pairs.crossJoin(n)
       .select(col("item_a"), col("item_b"), col("cnt_ab").as("both"),
         Num.r4(col("cnt_ab").cast("double") / col("n_baskets")).as("support"),
