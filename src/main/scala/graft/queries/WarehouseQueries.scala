@@ -720,6 +720,135 @@ object WarehouseQueries {
           6)} AS top_decile_share
        |FROM k""".stripMargin
 
+  // ---- q176: one ALS user-step — the collaborative-filtering
+  // training round (implicit ratings = per-(customer, brand) purchase
+  // counts). Item factors are frozen at a deterministic hash-derived
+  // init; each user's k=2 factor vector solves the L2-regularized
+  // normal equations (VᵀV + λI)w = Vᵀr in CLOSED FORM (2×2 inverse) —
+  // so the whole step is: one ratings aggregation, one broadcast join
+  // against the model-sized item-factor table, five per-user sums,
+  // and per-row arithmetic. That is exactly how a distributed ALS
+  // iteration shapes at 100 TB (per-user solves are embarrassingly
+  // parallel; only the k×items factor table moves). Per-user sums are
+  // r6-snapped before the solve so partial-aggregation order can't
+  // leak into the inverse; the oracle repeats the identical algebra,
+  // so the hash match pins the distributed solve bit-for-bit. ----
+
+  private val AlsLambda = 0.1
+
+  def q176AlsRound(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TFn}
+    val ratings = Tables.load(spark, dir, "lineitem")
+      .join(broadcast(Tables.load(spark, dir, "part")),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.load(spark, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("p_brand").as("item"))
+      .agg(count(lit(1)).cast("double").as("r"))
+    // frozen deterministic item factors: v0 ≡ 1 (bias-like), v1 a
+    // hash-spread value in [-0.5, 0.5)
+    val v1 = Num.r((TFn.hash60(col("item")) % 1000).cast("double") / 1000 - 0.5, 6)
+    val rated = ratings.select(col("u"), col("r"), lit(1.0).as("v0"), v1.as("v1"))
+    val solved = rated.groupBy(col("u"))
+      .agg(Num.r(sum(col("v0") * col("v0")), 6).as("a"),
+        Num.r(sum(col("v0") * col("v1")), 6).as("b"),
+        Num.r(sum(col("v1") * col("v1")), 6).as("c"),
+        Num.r(sum(col("v0") * col("r")), 6).as("d0"),
+        Num.r(sum(col("v1") * col("r")), 6).as("d1"))
+      .withColumn("det",
+        (col("a") + AlsLambda) * (col("c") + AlsLambda) - col("b") * col("b"))
+      .select(col("u"),
+        Num.r(((col("c") + AlsLambda) * col("d0") - col("b") * col("d1")) /
+          col("det"), 6).as("w0"),
+        Num.r(((col("a") + AlsLambda) * col("d1") - col("b") * col("d0")) /
+          col("det"), 6).as("w1"))
+    val pred = rated.join(solved, "u")
+      .select(col("r"),
+        (col("w0") * col("v0") + col("w1") * col("v1")).as("rhat"))
+    pred.agg(count(lit(1)).as("n_ratings"),
+      Num.r4(sqrt(avg(pow(col("r") - col("rhat"), 2)))).as("rmse"))
+      .crossJoin(broadcast(solved.agg(count(lit(1)).as("n_users"))))
+      .crossJoin(broadcast(
+        ratings.select(col("item")).distinct().agg(count(lit(1)).as("n_items"))))
+      .select(col("n_users"), col("n_items"), col("n_ratings"), col("rmse"))
+  }
+
+  val q176Sql: String = {
+    import graft.functions.{TextFunctions => TFn}
+    val lam = AlsLambda
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS u, p_brand AS item, count(*)::DOUBLE AS r
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |rated AS (
+       |  SELECT u, r, 1.0 AS v0,
+       |    ${Num.sqlR(s"(${TFn.sqlHash60("item")} % 1000)::DOUBLE / 1000 - 0.5", 6)} AS v1
+       |  FROM ratings),
+       |solved AS (
+       |  SELECT u,
+       |    ${Num.sqlR(s"((c + $lam) * d0 - b * d1) / ((a + $lam) * (c + $lam) - b * b)", 6)} AS w0,
+       |    ${Num.sqlR(s"((a + $lam) * d1 - b * d0) / ((a + $lam) * (c + $lam) - b * b)", 6)} AS w1
+       |  FROM (
+       |    SELECT u, ${Num.sqlR("sum(v0 * v0)", 6)} AS a,
+       |      ${Num.sqlR("sum(v0 * v1)", 6)} AS b,
+       |      ${Num.sqlR("sum(v1 * v1)", 6)} AS c,
+       |      ${Num.sqlR("sum(v0 * r)", 6)} AS d0,
+       |      ${Num.sqlR("sum(v1 * r)", 6)} AS d1
+       |    FROM rated GROUP BY u)),
+       |pred AS (
+       |  SELECT r, w0 * v0 + w1 * v1 AS rhat
+       |  FROM rated JOIN solved USING (u))
+       |SELECT (SELECT count(*) FROM solved) AS n_users,
+       |  (SELECT count(DISTINCT item) FROM ratings) AS n_items,
+       |  count(*) AS n_ratings,
+       |  ${Num.sqlR4("sqrt(avg(pow(r - rhat, 2)))")} AS rmse
+       |FROM pred""".stripMargin
+  }
+
+  // ---- q177: Benford first-digit audit of order totals — the fraud/
+  // data-quality screen: observed leading-digit distribution of
+  // o_totalprice against Benford's log₁₀(1 + 1/d) expectation, with
+  // per-digit chi² contributions. The leading digit comes from the
+  // INTEGER cents rendered as a string (substr of a BIGINT cast) —
+  // never floor(log10(double)), whose boundary ulps differ between
+  // engines. One grouped aggregation over a 9-row digit domain. ----
+
+  def q177Benford(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val digits = Tables.load(spark, dir, "orders")
+      .filter(col("o_totalprice") > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(digits.agg(sum(col("n")).as("total")))
+    digits.crossJoin(tot)
+      .withColumn("observed", Num.r(col("n").cast("double") / col("total"), 6))
+      .withColumn("expected",
+        Num.r(log10(lit(1.0) + lit(1.0) / col("digit")), 6))
+      .select(col("digit"), col("n"), col("observed"), col("expected"),
+        Num.r(pow(col("observed") - col("expected"), 2) / col("expected"), 6)
+          .as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val q177Sql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS INT) AS digit,
+       |    count(*) AS n
+       |  FROM orders WHERE o_totalprice > 0
+       |  GROUP BY 1),
+       |t AS (SELECT sum(n) AS total FROM d)
+       |SELECT digit, n,
+       |  ${Num.sqlR("n::DOUBLE / total", 6)} AS observed,
+       |  ${Num.sqlR("log10(1.0 + 1.0 / digit)", 6)} AS expected,
+       |  ${Num.sqlR(
+        s"pow((${Num.sqlR("n::DOUBLE / total", 6)}) - (${Num.sqlR("log10(1.0 + 1.0 / digit)", 6)}), 2) / (${Num.sqlR("log10(1.0 + 1.0 / digit)", 6)})",
+        6)} AS chi2_term
+       |FROM d CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_tpch_q3" -> (q131TpchQ3 _),
     "q132_tpch_q4" -> (q132TpchQ4 _),
@@ -741,7 +870,9 @@ object WarehouseQueries {
     "q159_basket" -> (q159Basket _),
     "q163_skyline" -> (q163Skyline _),
     "q170_fulfillment_sla" -> (q170FulfillmentSla _),
-    "q175_gini" -> (q175Gini _))
+    "q175_gini" -> (q175Gini _),
+    "q176_als_round" -> (q176AlsRound _),
+    "q177_benford" -> (q177Benford _))
 
   def oracles: Map[String, String] = Map(
     "q131_tpch_q3" -> q131Sql,
@@ -764,5 +895,7 @@ object WarehouseQueries {
     "q159_basket" -> q159Sql,
     "q163_skyline" -> q163Sql,
     "q170_fulfillment_sla" -> q170Sql,
-    "q175_gini" -> q175Sql)
+    "q175_gini" -> q175Sql,
+    "q176_als_round" -> q176Sql,
+    "q177_benford" -> q177Sql)
 }
