@@ -35,11 +35,14 @@ object Num {
     math.floor(math.floor(x * p + 0.5) / p * f + 0.5) / f
   }
 
-  /** Same expression as DuckDB SQL text. */
+  /** Same expression as DuckDB SQL text. Emitted fully parenthesized:
+    * the raw form ends in `/ $f`, so embedding it as an operand of a
+    * surrounding `/` or `*` silently re-associates (q177's chi²
+    * denominator read as `x / floor(...) / 1e6` and evaluated ≈ 0). */
   def sqlR(e: String, scale: Int): String = {
     val p = math.pow(10, scale + 4).toLong
     val f = math.pow(10, scale).toLong
-    s"floor((floor(($e) * $p + 0.5) / $p) * $f + 0.5) / $f"
+    s"(floor((floor(($e) * $p + 0.5) / $p) * $f + 0.5) / $f)"
   }
   def sqlR2(e: String): String = sqlR(e, 2)
   def sqlR4(e: String): String = sqlR(e, 4)
