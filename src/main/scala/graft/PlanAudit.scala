@@ -28,7 +28,11 @@ object PlanAudit {
         "q123_ks_drift", "q125_dsir_resample", "q126_host_rollup",
         "q127_host_blocklist", "q128_quality_gate", "q129_domain_quota",
         "q130_curation_funnel", "q131_tpch_q3", "q133_tpch_q5",
-        "q136_tpch_q8", "q143_tpch_q17", "q146_tpch_q21")
+        "q136_tpch_q8", "q143_tpch_q17", "q146_tpch_q21",
+        "q153_edit_join", "q154_sketch_rollup", "q156_attribution",
+        "q158_rfm", "q159_basket", "q161_sliding_distinct",
+        "q163_skyline", "q171_table_diff", "q173_auc", "q175_gini",
+        "q176_als_round")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -353,13 +353,112 @@ object JourneyQueries {
        |  ${Num.sqlR4("avg(ratio)")} AS seasonal_index
        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q178: Kaplan–Meier time-to-purchase survival curves per
+  // signup-week cohort — censoring-aware conversion analysis (a plain
+  // avg of conversion delays silently drops the users who never
+  // converted; KM keeps them at-risk until the data horizon). Per
+  // user: T = days from first view to first purchase AFTER it
+  // (event), else days to the data horizon (censored). Per (cohort,
+  // day): d events, c censorings; the at-risk count is the cohort
+  // size minus the cumulative prior exits, and
+  // S(t) = Π_{s ≤ t}(1 − d_s/n_s), computed as exp(Σ ln(·)) over a
+  // cohort-partitioned window (the product telescopes to a cumsum —
+  // ln agrees cross-engine exactly as in the PSI oracle). A tie
+  // group with d = n would hit ln(0) (Spark null, DuckDB −inf):
+  // those rows contribute 0 to the sum and a cumulative flag pins
+  // S = 0 from there on, identically in both engines. Output rows
+  // are event days only — bounded by cohorts × horizon days. ----
+
+  def q178KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val v1 = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v1"))
+    val p1 = ev.filter(col("event_type") === "purchase")
+      .join(v1, "user_id").filter(col("ts") > col("v1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p1"))
+    val horizon = broadcast(ev.agg(max(to_date(col("ts"))).as("hday")))
+    val durations = v1.join(p1, Seq("user_id"), "left")
+      .crossJoin(horizon)
+      .select(
+        expr("unix_timestamp(v1) div 604800").as("cohort"),
+        when(col("p1").isNotNull,
+          datediff(to_date(col("p1")), to_date(col("v1"))))
+          .otherwise(datediff(col("hday"), to_date(col("v1")))).as("t"),
+        when(col("p1").isNotNull, 1L).otherwise(0L).as("event"))
+    val byDay = durations.groupBy(col("cohort"), col("t"))
+      .agg(sum(col("event")).as("d"),
+        sum(lit(1L) - col("event")).as("c"))
+    val coSize = durations.groupBy(col("cohort")).agg(count(lit(1)).as("nc"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("t"))
+    val prior = w.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay.join(broadcast(coSize), "cohort")
+      .withColumn("n_risk",
+        col("nc") - coalesce(sum(col("d") + col("c")).over(prior), lit(0L)))
+      .withColumn("lnterm",
+        when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+      .withColumn("dead",
+        sum(when(col("d") === col("n_risk"), 1L).otherwise(0L)).over(cum))
+      .withColumn("surv",
+        when(col("dead") > 0, lit(0.0))
+          .otherwise(Num.r4(exp(sum(col("lnterm")).over(cum)))))
+      .filter(col("d") > 0)
+      .select(col("cohort"), col("t"), col("n_risk"), col("d").as("d_events"),
+        col("surv"))
+      .orderBy(col("cohort"), col("t"))
+  }
+
+  val q178Sql: String =
+    s"""WITH v1 AS (SELECT user_id, min(ts) AS v1 FROM events
+       |            WHERE event_type = 'view' GROUP BY 1),
+       |p1 AS (SELECT e.user_id, min(e.ts) AS p1
+       |       FROM events e JOIN v1 USING (user_id)
+       |       WHERE e.event_type = 'purchase' AND e.ts > v1.v1 GROUP BY 1),
+       |h AS (SELECT max(CAST(ts AS DATE)) AS hday FROM events),
+       |dur AS (
+       |  SELECT CAST(floor(epoch(v1.v1)) AS BIGINT) // 604800 AS cohort,
+       |    CASE WHEN p1.p1 IS NOT NULL
+       |      THEN date_diff('day', CAST(v1.v1 AS DATE), CAST(p1.p1 AS DATE))
+       |      ELSE date_diff('day', CAST(v1.v1 AS DATE), h.hday) END AS t,
+       |    CASE WHEN p1.p1 IS NOT NULL THEN 1 ELSE 0 END AS event
+       |  FROM v1 LEFT JOIN p1 USING (user_id) CROSS JOIN h),
+       |byday AS (
+       |  SELECT cohort, t, CAST(sum(event) AS BIGINT) AS d,
+       |    CAST(sum(1 - event) AS BIGINT) AS c
+       |  FROM dur GROUP BY 1, 2),
+       |cs AS (SELECT cohort, count(*) AS nc FROM dur GROUP BY 1),
+       |k AS (
+       |  SELECT b.cohort, b.t, b.d, b.c, cs.nc,
+       |    cs.nc - coalesce(sum(b.d + b.c) OVER
+       |      (PARTITION BY b.cohort ORDER BY b.t
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM byday b JOIN cs ON b.cohort = cs.cohort),
+       |m AS (
+       |  SELECT *,
+       |    CASE WHEN d < n_risk THEN ln(1.0 - d::DOUBLE / n_risk)
+       |         ELSE 0.0 END AS lnterm,
+       |    sum(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY cohort ORDER BY t
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+       |  FROM k)
+       |SELECT cohort, t, n_risk, d AS d_events,
+       |  CASE WHEN dead > 0 THEN 0.0 ELSE
+       |    ${Num.sqlR4("exp(sum(lnterm) OVER (PARTITION BY cohort ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))")}
+       |  END AS surv
+       |FROM m WHERE d > 0
+       |ORDER BY cohort, t""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_seq_funnel" -> (q155SeqFunnel _),
     "q156_attribution" -> (q156Attribution _),
     "q157_session_paths" -> (q157SessionPaths _),
     "q158_rfm" -> (q158Rfm _),
     "q160_session_stats" -> (q160SessionStats _),
-    "q169_seasonality" -> (q169Seasonality _))
+    "q169_seasonality" -> (q169Seasonality _),
+    "q178_kaplan_meier" -> (q178KaplanMeier _))
 
   def oracles: Map[String, String] = Map(
     "q155_seq_funnel" -> q155Sql,
@@ -367,5 +466,6 @@ object JourneyQueries {
     "q157_session_paths" -> q157Sql,
     "q158_rfm" -> q158Sql,
     "q160_session_stats" -> q160Sql,
-    "q169_seasonality" -> q169Sql)
+    "q169_seasonality" -> q169Sql,
+    "q178_kaplan_meier" -> q178Sql)
 }
