@@ -600,6 +600,66 @@ object FeatureQueries {
        |FROM s""".stripMargin
   }
 
+  // ---- q179: Mann–Whitney U test — does the 'en' half of the corpus
+  // have systematically different document lengths than the rest?
+  // The nonparametric two-sample location test beside the χ² (q112)
+  // and KS (q123) gates: U from the group-1 midrank sum (the same
+  // doubled-midrank machinery as AUC/Spearman — U = ΣR₁ − n₁(n₁+1)/2,
+  // all integer until the final z), with the TIE-CORRECTED normal
+  // variance σ² = n₁n₂/12 · [(n+1) − Σ(c³−c)/(n(n−1))] — document
+  // lengths tie heavily, and the uncorrected variance overstates σ.
+  // Σ(c³−c) rides the same compressed per-value frame. ----
+
+  def q179MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks
+    val d = docs(spark, dir)
+      .filter(col("n_chars").isNotNull)
+      .select(col("n_chars").cast("long").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("g1"))
+    val sums = Ranks.midranks2(d, "v", Seq(sum(col("g1")).as("_n1")))
+      .agg(
+        sum(col("_n1")).as("n1"),
+        sum(col("c") - col("_n1")).as("n2"),
+        sum(col("_n1") * col("mr2")).as("r1x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val n = n1 + n2
+    // U = ΣR₁ − n₁(n₁+1)/2; ΣR₁ = r1x2/2 (doubled midranks)
+    val u = col("r1x2").cast("double") / 2 - n1 * (n1 + 1) / 2
+    val sigma2 = n1 * n2 / 12 *
+      ((n + 1) - col("ties").cast("double") / (n * (n - 1)))
+    sums.select(col("n1"), col("n2"),
+      Num.r2(u).as("u"),
+      when(col("n1") > 0 && col("n2") > 0 && sigma2 > 0,
+        Num.r4((u - n1 * n2 / 2) / sqrt(sigma2))).as("z"))
+  }
+
+  val q179Sql: String =
+    s"""WITH d AS (
+       |  SELECT n_chars::BIGINT AS v,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |g AS (SELECT v, count(*) AS c, CAST(sum(g1) AS BIGINT) AS p
+       |      FROM d GROUP BY 1),
+       |k AS (SELECT *,
+       |        2 * (sum(c) OVER (ORDER BY v) - c) + c + 1 AS mr2
+       |      FROM g),
+       |s AS (SELECT CAST(sum(p) AS BIGINT) AS n1,
+       |        CAST(sum(c - p) AS BIGINT) AS n2,
+       |        CAST(sum(p * mr2) AS BIGINT) AS r1x2,
+       |        CAST(sum(c * c * c - c) AS BIGINT) AS ties
+       |      FROM k)
+       |SELECT n1, n2,
+       |  ${Num.sqlR2("r1x2::DOUBLE / 2 - n1::DOUBLE * (n1 + 1) / 2")} AS u,
+       |  CASE WHEN n1 > 0 AND n2 > 0 THEN
+       |    ${Num.sqlR4(
+          "(r1x2::DOUBLE / 2 - n1::DOUBLE * (n1 + 1) / 2 - n1::DOUBLE * n2 / 2) / " +
+            "sqrt(n1::DOUBLE * n2 / 12 * ((n1 + n2 + 1) - " +
+            "ties::DOUBLE / ((n1::DOUBLE + n2) * (n1 + n2 - 1))))")}
+       |  END AS z
+       |FROM s""".stripMargin
+
   def q115Correlation(spark: SparkSession, dir: String): DataFrame =
     corrFromInts(lineitem(spark, dir).select(col("l_returnflag").as("g"),
       col("l_quantity").cast("long").as("q"),
@@ -1233,6 +1293,7 @@ object FeatureQueries {
     "q113_source_overlap" -> (q113SourceOverlap _),
     "q114_skew" -> (q114Skew _),
     "q174_spearman" -> (q174Spearman _),
+    "q179_mann_whitney" -> (q179MannWhitney _),
     "q115_correlation" -> (q115Correlation _),
     "q116_mad_outliers" -> (q116MadOutliers _),
     "q117_zipf" -> (q117Zipf _),
@@ -1255,6 +1316,7 @@ object FeatureQueries {
     "q113_source_overlap" -> q113Sql,
     "q114_skew" -> q114Sql,
     "q174_spearman" -> q174Sql,
+    "q179_mann_whitney" -> q179Sql,
     "q115_correlation" -> q115Sql,
     "q116_mad_outliers" -> q116Sql,
     "q117_zipf" -> q117Sql,
