@@ -542,6 +542,73 @@ object CorpusStatsQueries {
        |  END AS auc
        |FROM t""".stripMargin
 
+  // ---- q180: HOLDOUT perplexity — the LM-eval hygiene q83 skips:
+  // q83 trains and scores on the same corpus (the quality-filter
+  // signal), which flatters the model; here the bigram LM trains on
+  // the deterministic 'train' split and is evaluated on the unseen
+  // 'val' split (same hash-bucket split as q56/q61 — a ratio change
+  // cannot desynchronize them). Corpus perplexity weights each doc by
+  // its bigram count: ppl = exp(Σ nllᵢ·nᵢ / Σ nᵢ), recomposed from
+  // the r4-snapped per-doc scores identically in both engines; OOV
+  // bigrams are the add-1 smoothing's job (coalesce(0) in
+  // scoreAgainst and the oracle's LEFT JOIN alike). ----
+
+  def q180HoldoutPpl(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val split = TF.splitAssign(col("doc_id"))
+    val train = d.filter(split === "train")
+    val valD = d.filter(split === "val")
+    val (cab, ca, v) = LanguageModel.train(train)
+    val scored = LanguageModel.scoreAgainst(valD, cab, ca, v)
+    scored.agg(count(lit(1)).as("n_val_docs"),
+      sum(col("n_bigrams")).as("n_bigrams"),
+      Num.r4(exp(sum(col("nll") * col("n_bigrams")) / sum(col("n_bigrams"))))
+        .as("holdout_ppl"))
+      .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train_docs"))))
+      .select(col("n_train_docs"), col("n_val_docs"), col("n_bigrams"),
+        col("holdout_ppl"))
+  }
+
+  val q180Sql: String = {
+    val ts = TF.sqlTokens("text")
+    def splitSel(name: String) =
+      s"""SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      ${TF.sqlHash60("doc_id::VARCHAR")} % 100 AS hk
+         |    FROM documents)
+         |  WHERE ${TF.sqlSplitCase("hk")} = '$name'""".stripMargin
+    s"""WITH tr AS (${splitSel("train")}),
+       |va AS (${splitSel("val")}),
+       |tk AS (SELECT doc_id, ts FROM (
+       |         SELECT doc_id, $ts AS ts FROM tr) WHERE len(ts) >= 2),
+       |bg AS (SELECT doc_id, ts[j] AS a, ts[j + 1] AS b
+       |       FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS j FROM tk)),
+       |cab AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+       |ca AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM cab GROUP BY a),
+       |vv AS (SELECT count(DISTINCT tok) AS v
+       |       FROM (SELECT unnest($ts) AS tok FROM tr)),
+       |vtk AS (SELECT doc_id, ts FROM (
+       |          SELECT doc_id, $ts AS ts FROM va) WHERE len(ts) >= 2),
+       |vbg AS (SELECT doc_id, ts[j] AS a, ts[j + 1] AS b
+       |        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS j FROM vtk)),
+       |s AS (
+       |  SELECT vbg.doc_id,
+       |    ln((coalesce(cab.cab, 0)::DOUBLE + 1.0::DOUBLE)
+       |       / (coalesce(ca.ca, 0)::DOUBLE + 1.0::DOUBLE * vv.v::DOUBLE)) AS lp
+       |  FROM vbg
+       |  LEFT JOIN cab ON vbg.a = cab.a AND vbg.b = cab.b
+       |  LEFT JOIN ca ON vbg.a = ca.a
+       |  CROSS JOIN vv),
+       |nd AS (SELECT doc_id, count(*) AS nb,
+       |         ${Num.sqlR4("-sum(lp) / count(*)")} AS nll
+       |       FROM s GROUP BY doc_id)
+       |SELECT (SELECT count(*) FROM tr) AS n_train_docs,
+       |  count(*) AS n_val_docs,
+       |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       |  ${Num.sqlR4("exp(sum(nll * nb) / sum(nb))")} AS holdout_ppl
+       |FROM nd""".stripMargin
+  }
+
   // ---- q94: classifier-scored corpus routing — the train → score →
   // route composition a production corpus runs: every document gets
   // the trained model's verdict (z ≥ 0 ⇒ predicted positive) and the
@@ -1161,6 +1228,7 @@ object CorpusStatsQueries {
     "q91_quality_lr" -> (q91QualityLr _),
     "q172_calibration" -> (q172Calibration _),
     "q173_auc" -> (q173Auc _),
+    "q180_holdout_ppl" -> (q180HoldoutPpl _),
     "q92_listagg" -> (q92Listagg _),
     "q93_covariance" -> (q93Covariance _),
     "q94_classifier_route" -> (q94ClassifierRoute _),
@@ -1186,6 +1254,7 @@ object CorpusStatsQueries {
     "q91_quality_lr" -> q91Sql,
     "q172_calibration" -> q172Sql,
     "q173_auc" -> q173Sql,
+    "q180_holdout_ppl" -> q180Sql,
     "q92_listagg" -> q92Sql,
     "q93_covariance" -> q93Sql,
     "q94_classifier_route" -> q94Sql,
