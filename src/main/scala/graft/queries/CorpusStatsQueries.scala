@@ -205,6 +205,55 @@ object CorpusStatsQueries {
       iters = PrIters, damping = PrDamp)
       .orderBy(col("node"))
 
+  // ---- q181: degree structure of the near-dup graph — node/edge
+  // counts, mean/max degree, and the discrete power-law exponent MLE
+  // α = 1 + n / Σ ln(dᵢ/(d_min − ½)) (Clauset–Shalizi–Newman 2009,
+  // d_min = 1 ⇒ ln(2d)) — the shape diagnostic that says whether the
+  // duplicate graph is a few mega-clusters (small α, hub-heavy) or
+  // scattered pairs (large α). One degree aggregation over the q28
+  // edge list; everything after is a one-row reduce. ----
+
+  def q181DegreeMle(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.cosinePairs(embs(spark, dir), PrTau)
+      .select(col("id_a"), col("id_b"))
+    val deg = edges.select(col("id_a").as("node"))
+      .unionAll(edges.select(col("id_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_nodes"),
+        (sum(col("d")) / 2).cast("long").as("n_edges"),
+        max(col("d")).as("max_degree"),
+        Num.r4(avg(col("d"))).as("mean_degree"),
+        sum(log(col("d").cast("double") * 2)).as("slog"))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("mean_degree"),
+        Num.r4(lit(1.0) + col("n_nodes").cast("double") / col("slog"))
+          .as("alpha_mle"))
+  }
+
+  val q181Sql: String = {
+    val dot = "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))"
+    val norm = (t: String) => s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
+    val pairCos = Num.sqlR4(s"$dot / (${norm("a")} * ${norm("b")})")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |edges AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |  WHERE $pairCos >= $PrTau),
+       |deg AS (
+       |  SELECT node, count(*) AS d FROM (
+       |    SELECT id_a AS node FROM edges
+       |    UNION ALL SELECT id_b FROM edges)
+       |  GROUP BY 1)
+       |SELECT count(*) AS n_nodes,
+       |  CAST(sum(d) / 2 AS BIGINT) AS n_edges,
+       |  max(d) AS max_degree,
+       |  ${Num.sqlR4("avg(d)")} AS mean_degree,
+       |  ${Num.sqlR4("1.0 + count(*)::DOUBLE / sum(ln(d::DOUBLE * 2))")}
+       |    AS alpha_mle
+       |FROM deg""".stripMargin
+  }
+
   val q87Sql: String = {
     val dot = "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))"
     val norm = (t: String) => s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
@@ -1229,6 +1278,7 @@ object CorpusStatsQueries {
     "q172_calibration" -> (q172Calibration _),
     "q173_auc" -> (q173Auc _),
     "q180_holdout_ppl" -> (q180HoldoutPpl _),
+    "q181_degree_mle" -> (q181DegreeMle _),
     "q92_listagg" -> (q92Listagg _),
     "q93_covariance" -> (q93Covariance _),
     "q94_classifier_route" -> (q94ClassifierRoute _),
@@ -1255,6 +1305,7 @@ object CorpusStatsQueries {
     "q172_calibration" -> q172Sql,
     "q173_auc" -> q173Sql,
     "q180_holdout_ppl" -> q180Sql,
+    "q181_degree_mle" -> q181Sql,
     "q92_listagg" -> q92Sql,
     "q93_covariance" -> q93Sql,
     "q94_classifier_route" -> q94Sql,
