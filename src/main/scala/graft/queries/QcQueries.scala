@@ -262,15 +262,68 @@ object QcQueries {
        |FROM loo CROSS JOIN mb""".stripMargin
   }
 
+  // ---- q182: split-balance audit — is the train/val/test assignment
+  // independent of language? A hash split SHOULD be (it keys on
+  // doc_id only), but a leaky split (keyed on anything correlated
+  // with content) shows up here first, and downstream eval is biased
+  // before any model is trained. Full lang × split contingency table
+  // with per-cell χ² contributions against the independence
+  // expectation E = row·col/n — exact integer margins, doubles only
+  // in the final term. ----
+
+  def q182SplitBalance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TFn}
+    val cells = docs(spark, dir)
+      .select(col("lang"), TFn.splitAssign(col("doc_id")).as("split"))
+      .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("n")).as("row_n"))
+    val colT = cells.groupBy(col("split")).agg(sum(col("n")).as("col_n"))
+    val tot = broadcast(cells.agg(sum(col("n")).as("total")))
+    cells.join(broadcast(rowT), "lang")
+      .join(broadcast(colT), "split")
+      .crossJoin(tot)
+      .withColumn("expected", Num.r(
+        col("row_n").cast("double") * col("col_n") / col("total"), 4))
+      .select(col("lang"), col("split"), col("n"), col("expected"),
+        Num.r(pow(col("n") - col("expected"), 2) / col("expected"), 6)
+          .as("chi2_term"))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  val q182Sql: String = {
+    import graft.functions.{TextFunctions => TFn}
+    s"""WITH d AS (
+       |  SELECT lang, ${TFn.sqlSplitCase(
+          TFn.sqlHash60("doc_id::VARCHAR") + " % 100")} AS split
+       |  FROM documents),
+       |cells AS (SELECT lang, split, count(*) AS n FROM d GROUP BY 1, 2),
+       |rt AS (SELECT lang, sum(n) AS row_n FROM cells GROUP BY 1),
+       |ct AS (SELECT split, sum(n) AS col_n FROM cells GROUP BY 1),
+       |t AS (SELECT sum(n) AS total FROM cells)
+       |SELECT c.lang, c.split, c.n,
+       |  ${Num.sqlR("rt.row_n::DOUBLE * ct.col_n / t.total", 4)} AS expected,
+       |  ${Num.sqlR(
+          s"pow(c.n - ${Num.sqlR("rt.row_n::DOUBLE * ct.col_n / t.total", 4)}, 2)" +
+            s" / ${Num.sqlR("rt.row_n::DOUBLE * ct.col_n / t.total", 4)}", 6)}
+       |    AS chi2_term
+       |FROM cells c
+       |JOIN rt ON c.lang = rt.lang
+       |JOIN ct ON c.split = ct.split
+       |CROSS JOIN t
+       |ORDER BY c.lang, c.split""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_expectations" -> (q101Expectations _),
     "q102_drift" -> (q102Drift _),
     "q164_integrity" -> (q164Integrity _),
-    "q166_jackknife" -> (q166Jackknife _))
+    "q166_jackknife" -> (q166Jackknife _),
+    "q182_split_balance" -> (q182SplitBalance _))
 
   def oracles: Map[String, String] = Map(
     "q101_expectations" -> q101Sql,
     "q102_drift" -> q102Sql,
     "q164_integrity" -> q164Sql,
-    "q166_jackknife" -> q166Sql)
+    "q166_jackknife" -> q166Sql,
+    "q182_split_balance" -> q182Sql)
 }
