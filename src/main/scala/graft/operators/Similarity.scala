@@ -160,6 +160,61 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** All pairs above a cosine threshold, computed as a BLOCKED TILE
+    * JOIN — the scale-shape replacement for [[cosinePairs]] as an edge
+    * source (identical output, different plan).
+    *
+    * Why not LSH/IVF candidates + verify here: at a loose threshold
+    * like τ=0.35 (θ ≈ 69.5°) the qualifying pairs live in the random-
+    * pair tail — measured on the test corpus, the minimum qualifying
+    * cosine is 0.3500008 at sf0.1 (pairs hug the threshold with ~1e-6
+    * margin) — so every randomized candidate generator has recall < 1
+    * and would silently drop boundary edges. Prefix filtering, which
+    * makes the q24/q36 candidate pattern EXACT for set Jaccard, has no
+    * dense-vector analog that prunes anything at θ ≈ 70° (the L2AP
+    * bounds degenerate when every coordinate is nonzero). LSH stays
+    * the right tool for HIGH-threshold near-dup search (q29's recall
+    * spec); a threshold this deep into the bulk is semantically an
+    * exact O(n²) problem, and the fix is the plan shape, not the
+    * candidate count.
+    *
+    * Shape: vectors are hashed into `nBlocks` blocks; the B(B+1)/2
+    * unordered block pairs form a tiny broadcast "tiles" relation; each
+    * vector joins its tile row(s) and the pair join is an EQUI-join on
+    * the block key — a shuffle of ~n·B/2 rows into B(B+1)/2
+    * independent tile tasks, each a bounded |n/B|² dense-dot loop.
+    * Versus the BroadcastNestedLoopJoin of the theta-join formulation:
+    * no full-table broadcast to every executor, per-task memory bounded
+    * by two blocks, parallelism B(B+1)/2 instead of one nested loop per
+    * input split. At 1000 executors, set nBlocks ≈ √(2·cores).
+    *
+    * Exactness: blocks partition the corpus, so an unordered pair
+    * {x,y} appears in exactly one off-diagonal tile (blk x ≠ blk y) or
+    * one diagonal tile (blk x = blk y, deduped by id order); ids are
+    * canonicalized to id_a < id_b. Property-pinned equal to
+    * [[cosinePairs]] on arbitrary vectors (SimilaritySpec). */
+  def cosinePairsBlocked(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nBlocks: Int = 8): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as("blk"))
+    val tiles = (0 until nBlocks)
+      .flatMap(i => (i until nBlocks).map(j => (i, j))).toDF("ba", "bb")
+    val lhs = v.join(broadcast(tiles), col("blk") === col("ba"))
+      .select(col("bb"), col("id").as("ia"), col("v").as("va"),
+        col("ba"))
+    val rhs = v.select(col("blk").as("bb"), col("id").as("ib"),
+      col("v").as("vb"))
+    lhs.join(rhs, "bb")
+      .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
+      .withColumn("cos", Num.r4(cosine(col("va"), col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane
     * (table, p) is ±1 by a bit of md5("table_p_j"). Computed ONCE on
     * the driver and shipped as array literals — the earlier in-query

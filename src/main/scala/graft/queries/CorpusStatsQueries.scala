@@ -192,7 +192,8 @@ object CorpusStatsQueries {
 
   // ---- q87: PageRank over the embedding near-dup graph — 3 damped
   // iterations, ranks snapped per round (the q81 unrolled-oracle
-  // contract). Edges are q28's cosine pairs. ----
+  // contract). Edges are q28's pair semantics via the blocked tile
+  // join (exact, no BroadcastNestedLoopJoin; see cosinePairsBlocked). ----
 
   private val PrIters = 3
   private val PrDamp = 0.85
@@ -200,7 +201,7 @@ object CorpusStatsQueries {
 
   def q87Pagerank(spark: SparkSession, dir: String): DataFrame =
     Graph.pageRank(
-      Similarity.cosinePairs(embs(spark, dir), PrTau)
+      Similarity.cosinePairsBlocked(embs(spark, dir), PrTau)
         .select(col("id_a"), col("id_b")),
       iters = PrIters, damping = PrDamp)
       .orderBy(col("node"))
@@ -214,7 +215,7 @@ object CorpusStatsQueries {
   // edge list; everything after is a one-row reduce. ----
 
   def q181DegreeMle(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.cosinePairs(embs(spark, dir), PrTau)
+    val edges = Similarity.cosinePairsBlocked(embs(spark, dir), PrTau)
       .select(col("id_a"), col("id_b"))
     val deg = edges.select(col("id_a").as("node"))
       .unionAll(edges.select(col("id_b").as("node")))
@@ -585,7 +586,7 @@ object CorpusStatsQueries {
        |m AS (SELECT pos, c, 2 * (e - c) + c + 1 AS mr2 FROM k),
        |t AS (SELECT sum(pos) AS np, sum(c - pos) AS nn,
        |        sum(pos * mr2) AS s2 FROM m)
-       |SELECT np AS n_pos, nn AS n_neg,
+       |SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
        |  CASE WHEN np > 0 AND nn > 0 THEN
        |    ${Num.sqlR("(s2 - np * (np + 1))::DOUBLE / (2.0 * np * nn)", 6)}
        |  END AS auc
@@ -611,7 +612,12 @@ object CorpusStatsQueries {
     val scored = LanguageModel.scoreAgainst(valD, cab, ca, v)
     scored.agg(count(lit(1)).as("n_val_docs"),
       sum(col("n_bigrams")).as("n_bigrams"),
-      Num.r4(exp(sum(col("nll") * col("n_bigrams")) / sum(col("n_bigrams"))))
+      // the weighted-NLL sum is the one aggregation-order-sensitive
+      // double in this chain (nll is r4-snapped per doc, nb integer):
+      // r6-snap it before the divide/exp so partial-agg order can't
+      // land the final r4 on a rounding boundary (q166 convention)
+      Num.r4(exp(Num.r(sum(col("nll") * col("n_bigrams")), 6) /
+          sum(col("n_bigrams"))))
         .as("holdout_ppl"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("n_train_docs"))))
       .select(col("n_train_docs"), col("n_val_docs"), col("n_bigrams"),
@@ -654,7 +660,7 @@ object CorpusStatsQueries {
        |SELECT (SELECT count(*) FROM tr) AS n_train_docs,
        |  count(*) AS n_val_docs,
        |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
-       |  ${Num.sqlR4("exp(sum(nll * nb) / sum(nb))")} AS holdout_ppl
+       |  ${Num.sqlR4(s"exp(${Num.sqlR("sum(nll * nb)", 6)} / sum(nb))")} AS holdout_ppl
        |FROM nd""".stripMargin
   }
 

@@ -507,7 +507,7 @@ object EventAnalyticsQueries {
       |    sum(c) OVER (PARTITION BY day ORDER BY bin) AS cum,
       |    sum(c) OVER (PARTITION BY day) AS total
       |  FROM merged)
-      |SELECT day, max(total) AS n_purchases,
+      |SELECT day, CAST(max(total) AS BIGINT) AS n_purchases,
       |  (min(bin) + 1) * 10 AS p95_le
       |FROM cum WHERE cum * 20 >= total * 19
       |GROUP BY day ORDER BY day""".stripMargin

@@ -419,9 +419,10 @@ object JourneyQueries {
        |h AS (SELECT max(CAST(ts AS DATE)) AS hday FROM events),
        |dur AS (
        |  SELECT CAST(floor(epoch(v1.v1)) AS BIGINT) // 604800 AS cohort,
-       |    CASE WHEN p1.p1 IS NOT NULL
+       |    CAST(CASE WHEN p1.p1 IS NOT NULL
        |      THEN date_diff('day', CAST(v1.v1 AS DATE), CAST(p1.p1 AS DATE))
-       |      ELSE date_diff('day', CAST(v1.v1 AS DATE), h.hday) END AS t,
+       |      ELSE date_diff('day', CAST(v1.v1 AS DATE), h.hday) END
+       |      AS INTEGER) AS t,
        |    CASE WHEN p1.p1 IS NOT NULL THEN 1 ELSE 0 END AS event
        |  FROM v1 LEFT JOIN p1 USING (user_id) CROSS JOIN h),
        |byday AS (
@@ -431,10 +432,10 @@ object JourneyQueries {
        |cs AS (SELECT cohort, count(*) AS nc FROM dur GROUP BY 1),
        |k AS (
        |  SELECT b.cohort, b.t, b.d, b.c, cs.nc,
-       |    cs.nc - coalesce(sum(b.d + b.c) OVER
+       |    CAST(cs.nc - coalesce(sum(b.d + b.c) OVER
        |      (PARTITION BY b.cohort ORDER BY b.t
        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |      AS n_risk
+       |      AS BIGINT) AS n_risk
        |  FROM byday b JOIN cs ON b.cohort = cs.cohort),
        |m AS (
        |  SELECT *,

@@ -784,7 +784,7 @@ object LakehouseQueries {
 
   def q79Triangles(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.triangleCounts(
-      graft.operators.Similarity.cosinePairs(embs(spark, dir), SemTau)
+      graft.operators.Similarity.cosinePairsBlocked(embs(spark, dir), SemTau)
         .select(col("id_a"), col("id_b")))
       .orderBy(col("tri_cnt").desc, col("node"))
       .limit(10)

@@ -234,14 +234,15 @@ object QcQueries {
     val loo = buckets.crossJoin(broadcast(tot))
       .select(((col("s") - col("s_i")) / (col("n") - col("n_i"))).as("m_i"),
         col("n"), col("s"), col("nb"))
-    val mbar = loo.agg(avg(col("m_i")).as("mbar"))
+    val mbar = loo.agg(Num.r(avg(col("m_i")), 6).as("mbar"))
     loo.crossJoin(broadcast(mbar))
       .agg(
         max(col("n")).as("n_purchases"),
         Num.r4(max(col("s") / col("n"))).as("mean_value"),
         Num.r(sqrt(
           ((max(col("nb")) - 1).cast("double") / max(col("nb"))) *
-            sum(pow(col("m_i") - col("mbar"), 2))), 6).as("jackknife_se"))
+            Num.r(sum(pow(col("m_i") - col("mbar"), 2)), 6)), 6)
+          .as("jackknife_se"))
   }
 
   val q166Sql: String = {
@@ -253,11 +254,12 @@ object QcQueries {
        |tot AS (SELECT sum(n_i) AS n, sum(s_i) AS s, count(*) AS nb FROM b),
        |loo AS (SELECT (t.s - b.s_i) / (t.n - b.n_i) AS m_i, t.n, t.s, t.nb
        |        FROM b CROSS JOIN tot t),
-       |mb AS (SELECT avg(m_i) AS mbar FROM loo)
-       |SELECT max(n) AS n_purchases,
+       |mb AS (SELECT ${Num.sqlR("avg(m_i)", 6)} AS mbar FROM loo)
+       |SELECT CAST(max(n) AS BIGINT) AS n_purchases,
        |  ${Num.sqlR4("max(s / n)")} AS mean_value,
        |  ${Num.sqlR(
-          "sqrt(((max(nb) - 1)::DOUBLE / max(nb)) * sum(pow(m_i - mbar, 2)))",
+          s"sqrt(((max(nb) - 1)::DOUBLE / max(nb)) * ${Num
+            .sqlR("sum(pow(m_i - mbar, 2))", 6)})",
           6)} AS jackknife_se
        |FROM loo CROSS JOIN mb""".stripMargin
   }

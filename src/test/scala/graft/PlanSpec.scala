@@ -238,6 +238,72 @@ class PlanSpec extends SparkSpec {
         lines.slice(i, i + 2).mkString("\n")))
   }
 
+  test("q87/q181/q79: near-dup graph edges come from the blocked tile join") {
+    uncached()
+    // the r10 verdict's scale-killer: edge generation as an id<id
+    // theta-join plans as BroadcastNestedLoopJoin (full-corpus broadcast
+    // + one nested loop). The blocked tile join is equi-keyed: tiles
+    // broadcast (tiny), vector-pair join is a hash/merge join on the
+    // block key, per-task memory bounded by two blocks.
+    for (df <- Seq(
+        graft.queries.CorpusStatsQueries.q87Pagerank(spark, sf),
+        graft.queries.CorpusStatsQueries.q181DegreeMle(spark, sf),
+        graft.queries.LakehouseQueries.q79Triangles(spark, sf))) {
+      val plan = formatted(df)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan.take(1500))
+    }
+  }
+
+  test("q159: A-priori semi-join prune, pair self-join equi-keyed on basket") {
+    uncached()
+    val plan = formatted(graft.queries.WarehouseQueries.q159Basket(spark, sf))
+    assert(plan.contains("LeftSemi"), "A-priori support prune missing")
+    assert(!plan.contains("CartesianProduct"))
+    // the only nested-loop joins are Cross joins against one-row
+    // reductions (n_baskets); the pair self-join itself must be an
+    // equi-join on the basket key, never a conditionless loop
+    assert("BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(plan).isEmpty,
+      plan.take(1500))
+  }
+
+  test("q176: ratings matrix shuffles only for its aggregations; dims broadcast") {
+    uncached()
+    val plan = formatted(graft.queries.WarehouseQueries.q176AlsRound(spark, sf))
+    // part is the broadcast dimension; item factors are hash-derived
+    // expressions (zero factor-table shuffle); the one-row summary
+    // cross joins are the only nested loops
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin (?!Cross)".r.findFirstIn(plan).isEmpty,
+      plan.take(1500))
+  }
+
+  test("q178/q179: survival/rank windows are cohort- or range-partitioned") {
+    uncached()
+    val p178 = graft.queries.JourneyQueries.q178KaplanMeier(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(cohort#\\d+".r.findFirstIn(p178).isDefined,
+      p178.take(1500))
+    val p179 = graft.queries.FeatureQueries.q179MannWhitney(spark, sf)
+      .queryExecution.executedPlan.toString
+    // midranks ride the GlobalOrder range-partitioned pid window
+    assert("windowspecdefinition\\(_pid#\\d+".r.findFirstIn(p179).isDefined,
+      p179.take(1500))
+    // any SinglePartition hop must be a scalar merge: its child is the
+    // partial side of a grand (keyless) aggregate — one row per
+    // upstream task, never user-sized data
+    for (plan <- Seq(p178, p179)) {
+      val lines = plan.split("\n")
+      lines.indices.filter(lines(_).contains("Exchange SinglePartition"))
+        .foreach { i =>
+          assert(lines.slice(i, i + 2).exists(l =>
+            l.contains("partial_") || l.contains("HashAggregate(keys=[]")),
+            lines.slice(i, i + 2).mkString("\n"))
+        }
+    }
+  }
+
   test("q129: quota sampling window is domain-partitioned (no global sort)") {
     uncached()
     val plan = formatted(graft.queries.CurationQueries.q129DomainQuota(spark, sf))

@@ -74,6 +74,37 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs == Set((1L, 3L, 0.7071), (2L, 3L, 0.7071)))
   }
 
+  test("blocked tile join ≡ all-pairs cosinePairs on arbitrary vectors") {
+    // The q87/q181/q79 edge source (cosinePairsBlocked) must emit the
+    // EXACT all-pairs edge set at any threshold — blocking is a plan
+    // reshaping, never a candidate filter. Property over random vector
+    // sets and block counts (including nBlocks > n, empty blocks, and
+    // a threshold low enough that most pairs qualify).
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val vecsGen = for {
+      n <- Gen.chooseNum(2, 24)
+      dim <- Gen.oneOf(2, 3, 8)
+      nBlocks <- Gen.oneOf(1, 2, 5, 32)
+      tau <- Gen.oneOf(-0.5, 0.1, 0.35, 0.9)
+      vs <- Gen.listOfN(n * dim, Gen.chooseNum(-5, 5).map(_.toFloat))
+    } yield (vs.grouped(dim).toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray) }, nBlocks, tau)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(vecsGen) { case (rows, nBlocks, tau) =>
+        // zero vectors make cosine NaN in both paths — keep them out
+        val nz = rows.filter(_._2.exists(_ != 0.0f))
+        nz.size >= 2 && {
+          val df = nz.toDF("vec_id", "embedding")
+          def set(d: org.apache.spark.sql.DataFrame) =
+            d.as[(Long, Long, Double)].collect().toSet
+          set(Similarity.cosinePairsBlocked(df, tau, nBlocks = nBlocks)) ==
+            set(Similarity.cosinePairs(df, tau))
+        } || nz.size < 2
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("fused VecLshKeys equals the composed per-table lshKey form") {
     val emb = Tables.load(spark, sf, "embeddings")
     val (numTables, numPlanes, dim) = (8, 6, 64)

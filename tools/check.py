@@ -1,9 +1,67 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's correctness gate: run Verify's parquet
 dumps against the DuckDB oracle SQL and compare (sorted rows, columns
-sorted by name). Usage: python3 tools/check.py <sfDir> <outDir>"""
+sorted by name) — PLUS an arrow-type audit. The driver hashes at arrow
+level, so a DuckDB HUGEINT (sum of BIGINT -> decimal128(38,0)) against a
+Spark int64 hash-mismatches even when every value is equal. This audit
+makes that class fail locally too (it regressed in round 10 after being
+root-caused in round 2; see VERDICT.md r10 "What's wrong" #1).
+
+Usage: python3 tools/check.py <sfDir> <outDir>
+       python3 tools/check.py --selftest   # prove the audit catches HUGEINT
+"""
 import sys, json, glob, math
 import duckdb
+
+
+def arrow_type_name(t):
+    """Normalized arrow type label: differences the driver's hash does
+    not see are collapsed. Empirically (r10 driver vs this audit on the
+    same build): int width mismatches (int8/int32/int64) are hash-GREEN
+    at the driver on 14 queries, while decimal128(38,0) vs int64 (the
+    DuckDB HUGEINT class) hash-FAILS — so ints collapse to one label and
+    decimals stay distinct."""
+    s = str(t)
+    if s in ("large_string", "string_view"):
+        return "string"
+    if s in ("large_binary", "binary_view"):
+        return "binary"
+    if s.startswith(("int", "uint")):
+        return "int"
+    return s
+
+
+def type_mismatches(got_schema, want_schema):
+    """Columns whose arrow types differ between Spark parquet and the
+    DuckDB oracle. Returns [(col, spark_type, oracle_type)]."""
+    g = {f.name: arrow_type_name(f.type) for f in got_schema}
+    w = {f.name: arrow_type_name(f.type) for f in want_schema}
+    return [(c, g[c], w[c]) for c in sorted(set(g) & set(w)) if g[c] != w[c]]
+
+
+def selftest():
+    con = duckdb.connect()
+    # DuckDB sum(BIGINT) -> HUGEINT -> arrow decimal128(38,0); a Spark
+    # twin emitting int64 must be flagged.
+    probe = con.execute(
+        "SELECT sum(x) AS s FROM (SELECT CAST(1 AS BIGINT) AS x) t"
+    ).fetch_arrow_table().schema
+    ok = con.execute(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (SELECT 1 AS x) t"
+    ).fetch_arrow_table().schema
+    spark_like = con.execute(
+        "SELECT CAST(1 AS BIGINT) AS s"
+    ).fetch_arrow_table().schema
+    bad = type_mismatches(spark_like, probe)
+    good = type_mismatches(spark_like, ok)
+    assert bad and "decimal128" in bad[0][2], f"audit missed HUGEINT: {bad}"
+    assert not good, f"audit false-positive on cast oracle: {good}"
+    print("selftest OK: HUGEINT probe caught, cast oracle clean")
+
+
+if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+    selftest()
+    sys.exit(0)
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
@@ -45,6 +103,24 @@ for name in sorted(set(list(oracle.keys()) +
     if sorted(gcols) != sorted(wcols):
         print(f"FAIL {name}: cols spark={sorted(gcols)} oracle={sorted(wcols)}")
         fail += 1; continue
+    # Arrow-type audit: byte-type-faithful to the driver's hash gate.
+    try:
+        gschema = con.execute(
+            f"SELECT * FROM '{outdir}/{name}/*.parquet' LIMIT 0"
+        ).fetch_arrow_table().schema
+        wschema = con.execute(
+            f"SELECT * FROM ({oracle[name]}) _audit LIMIT 0"
+        ).fetch_arrow_table().schema
+        mism = type_mismatches(gschema, wschema)
+    except Exception as e:
+        print(f"FAIL {name}: type-audit error {e}"); fail += 1; continue
+    if mism:
+        fail += 1
+        det = ", ".join(f"{c}: spark={g} oracle={w}" for c, g, w in mism)
+        hint = (" [HUGEINT class: add CAST(... AS BIGINT) in the oracle]"
+                if any("decimal128" in w for _, _, w in mism) else "")
+        print(f"FAIL {name}: arrow type mismatch {det}{hint}")
+        continue
     g, w = norm(grows, gcols), norm(wrows, wcols)
     if g == w:
         print(f"OK   {name}: {len(g)} rows")
