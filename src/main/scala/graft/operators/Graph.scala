@@ -34,10 +34,14 @@ object Graph {
     * operator reads them three times, and upstream is usually an
     * expensive pair-generation pipeline. */
   def triangles(edges: DataFrame): DataFrame = {
-    val deg = edges
+    // the edge list feeds BOTH the degree aggregation and the keyed
+    // join below — checkpoint it so the (usually expensive) upstream
+    // pair generation runs once, not twice
+    val e = edges.localCheckpoint()
+    val deg = e
       .select(explode(array(col("id_a"), col("id_b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val keyed = edges
+    val keyed = e
       .join(deg.select(col("node").as("id_a"), col("deg").as("da")), "id_a")
       .join(deg.select(col("node").as("id_b"), col("deg").as("db")), "id_b")
     // total order (deg asc, id asc) — ties broken by id, so every

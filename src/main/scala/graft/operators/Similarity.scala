@@ -202,12 +202,16 @@ object Similarity {
       pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as("blk"))
     val tiles = (0 until nBlocks)
       .flatMap(i => (i until nBlocks).map(j => (i, j))).toDF("ba", "bb")
+    // both sides replicate to their ~B/2 tiles and the pair join is
+    // keyed on the FULL tile id (ba, bb) — B(B+1)/2 distinct keys, so
+    // every tile is an independent task; keying on one block alone
+    // would cap parallelism at B
     val lhs = v.join(broadcast(tiles), col("blk") === col("ba"))
-      .select(col("bb"), col("id").as("ia"), col("v").as("va"),
-        col("ba"))
-    val rhs = v.select(col("blk").as("bb"), col("id").as("ib"),
-      col("v").as("vb"))
-    lhs.join(rhs, "bb")
+      .select(col("ba"), col("bb"), col("id").as("ia"), col("v").as("va"))
+    val rhs = v.join(broadcast(tiles), col("blk") === col("bb"))
+      .select(col("ba").as("rba"), col("bb").as("rbb"),
+        col("id").as("ib"), col("v").as("vb"))
+    lhs.join(rhs, col("ba") === col("rba") && col("bb") === col("rbb"))
       .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
       .withColumn("cos", Num.r4(cosine(col("va"), col("vb"))))
       .filter(col("cos") >= threshold)
