@@ -45,7 +45,8 @@ object PlanGate {
     "q113_source_overlap" -> ("sa", "source-domain self-pairs: |distinct sources| rows per side"),
     "q119_interval_overlap" -> ("avgc", "hourly histogram vs one-row global average"),
     "q153_edit_join" -> ("levenshtein", "short-string branch: both sides len <= q(k-1)+1, alphabet-bounded (EditDistanceJoin doc)"),
-    "q161_sliding_distinct" -> ("datediff", "day-anchor range join: aggregated (day) frames, ~30 rows/side"))
+    "q161_sliding_distinct" -> ("datediff", "day-anchor range join: aggregated (day) frames, ~30 rows/side"),
+    "q183_incremental_pairs" -> ("bv#", "arriving micro-batch broadcast vs one corpus scan (Similarity.incrementalPairs contract)"))
 
   /** SinglePartition exchanges that carry a bounded post-aggregation
     * frame (one row per small group domain) into an unpartitioned

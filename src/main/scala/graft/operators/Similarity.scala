@@ -219,6 +219,32 @@ object Similarity {
         greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
   }
 
+  /** Edges a BATCH of newly arrived embeddings introduces into the
+    * near-dup graph over a STATIC corpus: all (batch × corpus) pairs
+    * with cosine ≥ threshold, plus the batch's internal pairs — the
+    * graph-maintenance increment for continuously ingested embeddings
+    * (the embedding twin of `TextDedup.incrementalDedup`, same
+    * contract: ids disjoint from the corpus, batches do not see each
+    * other — inter-batch edges are the index-append's concern).
+    *
+    * Shape: the batch (micro-batch-sized by contract) broadcasts
+    * against the corpus — one narrow corpus scan, no corpus shuffle,
+    * no corpus×corpus work; intra-batch pairs ride the blocked tile
+    * join. Output matches [[cosinePairs]]: (id_a < id_b, cos). */
+  def incrementalPairs(batch: DataFrame, corpus: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding", nBlocks: Int = 8): DataFrame = {
+    val b = batch.select(col(idCol).as("bid"), col(vecCol).as("bv"))
+    val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cross = c.join(broadcast(b), col("cid") =!= col("bid"))
+      .withColumn("cos", Num.r4(cosine(col("cv"), col("bv"))))
+      .filter(col("cos") >= threshold)
+      .select(least(col("cid"), col("bid")).as("id_a"),
+        greatest(col("cid"), col("bid")).as("id_b"), col("cos"))
+    cross.unionByName(
+      cosinePairsBlocked(batch, threshold, idCol, vecCol, nBlocks))
+  }
+
   /** Deterministic pseudo-random hyperplanes: component j of plane
     * (table, p) is ±1 by a bit of md5("table_p_j"). Computed ONCE on
     * the driver and shipped as array literals — the earlier in-query

@@ -1270,6 +1270,46 @@ object CorpusStatsQueries {
        |FROM tr
        |ORDER BY pos""".stripMargin
 
+
+  // ---- q183: incremental near-dup edges — the graph-maintenance
+  // increment when a batch of embeddings arrives against a static
+  // corpus (the embedding twin of q89's incremental dedup; streaming
+  // twin: streaming.StreamEmbPairs). Batch = hash-designated 20% of
+  // vectors, corpus = the rest; edges = batch x corpus (batch
+  // broadcast, one corpus scan, no corpus shuffle) + intra-batch via
+  // the blocked tile join. The oracle recomputes both edge classes
+  // all-pairs; the equality proves the increment is exactly the set
+  // of edges the batch introduces. ----
+
+  private val IncrPairTau = 0.35
+  private def vecSplitHash = TF.hash60(col("vec_id").cast("string")) % 10
+  private def vecSplitHashSql = TF.sqlHash60("vec_id::VARCHAR") + " % 10"
+
+  def q183IncrementalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    Similarity.incrementalPairs(
+      e.filter(vecSplitHash >= IncrBatchBucket),
+      e.filter(vecSplitHash < IncrBatchBucket),
+      threshold = IncrPairTau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q183Sql: String = {
+    val dot = "list_sum(list_transform(list_zip(a.e, b.e), x -> x[1] * x[2]))"
+    val norm = (t: String) => s"sqrt(list_sum(list_transform($t.e, x -> x * x)))"
+    val pairCos = Num.sqlR4(s"$dot / (${norm("a")} * ${norm("b")})")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e,
+       |    $vecSplitHashSql >= $IncrBatchBucket AS is_batch
+       |  FROM embeddings)
+       |SELECT least(a.vec_id, b.vec_id) AS id_a,
+       |  greatest(a.vec_id, b.vec_id) AS id_b,
+       |  $pairCos AS cos
+       |FROM v a JOIN v b
+       |  ON a.vec_id < b.vec_id AND (a.is_batch OR b.is_batch)
+       |WHERE $pairCos >= $IncrPairTau
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),
@@ -1295,7 +1335,8 @@ object CorpusStatsQueries {
     "q99_mix_plan" -> (q99MixPlan _),
     "q100_mmr_topk" -> (q100MmrTopK _),
     "q103_epoch_expand" -> (q103EpochExpand _),
-    "q105_corpus_pipeline" -> (q105CorpusPipeline _))
+    "q105_corpus_pipeline" -> (q105CorpusPipeline _),
+    "q183_incremental_pairs" -> (q183IncrementalPairs _))
 
   def oracles: Map[String, String] = Map(
     "q82_entropy" -> q82Sql,
@@ -1322,5 +1363,6 @@ object CorpusStatsQueries {
     "q99_mix_plan" -> q99Sql,
     "q100_mmr_topk" -> q100Sql,
     "q103_epoch_expand" -> q103Sql,
-    "q105_corpus_pipeline" -> q105Sql)
+    "q105_corpus_pipeline" -> q105Sql,
+    "q183_incremental_pairs" -> q183Sql)
 }
