@@ -108,10 +108,14 @@ object Graph {
     * never a driver collect of data rows. */
   def pageRank(edges: DataFrame, iters: Int = 3,
       damping: Double = 0.85, directed: Boolean = false): DataFrame = {
+    // checkpoint the edge list BEFORE the symmetrizing union — the
+    // union reads it twice, and checkpointing only the union ran the
+    // (usually expensive) upstream pair generation twice
+    val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint()
     val sym =
-      (if (directed) edges.select(col("id_a"), col("id_b"))
-       else edges.select(col("id_a"), col("id_b"))
-         .unionByName(edges.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
+      (if (directed) e0
+       else e0.unionByName(
+         e0.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
         .localCheckpoint()
     val outdeg = sym.groupBy(col("id_a")).agg(count(lit(1)).as("deg"))
     val nodes =

@@ -37,9 +37,13 @@ object LabelProp {
     * seeded) after `rounds` synchronous rounds. */
   def propagate(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1)
-    val sym = edges
+    // checkpoint BEFORE symmetrizing: the union reads `edges` twice,
+    // so a cache/checkpoint above it would run the (usually expensive)
+    // upstream pair generation twice on materialization
+    val e = edges.localCheckpoint()
+    val sym = e
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     val base = nodes.select(col("id"), col("seed")).cache()
     var lbl = base.select(col("id"), col("seed").as("lbl"))

@@ -574,7 +574,11 @@ object TextDedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 6,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastBands: Boolean = true): DataFrame = {
-    val sigs = simhash(docs, idCol, textCol)
+    // checkpoint: the band table feeds BOTH sides of the self-join, and
+    // the signature computation above it (tokenize + 32 weighted bit
+    // sums over the corpus) is the expensive part — without the
+    // checkpoint it runs once per side
+    val sigs = simhash(docs, idCol, textCol).localCheckpoint()
     val bands = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

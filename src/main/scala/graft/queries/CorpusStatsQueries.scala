@@ -215,8 +215,11 @@ object CorpusStatsQueries {
   // edge list; everything after is a one-row reduce. ----
 
   def q181DegreeMle(spark: SparkSession, dir: String): DataFrame = {
+    // checkpoint: the degree union reads the edge list twice; without
+    // it the blocked pair join runs once per branch
     val edges = Similarity.cosinePairsBlocked(embs(spark, dir), PrTau)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint()
     val deg = edges.select(col("id_a").as("node"))
       .unionAll(edges.select(col("id_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))

@@ -413,10 +413,14 @@ object FeatureQueries {
       .select(col("source"), explode(TF.tokens(col("text"))).as("t"))
       .select(col("source"), Kmv.normHash(col("t")).as("u"))
       .distinct()
+    // checkpoint: the synopsis (<= K rows per source) is read four
+    // times (cardinalities, source list, both sides of the pair merge);
+    // without it the corpus tokenize + distinct re-executes each time
     val syn = h.withColumn("rn",
         row_number().over(Window.partitionBy(col("source")).orderBy(col("u"))))
       .filter(col("rn") <= KovK)
       .select(col("source"), col("u"))
+      .localCheckpoint()
     val est = syn.groupBy(col("source"))
       .agg(count(lit(1)).as("nd"), max(col("u")).as("hk"))
       .select(col("source"),

@@ -738,6 +738,12 @@ object WarehouseQueries {
 
   def q176AlsRound(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.{TextFunctions => TFn}
+    // cache the aggregated ratings matrix: it feeds the solve, the
+    // prediction join AND the distinct-item count — uncached, the
+    // 3-table join + groupBy re-executes for each read. Post-
+    // aggregation it is (users × brands)-bounded, far smaller than the
+    // fact table. cache() (not localCheckpoint) keeps the join shape
+    // inspectable for the PlanSpec broadcast pin.
     val ratings = Tables.load(spark, dir, "lineitem")
       .join(broadcast(Tables.load(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
@@ -745,6 +751,7 @@ object WarehouseQueries {
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey").as("u"), col("p_brand").as("item"))
       .agg(count(lit(1)).cast("double").as("r"))
+      .cache()
     // frozen deterministic item factors: v0 ≡ 1 (bias-like), v1 a
     // hash-spread value in [-0.5, 0.5)
     val v1 = Num.r((TFn.hash60(col("item")) % 1000).cast("double") / 1000 - 0.5, 6)
