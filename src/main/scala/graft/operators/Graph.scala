@@ -110,13 +110,15 @@ object Graph {
       damping: Double = 0.85, directed: Boolean = false): DataFrame = {
     // checkpoint the edge list BEFORE the symmetrizing union — the
     // union reads it twice, and checkpointing only the union ran the
-    // (usually expensive) upstream pair generation twice
+    // (usually expensive) upstream pair generation twice. The union
+    // itself stays lazy: re-reading local checkpoint blocks is cheap,
+    // while a second eager checkpoint materialization measurably
+    // dominated this operator at small edge counts.
     val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint()
     val sym =
-      (if (directed) e0
-       else e0.unionByName(
-         e0.select(col("id_b").as("id_a"), col("id_a").as("id_b"))))
-        .localCheckpoint()
+      if (directed) e0
+      else e0.unionByName(
+        e0.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val outdeg = sym.groupBy(col("id_a")).agg(count(lit(1)).as("deg"))
     val nodes =
       (if (directed)
