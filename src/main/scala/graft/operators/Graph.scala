@@ -153,6 +153,12 @@ object Graph {
               Num.r(base + lit(damping) *
                 (coalesce(col("m"), lit(0.0)) + col("dm") / lit(n.toDouble)), 8)
                 .as("pr"))
+            // the directed round reads `pr` twice (contrib + dangling
+            // mass) — truncate per round or the plan re-executes every
+            // earlier round ~2× per level, exponential in iters. The
+            // undirected branch reads pr once per round (linear chain)
+            // and skips the eager materialization.
+            .localCheckpoint()
         } else {
           contrib.select(col("node"),
             Num.r(base + lit(damping) * col("m"), 8).as("pr"))

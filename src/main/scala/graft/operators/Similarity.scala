@@ -145,7 +145,11 @@ object Similarity {
           Num.r4(lit(lam) * col("rel") - lit(1.0 - lam) * col("ms")))
         .withColumn("rn", row_number().over(wScore)).filter(col("rn") === 1)
         .select(col("query_id"), lit(j).as("pick"), col("nbr_id"), col("score"))
-      sel.unionByName(pick)
+      // truncate lineage each round: `sel` is referenced twice per
+      // round (anti-join + selected-ids join), so an unpinned plan
+      // re-executes every earlier round ~2× per level — exponential in
+      // k. The selection is ≤ j rows per query — trivially small.
+      sel.unionByName(pick).localCheckpoint()
     }
   }
 
