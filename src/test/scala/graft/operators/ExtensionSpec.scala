@@ -105,6 +105,40 @@ class ExtensionSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("incrementalPairs ≡ all-pairs minus corpus-internal on arbitrary vectors") {
+    // q183 / StreamEmbPairs contract as a property: the increment a
+    // batch introduces over a corpus is EXACTLY the full edge set of
+    // (corpus ∪ batch) minus the corpus-internal edges.
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val gen = for {
+      nc <- Gen.chooseNum(1, 10)
+      nb <- Gen.chooseNum(1, 8)
+      dim <- Gen.oneOf(2, 4)
+      tau <- Gen.oneOf(0.0, 0.35, 0.8)
+      vs <- Gen.listOfN((nc + nb) * dim, Gen.chooseNum(-4, 4).map(_.toFloat))
+    } yield {
+      val rows = vs.grouped(dim).toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toArray) }
+        .filter(_._2.exists(_ != 0.0f)) // zero vectors: NaN cosine both paths
+      (rows.take(nc), rows.drop(nc), tau)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(gen) { case (corpusRows, batchRows, tau) =>
+        corpusRows.isEmpty || batchRows.isEmpty || {
+          def set(d: org.apache.spark.sql.DataFrame) =
+            d.as[(Long, Long, Double)].collect().toSet
+          val corpus = corpusRows.toDF("vec_id", "embedding")
+          val batch = batchRows.toDF("vec_id", "embedding")
+          val everything = (corpusRows ++ batchRows).toDF("vec_id", "embedding")
+          set(Similarity.incrementalPairs(batch, corpus, tau, nBlocks = 4)) ==
+            set(Similarity.cosinePairs(everything, tau)) --
+              set(Similarity.cosinePairs(corpus, tau))
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("fused VecLshKeys equals the composed per-table lshKey form") {
     val emb = Tables.load(spark, sf, "embeddings")
     val (numTables, numPlanes, dim) = (8, 6, 64)
