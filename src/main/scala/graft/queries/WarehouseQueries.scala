@@ -560,10 +560,19 @@ object WarehouseQueries {
     // shuffled row and the groupBy key for nothing
     val kept = items.join(broadcast(freq.select(col("item"))),
       Seq("item"), "left_semi")
-    val pairs = kept.as("a")
-      .join(kept.as("b"), col("a.basket") === col("b.basket") &&
-        col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // pair generation: collect each basket's (pruned) item set once and
+    // expand ordered pairs with codegen'd array expressions — ONE
+    // basket-keyed shuffle, versus the self-join form's two shuffles +
+    // merge join of the full item table against itself. Per-basket
+    // expansion is bounded by (frequent items per basket)², the same
+    // bound the self-join had.
+    val pairs = kept.groupBy(col("basket"))
+      .agg(collect_set(col("item")).as("is"))
+      .select(explode(expr(
+        "filter(flatten(transform(is, x -> transform(is, " +
+          "y -> struct(x AS item_a, y AS item_b)))), " +
+          "p -> p.item_a < p.item_b)")).as("p"))
+      .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
       .agg(count(lit(1)).as("cnt_ab"))
       .filter(col("cnt_ab") >= BasketMinSupCnt)
       .join(broadcast(freq.select(col("item").as("item_a"),
