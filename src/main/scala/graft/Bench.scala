@@ -41,8 +41,25 @@ object BenchHarness {
     * 5.1 s in a full sweep vs 1.0 s isolated without it). */
   def minOfRuns(spark: SparkSession,
       fn: (SparkSession, String) => DataFrame,
-      sfDir: String, runs: Int): Double = {
-    def once(): Double = {
+      sfDir: String, runs: Int): Double =
+    minOfRunsCpu(spark, fn, sfDir, runs)._1
+
+  /** As [[minOfRuns]], but also returns this JVM's CPU-clock delta for
+    * the winning (min-wall) run — a steal-throttled outlier then
+    * self-diagnoses in the bench JSON: wall far above cpu/ncpu with a
+    * LOW cpu says the host, not the query, owned the window
+    * (round-11 verdict #3). */
+  def minOfRunsCpu(spark: SparkSession,
+      fn: (SparkSession, String) => DataFrame,
+      sfDir: String, runs: Int): (Double, Double) = {
+    def procCpu(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean =>
+          b.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def once(): (Double, Double) = {
+      val c0 = procCpu()
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -51,15 +68,15 @@ object BenchHarness {
             .agg(expr("bit_xor(h)")).collect()
           true
         } catch { case _: Throwable => false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      if (ok) ((System.nanoTime() - t0) / 1e9, procCpu() - c0) else (-1.0, -1.0)
     }
     val times = Seq.fill(runs)(once())
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
     System.gc()
-    val good = times.filter(_ >= 0)
-    if (good.isEmpty) -1.0 else good.min
+    val good = times.filter(_._1 >= 0)
+    if (good.isEmpty) (-1.0, -1.0) else good.minBy(_._1)
   }
 }
 
@@ -122,10 +139,17 @@ object Bench {
     // round to round (r3 vs r4 swings on identical code).
     val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = sweep.map { case (name, fn) =>
-      name -> BenchHarness.minOfRuns(spark, fn, sfDir, runs = 3)
+    val timed = sweep.map { case (name, fn) =>
+      name -> BenchHarness.minOfRunsCpu(spark, fn, sfDir, runs = 3)
     }
+    val results = timed.map { case (k, (w, _)) => k -> w }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-query CPU clock of the winning run (steal self-diagnosis):
+    // a query whose wall >> cpu/ncpu with LOW cpu was throttled by the
+    // host, not slow — full record only (target/bench.json + full line)
+    def r3c(x: Double) = math.rint(x * 1000) / 1000
+    val qcpu = timed.map { case (k, (_, c)) => "\"" + k + "\":" + r3c(c) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -137,7 +161,7 @@ object Bench {
         s""""proc_cpu_sec":${r3(procCpuSec() - cpuBefore)},""" +
         s""""wall_sec":${r3(wallSec)},"ncpu":$ncpu"""
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$loadFields,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$loadFields,"queries":$qs,"query_cpu":$qcpu,"sf":"$sfDir"}"""
     // Full record to a file the driver can always read whole.
     try {
       val out = java.nio.file.Paths.get("target", "bench.json")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import java.util.regex.Pattern
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -75,7 +76,7 @@ object Bpe {
           cur = cur.withColumn(tokCol, applyMerge(col(tokCol), a, b))
             // each iteration re-reads the previous — truncate lineage
             // so iteration N doesn't replay N-1 regex passes
-            .localCheckpoint()
+            .cutLineage()
         case None => continue = false
       }
       i += 1

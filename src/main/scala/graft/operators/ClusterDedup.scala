@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -54,7 +55,7 @@ object ClusterDedup {
     // then derive both the node set and the canonical edge set from it
     // (previously each derivation re-ran the upstream pipeline).
     val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .localCheckpoint()
+      .cutLineage()
     // node set from the RAW edges (self-loops included) so a node with
     // only a self-loop still gets a singleton label
     val nodes = raw.select(col("a").as("id"))
@@ -65,7 +66,7 @@ object ClusterDedup {
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
-      .distinct().localCheckpoint()
+      .distinct().cutLineage()
     // (count, xor of xxhash64(u,v)) over the canonical deduped edge
     // set — a one-job fingerprint used to SKIP the exact convergence
     // anti-join on rounds that visibly changed the edge set (xor, not
@@ -116,7 +117,7 @@ object ClusterDedup {
         .union(ssMin.select(col("u"), col("m").as("v")))
         .where(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        .cutLineage()
       // converged iff the canonical edge set is unchanged: equal
       // cardinality + empty difference (both sides are deduped sets).
       // The exact (anti-join) check only runs when the one-job

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -40,7 +41,7 @@ object LabelProp {
     // checkpoint BEFORE symmetrizing: the union reads `edges` twice,
     // so a cache/checkpoint above it would run the (usually expensive)
     // upstream pair generation twice on materialization
-    val e = edges.localCheckpoint()
+    val e = edges.cutLineage()
     val sym = e
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -63,7 +64,7 @@ object LabelProp {
         .join(lbl.withColumnRenamed("lbl", "plbl"), Seq("id"), "left")
         .select(col("id"),
           coalesce(col("seed"), col("mlbl"), col("plbl")).as("lbl"))
-        .localCheckpoint()
+        .cutLineage()
     }
     base.join(lbl, "id")
       .select(col("id"), col("lbl").as("label"),

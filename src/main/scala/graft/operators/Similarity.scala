@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -149,7 +150,7 @@ object Similarity {
       // round (anti-join + selected-ids join), so an unpinned plan
       // re-executes every earlier round ~2× per level — exponential in
       // k. The selection is ≤ j rows per query — trivially small.
-      sel.unionByName(pick).localCheckpoint()
+      sel.unionByName(pick).cutLineage()
     }
   }
 

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -578,7 +579,7 @@ object TextDedup {
     // the signature computation above it (tokenize + 32 weighted bit
     // sums over the corpus) is the expensive part — without the
     // checkpoint it runs once per side
-    val sigs = simhash(docs, idCol, textCol).localCheckpoint()
+    val sigs = simhash(docs, idCol, textCol).cutLineage()
     val bands = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

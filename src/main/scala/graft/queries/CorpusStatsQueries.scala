@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -219,7 +220,7 @@ object CorpusStatsQueries {
     // it the blocked pair join runs once per branch
     val edges = Similarity.cosinePairsBlocked(embs(spark, dir), PrTau)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+      .cutLineage()
     val deg = edges.select(col("id_a").as("node"))
       .unionAll(edges.select(col("id_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))

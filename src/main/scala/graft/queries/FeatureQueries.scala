@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -420,7 +421,7 @@ object FeatureQueries {
         row_number().over(Window.partitionBy(col("source")).orderBy(col("u"))))
       .filter(col("rn") <= KovK)
       .select(col("source"), col("u"))
-      .localCheckpoint()
+      .cutLineage()
     val est = syn.groupBy(col("source"))
       .agg(count(lit(1)).as("nd"), max(col("u")).as("hk"))
       .select(col("source"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.operators.Lineage.LineageOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -373,7 +374,7 @@ object LakehouseQueries {
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(TF.shinglesFromTokens(col("toks"), SpanL)).as(Seq("pos", "g")))
-      .localCheckpoint()
+      .cutLineage()
     val dup = t.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
@@ -432,7 +433,7 @@ object LakehouseQueries {
     val t = base
       .select(col("doc_id"),
         posexplode(TF.shinglesFromTokens(col("toks"), SpanL)).as(Seq("pos", "g")))
-      .localCheckpoint()
+      .cutLineage()
     val dup = t.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)

@@ -16,11 +16,17 @@ class PlanGateSpec extends SparkSpec {
   // a local Seq plans as LocalTableScan — the literal-model shape the
   // gate deliberately excuses — so data probes must be file-backed,
   // like every real table in the inventory
+  private var probeDir: java.nio.file.Path = _
   private lazy val data: org.apache.spark.sql.DataFrame = {
-    val p = java.nio.file.Files.createTempDirectory("plangate").toString
+    probeDir = java.nio.file.Files.createTempDirectory("plangate")
     (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
-      .write.mode("overwrite").parquet(s"$p/d.parquet")
-    spark.read.parquet(s"$p/d.parquet")
+      .write.mode("overwrite").parquet(s"$probeDir/d.parquet")
+    spark.read.parquet(s"$probeDir/d.parquet")
+  }
+
+  override def afterAll(): Unit = {
+    if (probeDir != null) TempDirs.deleteRecursively(probeDir)
+    super.afterAll()
   }
 
   test("catches a data-vs-data theta join (BNLJ with condition)") {
@@ -56,5 +62,51 @@ class PlanGateSpec extends SparkSpec {
     // same plan, allowlisted name, but the condition fragment recorded
     // for q153 (levenshtein) is absent -> still a violation
     assert(viol("q153_edit_join", theta).nonEmpty)
+  }
+
+  test("an allowlist entry excuses at most ONE distinct matching join") {
+    val d = data
+    // two DIFFERENT theta joins whose conditions both contain q28's
+    // fragment ("id# < id#"): only the first is excused
+    val j1 = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+    val j2 = d.as("a").join(d.as("b"),
+      col("a.id") < col("b.id") && col("a.v") < col("b.v"))
+    val plans = Seq(j1, j2).map(_.queryExecution.executedPlan)
+    assert(PlanGate.violations("q28_cosine_pairs", plans).count(
+      _.startsWith("BNLJ")) == 1)
+    // …while the SAME join seen in two snapshots (main plan + captured
+    // pre-checkpoint copy) stays excused — expr-id normalization
+    // dedupes it to one condition
+    val again = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
+    assert(PlanGate.violations("q28_cosine_pairs",
+      Seq(j1, again).map(_.queryExecution.executedPlan)).isEmpty)
+  }
+
+  test("a cached anti-pattern is visible through InMemoryTableScan") {
+    val d = data
+    val bad = d.as("a").join(d.as("b"), col("a.v") < col("b.v")).cache()
+    try {
+      val downstream = bad.groupBy(col("a.id")).count()
+      assert(viol("probe", downstream).exists(_.startsWith("BNLJ")),
+        downstream.queryExecution.executedPlan.toString.take(800))
+    } finally bad.unpersist()
+  }
+
+  test("a checkpointed anti-pattern is visible through Lineage capture") {
+    val d = data
+    import graft.operators.Lineage
+    val (downstream, cuts) = Lineage.capturing {
+      val edges = Lineage.cut(
+        d.as("a").join(d.as("b"), col("a.v") < col("b.v"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b")))
+      edges.groupBy(col("id_a")).count()
+    }
+    // the checkpoint hides the join from the main plan…
+    assert(viol("probe", downstream).isEmpty)
+    // …but the captured pre-checkpoint plan carries it
+    assert(cuts.nonEmpty)
+    assert(PlanGate.violations("probe",
+      downstream.queryExecution.executedPlan +: cuts)
+      .exists(_.startsWith("BNLJ")))
   }
 }

@@ -238,20 +238,46 @@ class PlanSpec extends SparkSpec {
         lines.slice(i, i + 2).mkString("\n")))
   }
 
-  test("q87/q181/q79: near-dup graph edges come from the blocked tile join") {
+  test("cosinePairsBlocked: equi-keyed tile join, no BNLJ (pre-checkpoint pin)") {
     uncached()
+    import org.apache.spark.sql.functions.col
     // the r10 verdict's scale-killer: edge generation as an id<id
     // theta-join plans as BroadcastNestedLoopJoin (full-corpus broadcast
     // + one nested loop). The blocked tile join is equi-keyed: tiles
     // broadcast (tiny), vector-pair join is a hash/merge join on the
-    // block key, per-task memory bounded by two blocks.
-    for (df <- Seq(
-        graft.queries.CorpusStatsQueries.q87Pagerank(spark, sf),
-        graft.queries.CorpusStatsQueries.q181DegreeMle(spark, sf),
-        graft.queries.LakehouseQueries.q79Triangles(spark, sf))) {
-      val plan = formatted(df)
-      assert(!plan.contains("BroadcastNestedLoopJoin") &&
-        !plan.contains("CartesianProduct"), plan.take(1500))
+    // (ba, bb) tile key, per-task memory bounded by two blocks. Pinned
+    // DIRECTLY on the operator's own plan — the graph queries checkpoint
+    // their edge list, which would hide the edge subplan (r11 ADVICE).
+    val emb = Tables.load(spark, sf, "embeddings")
+    val plan = formatted(
+      graft.operators.Similarity.cosinePairsBlocked(emb, 0.35))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(1500))
+    // the pair join is a real equi-join on the tile key
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\\bba".r
+      .findFirstIn(plan.replace("\n", " ")).isDefined ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      plan.take(1500))
+    assert(graft.PlanGate.violations("cosine_pairs_blocked",
+      graft.operators.Similarity.cosinePairsBlocked(emb, 0.35)
+        .queryExecution.executedPlan).isEmpty)
+  }
+
+  test("q87/q181/q79: edge subplans clean INCLUDING behind checkpoints") {
+    uncached()
+    // Lineage capture exposes every pre-checkpoint subplan (the graph
+    // operators checkpoint their edge lists, so the main executedPlan
+    // alone would be vacuously clean — r11 ADVICE). Gate main + cuts.
+    val builds: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q87_pagerank", () => graft.queries.CorpusStatsQueries.q87Pagerank(spark, sf)),
+      ("q181_degree_mle", () => graft.queries.CorpusStatsQueries.q181DegreeMle(spark, sf)),
+      ("q79_triangles", () => graft.queries.LakehouseQueries.q79Triangles(spark, sf)))
+    for ((name, build) <- builds) {
+      val (df, cuts) = graft.operators.Lineage.capturing(build())
+      assert(cuts.nonEmpty, s"$name: no captured checkpoints — pin is vacuous")
+      val v = graft.PlanGate.violations(name,
+        df.queryExecution.executedPlan +: cuts)
+      assert(v.isEmpty, s"$name: $v")
     }
   }
 

@@ -22,10 +22,20 @@ class StatEdgeSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
-  /** Write synthetic tables into a fresh dir shaped like a testdata SF
-    * dir; returns the dir path. */
+  /** Write synthetic tables into a fresh subdir (one per iteration,
+    * all under a per-suite root deleted in afterAll) shaped like a
+    * testdata SF dir; returns the dir path. */
+  private lazy val synthRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft-statedge")
+  private val synthN = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  override def afterAll(): Unit = {
+    graft.TempDirs.deleteRecursively(synthRoot)
+    super.afterAll()
+  }
+
   private def synthDir(tables: (String, org.apache.spark.sql.DataFrame)*): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-statedge").toString
+    val dir = synthRoot.resolve(s"it${synthN.getAndIncrement()}").toString
     tables.foreach { case (name, df) =>
       df.coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
     }
