@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× expansion of a testdata SF dir — the locally
+  * generated sf1 slice that extends the scale-slope evidence from a
+  * 10× measured span to 100× (round-11 verdict #2; the driver's own
+  * generator is not in the sandbox, so the slice derives from sf0.1
+  * by a documented, distribution-preserving expansion).
+  *
+  * Scheme: each table is the union of `copies` deterministic copies
+  * (copy 0 = the original, byte-identical values).
+  *
+  *  - Every id-domain key (custkey, orderkey, partkey, suppkey,
+  *    user_id, event_id, doc_id, vec_id) is offset by copy·M with
+  *    M = lcm of every `id % m` constant the query inventory uses
+  *    (2,3,4,5,7,10,11,25,50,97,100,101,103,500,1000 → M =
+  *    233 100 021 000). Offsets ≡ 0 (mod every m), so every
+  *    mod-derived predicate/sample keeps its exact per-copy
+  *    selectivity, and referential integrity holds within a copy
+  *    (all keys in one copy shift together; copies never cross-join).
+  *  - region/nation are fixed dimensions (constant at every SF, as in
+  *    TPC-H) and copy through unchanged.
+  *  - Timestamps, amounts, and categorical values are unchanged:
+  *    domains grow 10×, densities per time window grow 10× — the
+  *    TPC-H scaling model (more customers, not longer histories).
+  *  - documents.text for copy k>0 is word-permuted by sorting tokens
+  *    on xxhash64(word ⊕ k) with a stable positional tie-break: the
+  *    SAME permutation key for every doc in a copy, so exact-dup
+  *    groups replicate exactly and near-dup pairs keep high shingle
+  *    overlap WITHIN a copy, while cross-copy shingle overlap
+  *    collapses (different global orders) — dedup yield scales with
+  *    the data instead of exploding quadratically across copies.
+  *    Single-spaced, trimmed source text means n_chars is preserved.
+  *  - embeddings for copy k>0 are coordinate-permuted by a seeded
+  *    per-copy permutation: within-copy cosines are EXACTLY the base
+  *    cosines (pair structure replicates per copy), and cross-copy
+  *    cosines follow the corpus' natural random-pair distribution —
+  *    measured at sf0.1: qualifying rate at τ=0.35 is 0.00208
+  *    cross-permuted vs 0.00207 natural, so threshold-pair queries
+  *    scale by their true quadratic semantics, not by an artifact.
+  *
+  * Run: `runMain graft.GenData /root/testdata/sf0.1 localdata/sf1 10`
+  */
+object GenData {
+
+  /** lcm{2,3,4,5,7,10,11,25,50,97,100,101,103,500,1000} — every key
+    * offset is ≡ 0 mod each of these (see scheme note above). */
+  val KeyOffsetUnit: Long = 233100021000L
+
+  private val IdCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Word-permuted text for copy k: tokens sorted by
+    * (xxhash64(word, k), original position) and re-joined. */
+  private def permuteText(text: Column, k: Int): Column = {
+    val ws = split(text, " ")
+    val keyed = transform(sequence(lit(0), size(ws) - 1), i =>
+      struct(
+        xxhash64(concat(element_at(ws, i + 1), lit(s"§$k"))).as("h"),
+        i.as("p"),
+        element_at(ws, i + 1).as("w")))
+    concat_ws(" ", transform(array_sort(keyed), s => s.getField("w")))
+  }
+
+  /** Seeded coordinate permutation for copy k (identity for k = 0). */
+  private def coordPerm(dim: Int, k: Int): Seq[Int] = {
+    val rnd = new scala.util.Random(1000 + k)
+    rnd.shuffle((0 until dim).toVector)
+  }
+
+  private def permuteEmbedding(emb: Column, dim: Int, k: Int): Column =
+    transform(typedLit(coordPerm(dim, k)), i => element_at(emb, i + 1))
+
+  private[graft] def expand(spark: SparkSession, srcDir: String,
+      name: String, copies: Int): DataFrame = {
+    val base = Tables.load(spark, srcDir, name)
+    if (name == "region" || name == "nation") base
+    else {
+      val ids = IdCols(name)
+      val dim = if (name == "embeddings")
+        base.select(size(col("embedding"))).head().getInt(0)
+      else 0
+      (0 until copies).map { k =>
+        val off = k.toLong * KeyOffsetUnit
+        val shifted = ids.foldLeft(base)((df, c) =>
+          df.withColumn(c, col(c) + lit(off)))
+        name match {
+          case "documents" if k > 0 =>
+            shifted.withColumn("text", permuteText(col("text"), k))
+          case "embeddings" if k > 0 =>
+            shifted.withColumn("embedding",
+              permuteEmbedding(col("embedding"), dim, k))
+          case _ => shifted
+        }
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dstDir = args.lift(1).getOrElse("localdata/sf1")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.names.foreach { name =>
+      val df = expand(spark, srcDir, name, copies)
+      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      println(s"[gendata] $name -> $dstDir/$name.parquet")
+    }
+    spark.stop()
+  }
+}

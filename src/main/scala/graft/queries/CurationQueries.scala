@@ -824,7 +824,55 @@ object CurationQueries {
        |ORDER BY stage""".stripMargin
   }
 
+  // ---- q184: training-sequence packing (concat-and-chunk). The
+  // export stage of an LLM pipeline concatenates each shard's
+  // documents into a token stream and cuts training sequences every
+  // SeqBudget tokens; a document belongs to the sequence where it
+  // STARTS (the standard concat-then-chunk packing — deterministic,
+  // no bin-packing search). Output: per (shard, seq_id) document and
+  // token counts — the packing manifest a loader consumes.
+  //
+  // Shape: one window cumsum PARTITIONED by shard (lang × source here;
+  // parallelism = shards, no global sort), then a shard-keyed
+  // aggregation. All arithmetic integer (token counts, integer div) —
+  // no float to drift cross-engine. At 100 TB with few shards, swap
+  // the shard window for the q104 GlobalOrder pattern (range
+  // partition + per-partition offsets) — same manifest, full
+  // parallelism within a shard. ----
+
+  private val SeqBudget = 256L
+
+  def q184SeqPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        TF.tokenCount(col("text")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      // the sequence where this doc STARTS: stream offset div budget
+      .withColumn("seq_id", expr(s"(cum - tok) div $SeqBudget"))
+      .groupBy(col("lang"), col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("seq_tokens"))
+      .orderBy(col("lang"), col("source"), col("seq_id"))
+  }
+
+  val q184Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source,
+       |         ${TF.sqlTokenCount("text")}::BIGINT AS tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT *, sum(tok) OVER (PARTITION BY lang, source
+       |                           ORDER BY doc_id) AS cum
+       |  FROM d)
+       |SELECT lang, source,
+       |  CAST((cum - tok) // $SeqBudget AS BIGINT) AS seq_id,
+       |  count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS seq_tokens
+       |FROM c GROUP BY lang, source, seq_id
+       |ORDER BY lang, source, seq_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_seq_packing" -> (q184SeqPacking _),
     "q125_dsir_resample" -> (q125DsirResample _),
     "q128_quality_gate" -> (q128QualityGate _),
     "q129_domain_quota" -> (q129DomainQuota _),
@@ -843,6 +891,7 @@ object CurationQueries {
     "q104_global_order" -> (q104GlobalOrder _))
 
   def oracles: Map[String, String] = Map(
+    "q184_seq_packing" -> q184Sql,
     "q125_dsir_resample" -> q125Sql,
     "q128_quality_gate" -> q128Sql,
     "q129_domain_quota" -> q129Sql,

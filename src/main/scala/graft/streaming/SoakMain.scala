@@ -1,0 +1,150 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Long RocksDB soak (round-11 verdict #6): the 150 s SoakSpec proves
+  * the TTL/eviction MECHANISM; this main proves it holds for ≥10 min
+  * at sf0.1-like event volume with the full stateful tier running
+  * CONCURRENTLY on one RocksDB-backed session:
+  *
+  *  1. watermarked dedup + fine-grain window aggregate (the shared
+  *     topology's orders path: dropDuplicatesWithinWatermark state is
+  *     the big one — rate × watermark window rows);
+  *  2. streaming session windows (merging state, closed sessions
+  *     evicted past the watermark);
+  *  3. the daily sketch inventory (driver-held, calendar-bounded);
+  *  4. KMV distinct sketches under TTL with a churning keyspace.
+  *
+  * Every ~10 s it samples, per query, the state-operator row count and
+  * the RocksDB memory custom metrics; at the end it asserts each
+  * stateful query's rows AND memory plateau (tail-third vs mid-third)
+  * and prints one JSON line for BASELINE.md. Exit 1 on any violation.
+  *
+  * Run: `sbt "runMain graft.streaming.SoakMain"`; duration via
+  * SPARK_GRAFT_SOAK_SEC (default 630 s).
+  */
+object SoakMain {
+
+  private final case class Sample(sec: Int, rows: Long, memBytes: Long)
+
+  def main(args: Array[String]): Unit = {
+    val soakSec = sys.env.getOrElse("SPARK_GRAFT_SOAK_SEC", "630").toInt
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-soakmain").toString
+
+    def rate(rowsPerSec: Int): DataFrame =
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSec.toString).load()
+
+    // ---- 1. watermarked dedup + fine-grain windows (orders path).
+    // 2000 ev/s (sf0.1's events table per ~50 s, continuously); 10% of
+    // event_ids are repeats of the previous id (real duplicate work);
+    // dedup state plateaus at rate × 30 s watermark ≈ 60 k rows.
+    val orders = rate(2000)
+      .select(
+        when(col("value") % 10 === 0, col("value") - 1).otherwise(col("value"))
+          .cast("string").as("event_id"),
+        col("timestamp").as("event_timestamp"),
+        concat(lit("o"), (col("value") % 100000).cast("string")).as("order_id"),
+        concat(lit("c"), (col("value") % 5000).cast("string")).as("customer_id"),
+        element_at(
+          typedLit(Seq("created", "approved", "shipped", "delivered",
+            "canceled", "invoiced", "processing", "unavailable")),
+          (col("value") % 8 + 1).cast("int")).as("order_status"))
+      .withWatermark("event_timestamp", "30 seconds")
+      .dropDuplicatesWithinWatermark("event_id")
+    val cfg = WindowConfig(windowDuration = "1 minute",
+      slideDuration = "30 seconds", watermark = Some("30 seconds"))
+    val fineQ = StreamApp.fineGrainOrders(orders, cfg).writeStream
+      .outputMode("append").queryName("soak_fine")
+      .option("checkpointLocation", s"$ckpt/fine").format("noop").start()
+
+    // ---- 2. session windows: a 100-user cohort rotates every 10 s
+    // (users go idle forever -> their sessions close and evict).
+    val sess = StreamSession.sessions(
+      rate(500).select(col("timestamp").as("ts"),
+        ((col("value") / 5000L) * 100L + col("value") % 100L).as("user_id")),
+      gap = "5 seconds", watermarkDelay = "10 seconds")
+    val sessQ = sess.writeStream
+      .outputMode("append").queryName("soak_sessions")
+      .option("checkpointLocation", s"$ckpt/sess").format("noop").start()
+
+    // ---- 3. daily sketch inventory (driver-held, one row per day).
+    val inv = new StreamSketchInventory.Inventory(spark)
+    val invQ = StreamSketchInventory.start(
+      rate(500).select(col("timestamp").as("ts"), col("value").as("user_id")),
+      inv, triggerMs = 2000L)
+
+    // ---- 4. KMV + TTL churn (the SoakSpec shape, longer).
+    val kmvQ = StreamKmv.distinctEstimates(
+      rate(2000).select(
+        concat(lit("k"), (col("value") / 2000).cast("long")).as("session_id"),
+        (col("value") % 977).cast("string").as("item")),
+      itemCol = "item", keyCol = "session_id", k = 64,
+      stateTtl = Some("20 seconds"))
+      .writeStream.outputMode("update").queryName("soak_kmv")
+      .option("checkpointLocation", s"$ckpt/kmv").format("memory").start()
+
+    val stateful: Seq[(String, StreamingQuery)] =
+      Seq("fine" -> fineQ, "sessions" -> sessQ, "kmv" -> kmvQ)
+    val curves = stateful.map { case (n, _) => n -> ArrayBuffer.empty[Sample] }.toMap
+
+    val t0 = System.nanoTime()
+    var failure: Option[String] = None
+    try {
+      while ((System.nanoTime() - t0) / 1e9 < soakSec && failure.isEmpty) {
+        Thread.sleep(10000)
+        val sec = ((System.nanoTime() - t0) / 1e9).toInt
+        stateful.foreach { case (name, q) =>
+          if (q.exception.isDefined)
+            failure = Some(s"$name died: ${q.exception.get.getMessage.take(200)}")
+          Option(q.lastProgress).foreach { p =>
+            val ops = p.stateOperators.toSeq
+            val rows = ops.map(_.numRowsTotal).sum
+            // memoryUsedBytes: RocksDB reports its total memory usage
+            // here (block cache + memtables + pinned blocks)
+            val mem = ops.map(_.memoryUsedBytes).sum
+            curves(name) += Sample(sec, rows, mem)
+          }
+        }
+      }
+    } finally {
+      (stateful.map(_._2) :+ invQ).foreach(q => try q.stop() catch { case _: Throwable => () })
+    }
+
+    def r1(x: Double) = math.rint(x * 10) / 10
+    var bad = failure.toList
+    val stats = curves.toSeq.sortBy(_._1).map { case (name, c) =>
+      val mid = c.filter(s => s.sec >= soakSec / 3 && s.sec < soakSec * 2 / 3)
+      val tail = c.filter(_.sec >= soakSec * 2 / 3)
+      if (mid.isEmpty || tail.isEmpty) { bad ::= s"$name: curve too sparse (${c.size} samples)"; "" }
+      else {
+        val (mr, tr) = (mid.map(_.rows).max, tail.map(_.rows).max)
+        val (mm, tm) = (mid.map(_.memBytes).max, tail.map(_.memBytes).max)
+        // rows plateau: tail within 30% + jitter of mid; memory within
+        // 50% (RocksDB block cache/compaction overhead is lumpier)
+        if (tr > mr * 1.3 + 64) bad ::= s"$name: rows grew mid=$mr tail=$tr"
+        if (mm > 0 && tm > mm * 1.5) bad ::= s"$name: rocksdb memory grew mid=$mm tail=$tm"
+        s""""$name":{"samples":${c.size},"rows_mid_max":$mr,"rows_tail_max":$tr,""" +
+          s""""mem_mid_max_kb":${r1(mm / 1024.0)},"mem_tail_max_kb":${r1(tm / 1024.0)}}"""
+      }
+    }.filter(_.nonEmpty)
+    if (inv.size > 3) bad ::= s"inventory rows ${inv.size} > calendar bound"
+    val verdict = if (bad.isEmpty) "PASS" else "FAIL"
+    println(s"""{"soak":"$verdict","sec":$soakSec,"inventory_days":${inv.size},${stats.mkString(",")}${if (bad.nonEmpty) s""","violations":${bad.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")}""" else ""}}""")
+    spark.stop()
+    if (bad.nonEmpty) sys.exit(1)
+  }
+}
