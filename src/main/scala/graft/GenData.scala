@@ -25,14 +25,16 @@ import org.apache.spark.sql.functions._
   *  - Timestamps, amounts, and categorical values are unchanged:
   *    domains grow 10×, densities per time window grow 10× — the
   *    TPC-H scaling model (more customers, not longer histories).
-  *  - documents.text for copy k>0 is word-permuted by sorting tokens
-  *    on xxhash64(word ⊕ k) with a stable positional tie-break: the
-  *    SAME permutation key for every doc in a copy, so exact-dup
-  *    groups replicate exactly and near-dup pairs keep high shingle
-  *    overlap WITHIN a copy, while cross-copy shingle overlap
-  *    collapses (different global orders) — dedup yield scales with
-  *    the data instead of exploding quadratically across copies.
-  *    Single-spaced, trimmed source text means n_chars is preserved.
+  *  - documents.text for copy k>0 goes through a per-copy
+  *    length-preserving VOCABULARY BIJECTION (stopwords fixed) — a
+  *    token-level isomorphism, so every intra-copy structure (word
+  *    order, exact-dup groups, shingle Jaccard, prefix-block sizes,
+  *    n_chars, language/stopword signals) replicates EXACTLY per
+  *    copy while cross-copy token overlap collapses to hash
+  *    collisions — dedup yield and blocking-bucket work scale with
+  *    the data instead of exploding quadratically across copies
+  *    (see substituteDocs for the measured failure of weaker
+  *    schemes).
   *  - embeddings for copy k>0 are coordinate-permuted by a seeded
   *    per-copy permutation: within-copy cosines are EXACTLY the base
   *    cosines (pair structure replicates per copy), and cross-copy
@@ -59,16 +61,48 @@ object GenData {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  /** Word-permuted text for copy k: tokens sorted by
-    * (xxhash64(word, k), original position) and re-joined. */
-  private def permuteText(text: Column, k: Int): Column = {
-    val ws = split(text, " ")
-    val keyed = transform(sequence(lit(0), size(ws) - 1), i =>
-      struct(
-        xxhash64(concat(element_at(ws, i + 1), lit(s"§$k"))).as("h"),
-        i.as("p"),
-        element_at(ws, i + 1).as("w")))
-    concat_ws(" ", transform(array_sort(keyed), s => s.getField("w")))
+  /** Copy-k documents by per-copy VOCABULARY SUBSTITUTION: every
+    * non-stopword word maps through a length-preserving bijection of
+    * the corpus vocabulary (rank-align each length class by
+    * xxhash64(word) against xxhash64(word ⊕ k)); stopwords (the
+    * langMarkers lists) map to themselves.
+    *
+    * This is a token-level isomorphism of the corpus, so EVERY
+    * intra-copy structure replicates exactly: word order, token
+    * counts, n_chars (length-preserving), exact-dup groups (mapping is
+    * content-only), shingle-set Jaccard (bijections preserve set
+    * overlap), prefix-block sizes (q35's 12-char buckets), language
+    * and stopword signals (markers fixed). Cross-copy overlap
+    * collapses to hash collisions. Earlier schemes (hash-sorted word
+    * order, ± rotation) correlated PREFIXES across a copy's docs and
+    * blew q35's blocking buckets up 373× — measured via Σ bucket² —
+    * where the substitution holds them at exactly 10×. */
+  private def substituteDocs(base: DataFrame, k: Int): DataFrame = {
+    val stop = graft.functions.TextFunctions.langMarkers.flatMap(_._2)
+    val words = base
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(!col("w").isInCollection(stop) && col("w") =!= "")
+      .distinct()
+    val byBase = org.apache.spark.sql.expressions.Window
+      .partitionBy(length(col("w"))).orderBy(xxhash64(col("w")), col("w"))
+    val byCopy = org.apache.spark.sql.expressions.Window
+      .partitionBy(length(col("w")))
+      .orderBy(xxhash64(concat(col("w"), lit(s"§$k"))), col("w"))
+    val src = words.select(col("w"), length(col("w")).as("l"),
+      row_number().over(byBase).as("r"))
+    val dst = words.select(col("w").as("w2"), length(col("w")).as("l"),
+      row_number().over(byCopy).as("r"))
+    val mapping = src.join(dst, Seq("l", "r")).select(col("w"), col("w2"))
+    val toks = base.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("p", "w")))
+    val rebuilt = toks.join(mapping, Seq("w"), "left")
+      .select(col("doc_id"), col("p"), coalesce(col("w2"), col("w")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("p"), col("w")))),
+          s => s.getField("w"))).as("text"))
+    base.drop("text").join(rebuilt, "doc_id")
+      .select(base.columns.toIndexedSeq.map(col): _*)
   }
 
   /** Seeded coordinate permutation for copy k (identity for k = 0). */
@@ -91,16 +125,15 @@ object GenData {
       else 0
       (0 until copies).map { k =>
         val off = k.toLong * KeyOffsetUnit
-        val shifted = ids.foldLeft(base)((df, c) =>
-          df.withColumn(c, col(c) + lit(off)))
-        name match {
-          case "documents" if k > 0 =>
-            shifted.withColumn("text", permuteText(col("text"), k))
+        val perturbed = name match {
+          case "documents" if k > 0 => substituteDocs(base, k)
           case "embeddings" if k > 0 =>
-            shifted.withColumn("embedding",
+            base.withColumn("embedding",
               permuteEmbedding(col("embedding"), dim, k))
-          case _ => shifted
+          case _ => base
         }
+        ids.foldLeft(perturbed)((df, c) =>
+          df.withColumn(c, col(c) + lit(off)))
       }.reduce(_ unionByName _)
     }
   }

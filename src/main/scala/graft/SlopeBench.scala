@@ -57,7 +57,10 @@ object SlopeBench {
         catch { case _: Throwable => }
       }
       dir -> sweep.map { case (name, fn) =>
-        name -> BenchHarness.minOfRuns(spark, fn, dir, runs = 2)
+        val t = BenchHarness.minOfRuns(spark, fn, dir, runs = 2)
+        // progress line per (dir, query): a hung sweep self-locates
+        System.err.println(f"[slope] $dir $name $t%.2f s")
+        name -> t
       }.toMap
     }
     val (bigDir, bigT) = byDir.last
