@@ -338,11 +338,26 @@ object Similarity {
       struct(Num.r4(cosine(v, typedLit(vec))).as("cos"), lit(c).as("cell"))
     }: _*)
 
+  /** IVF cell count derived from the corpus: the classic √n rule,
+    * snapped to a power of two so both engines re-derive the identical
+    * value (`max(16, 2^round(log2 n / 2))`, floor 16 keeps test SFs on
+    * the historical shape, cap 4096 bounds the driver-collected
+    * centroid model). A FIXED nlist is the same 100×-scale bug as a
+    * fixed tile count: probe work is q·(nprobe/nlist)·n, so constant
+    * nlist degenerates IVF to a near-full scan as n grows — measured
+    * as q29b's 19.5× time ratio (21.7 s) for 10× data on the
+    * sf0.1→sf1 decade before this derivation, 1.7× (3.9 s) after. */
+  private[graft] def deriveNlist(n: Long): Int =
+    math.min(4096L,
+      math.max(16L, 1L << math.round(math.log(n.toDouble) / math.log(2.0) / 2.0)))
+      .toInt
+
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 0, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding",
       broadcastQueries: Boolean = true): DataFrame = {
-    val centroids = ivfCentroids(emb, nlist, idCol, vecCol)
+    val nl = if (nlist > 0) nlist else deriveNlist(emb.count())
+    val centroids = ivfCentroids(emb, nl, idCol, vecCol)
     def cellArr(v: Column): Column = ivfCellArr(centroids)(v)
     // index side needs only the argmax cell — array_max, no sort
     val indexed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),

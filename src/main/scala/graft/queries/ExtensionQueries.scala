@@ -381,7 +381,12 @@ object ExtensionQueries {
       .orderBy(col("query_id"), col("rank"))
 
   val q29bSql: String = {
-    val nlist = 16; val nprobe = 4
+    // nlist re-derived from the corpus exactly as Similarity
+    // .deriveNlist: max(16, 2^round(log2 n / 2)) — 16 at sf0.01, 32 at
+    // sf0.1 (scalar CTE + subquery LIMIT keep the SQL size-generic)
+    val nlistSql =
+      "(SELECT greatest(16, CAST(pow(2, round(log2(count(*)) / 2)) AS BIGINT)) FROM embeddings)"
+    val nprobe = 4
     def cosOf(a: String, b: String): String = Num.sqlR4(
       s"list_sum(list_transform(list_zip($a.e, $b.e), x -> x[1] * x[2]))" +
         s" / (sqrt(list_sum(list_transform($a.e, x -> x * x)))" +
@@ -390,7 +395,7 @@ object ExtensionQueries {
        |           FROM embeddings),
        |cent AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
-       |  FROM v ORDER BY vec_id LIMIT $nlist),
+       |  FROM v ORDER BY vec_id LIMIT $nlistSql),
        |cellcos AS (
        |  SELECT v.vec_id, cent.cell, ${cosOf("v", "cent")} AS cos
        |  FROM v, cent),
