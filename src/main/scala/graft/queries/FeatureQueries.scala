@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.Lineage.LineageOps
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -1287,7 +1287,102 @@ object FeatureQueries {
        |FROM sp, tot
        |ORDER BY freq""".stripMargin
 
+  // ---- q187: ridge regression by distributed normal equations —
+  // multi-feature linear-model training in ONE aggregation pass. The
+  // Gram matrix X'X and moment vector X'y are sufficient statistics:
+  // every entry is a sum of integer products (quantity, discount in
+  // percent points, price in whole dollars — the q115 integer-measure
+  // trick), so the only distributed work is one grouped agg of exact
+  // 64-bit sums with map-side partials, order-independent by
+  // construction. The 3×3 ridge system (X'X + λI)β = X'y then solves
+  // CLOSED-FORM by Cramer's rule as a fixed expression tree over the
+  // (exactly double-representable) sums — written with the identical
+  // association in both engines, so the solve is bit-equal before the
+  // final r6 snap. This is how linear models train at 100 TB: the
+  // model never sees a row twice, and nothing but d² partial sums
+  // crosses the network (LogisticGd is the iterative complement; q108
+  // the single-feature special case). λ excludes the intercept (the
+  // standard convention). ----
+
+  private val RidgeLambda = 10.0
+
+  /** det of [[a,b,c],[d,e,f],[g,h,i]] — SAME association both forms. */
+  private def det3c(a: Column, b: Column, c: Column, d: Column, e: Column,
+      f: Column, g: Column, h: Column, i: Column): Column =
+    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+  private def det3s(a: String, b: String, c: String, d: String, e: String,
+      f: String, g: String, h: String, i: String): String =
+    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
+      s" + $c * ($d * $h - $e * $g))"
+
+  def q187Ridge(spark: SparkSession, dir: String): DataFrame =
+    ridgeFromInts(lineitem(spark, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("long").as("x1"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
+      floor(col("l_extendedprice") + 0.5).cast("long").as("y")))
+
+  /** `rows` needs integer columns (g, x1, x2, y). */
+  private[graft] def ridgeFromInts(rows: DataFrame): DataFrame = {
+    val s = rows.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("y")).as("s1y"),
+      sum(col("x2") * col("y")).as("s2y"))
+    def d(name: String) = col(name).cast("double")
+    val (nn, s1, s2) = (d("n"), d("s1"), d("s2"))
+    val (a11, a12) = (d("s11") + RidgeLambda, d("s12"))
+    val a22 = d("s22") + RidgeLambda
+    val (sy, s1y, s2y) = (d("sy"), d("s1y"), d("s2y"))
+    val dd = det3c(nn, s1, s2, s1, a11, a12, s2, a12, a22)
+    val d0 = det3c(sy, s1, s2, s1y, a11, a12, s2y, a12, a22)
+    val d1 = det3c(nn, sy, s2, s1, s1y, a12, s2, s2y, a22)
+    val d2 = det3c(nn, s1, sy, s1, a11, s1y, s2, a12, s2y)
+    s.select(col("g"), col("n"),
+        Num.r(d0 / dd, 6).as("beta0"),
+        Num.r(d1 / dd, 6).as("beta1"),
+        Num.r(d2 / dd, 6).as("beta2"))
+      .orderBy(col("g"))
+  }
+
+  val q187Sql: String = {
+    val lam = s"$RidgeLambda::DOUBLE"
+    val (nn, s1, s2) = ("n::DOUBLE", "s1::DOUBLE", "s2::DOUBLE")
+    val (a11, a12) = (s"(s11::DOUBLE + $lam)", "s12::DOUBLE")
+    val a22 = s"(s22::DOUBLE + $lam)"
+    val (sy, s1y, s2y) = ("sy::DOUBLE", "s1y::DOUBLE", "s2y::DOUBLE")
+    val dd = det3s(nn, s1, s2, s1, a11, a12, s2, a12, a22)
+    val d0 = det3s(sy, s1, s2, s1y, a11, a12, s2y, a12, a22)
+    val d1 = det3s(nn, sy, s2, s1, s1y, a12, s2, s2y, a22)
+    val d2 = det3s(nn, s1, sy, s1, a11, s1y, s2, a12, s2y)
+    s"""WITH r AS (
+       |  SELECT l_returnflag AS g, l_quantity::BIGINT AS x1,
+       |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+       |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT g, count(*) AS n,
+       |    CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+       |    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+       |    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+       |    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+       |    CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+       |    CAST(sum(x2 * y) AS BIGINT) AS s2y
+       |  FROM r GROUP BY g)
+       |SELECT g, n,
+       |  ${Num.sqlR(s"$d0 / $dd", 6)} AS beta0,
+       |  ${Num.sqlR(s"$d1 / $dd", 6)} AS beta1,
+       |  ${Num.sqlR(s"$d2 / $dd", 6)} AS beta2
+       |FROM s ORDER BY g""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_ridge" -> (q187Ridge _),
     "q106_naive_bayes" -> (q106NaiveBayes _),
     "q107_pmi" -> (q107Pmi _),
     "q108_trend" -> (q108Trend _),
@@ -1311,6 +1406,7 @@ object FeatureQueries {
     "q124_freq_spectrum" -> (q124FreqSpectrum _))
 
   def oracles: Map[String, String] = Map(
+    "q187_ridge" -> q187Sql,
     "q106_naive_bayes" -> q106Sql,
     "q107_pmi" -> q107Sql,
     "q108_trend" -> q108Sql,

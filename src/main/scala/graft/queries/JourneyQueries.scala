@@ -452,6 +452,79 @@ object JourneyQueries {
        |FROM m WHERE d > 0
        |ORDER BY cohort, t""".stripMargin
 
+  // ---- q186: Markov user-behavior model — the per-user event-type
+  // transition matrix (lead over each user's time-ordered stream),
+  // row-normalized, plus THREE power-iteration rounds toward the
+  // stationary distribution from a uniform start. The stationary π is
+  // the long-run "where do users spend their time" answer (PageRank's
+  // chain is exactly this with teleportation); three unrolled
+  // r6-snapped rounds is the q87/q81 cross-engine iteration contract.
+  //
+  // Shape at 100 TB: the ONLY row-level work is one user-partitioned
+  // window (bounded per-user frames, full parallelism); the matrix is
+  // |types|² rows, so normalization, the iteration joins, and the
+  // final output are all free. The oracle re-derives the identical
+  // window, normalization, and unrolled rounds in SQL — the hash
+  // match pins every transition count AND the iteration arithmetic. ----
+
+  def q186Markov(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(byUser))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val wA = Window.partitionBy(col("a"))
+    val p = trans
+      .withColumn("p", Num.r(
+        col("cnt").cast("double") / sum(col("cnt")).over(wA), 6))
+      .select(col("a"), col("b"), col("cnt"), col("p"))
+    // π0 uniform over the chain's state set (sources ∪ targets)
+    val states = p.select(col("a").as("st"))
+      .union(p.select(col("b"))).distinct()
+    val s = broadcast(states.agg(count(lit(1)).as("ns")))
+    val pi0 = states.crossJoin(s)
+      .select(col("st"), (lit(1.0) / col("ns")).as("pi"))
+    val pi3 = (1 to 3).foldLeft(pi0) { (pi, _) =>
+      // st exists only on the pi side and a only on the matrix side,
+      // so the unqualified condition is unambiguous every round
+      broadcast(pi).join(p, col("st") === col("a"))
+        .groupBy(col("b"))
+        .agg(Num.r(sum(col("pi") * col("p")), 6).as("pi"))
+        .withColumnRenamed("b", "st")
+    }
+    pi3.orderBy(col("st"))
+  }
+
+  val q186Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT p.b AS st, ${Num.sqlR("sum(x.pi * p.p)", 6)} AS pi
+         |  FROM $prev x JOIN p ON x.st = p.a GROUP BY p.b)"""
+    s"""WITH t AS (
+       |  SELECT event_type AS a,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id
+       |                              ORDER BY ts, event_id) AS b
+       |  FROM events),
+       |m AS (SELECT a, b, count(*) AS cnt FROM t
+       |      WHERE b IS NOT NULL GROUP BY a, b),
+       |p AS (SELECT a, b, cnt,
+       |        ${Num.sqlR(
+          "cnt::DOUBLE / sum(cnt) OVER (PARTITION BY a)", 6)} AS p
+       |      FROM m),
+       |st AS (SELECT DISTINCT a AS st FROM p
+       |       UNION SELECT DISTINCT b FROM p),
+       |ns AS (SELECT count(*) AS ns FROM st),
+       |pi0 AS (SELECT st, (1.0::DOUBLE / ns) AS pi
+       |        FROM st CROSS JOIN ns),
+       |${round("pi0", "pi1")},
+       |${round("pi1", "pi2")},
+       |${round("pi2", "pi3")}
+       |SELECT st, pi FROM pi3 ORDER BY st""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_seq_funnel" -> (q155SeqFunnel _),
     "q156_attribution" -> (q156Attribution _),
@@ -459,7 +532,8 @@ object JourneyQueries {
     "q158_rfm" -> (q158Rfm _),
     "q160_session_stats" -> (q160SessionStats _),
     "q169_seasonality" -> (q169Seasonality _),
-    "q178_kaplan_meier" -> (q178KaplanMeier _))
+    "q178_kaplan_meier" -> (q178KaplanMeier _),
+    "q186_markov" -> (q186Markov _))
 
   def oracles: Map[String, String] = Map(
     "q155_seq_funnel" -> q155Sql,
@@ -468,5 +542,6 @@ object JourneyQueries {
     "q158_rfm" -> q158Sql,
     "q160_session_stats" -> q160Sql,
     "q169_seasonality" -> q169Sql,
-    "q178_kaplan_meier" -> q178Sql)
+    "q178_kaplan_meier" -> q178Sql,
+    "q186_markov" -> q186Sql)
 }

@@ -315,17 +315,104 @@ object QcQueries {
        |ORDER BY c.lang, c.split""".stripMargin
   }
 
+  // ---- q185: Poisson-bootstrap standard error of the mean purchase
+  // value — the RESAMPLING error bar beside q166's jackknife. A true
+  // multinomial bootstrap needs global coordination (each resample
+  // draws exactly n rows); the Poisson(1) bootstrap replaces the
+  // multinomial with independent per-row Poisson(1) replica weights —
+  // the standard approximation for map-reduce resampling, because
+  // each row computes its B weights locally from a hash and the only
+  // shuffle is B replica partial sums. Weights come from the inverse
+  // Poisson(1) CDF over the deterministic hash-uniform, so both
+  // engines draw the IDENTICAL resamples; value rides as integer
+  // cents so all per-replica sums are exact 64-bit and partial-agg
+  // order cannot drift. Everything statistical happens on the B-row
+  // replica frame (the q166 contract). ----
+
+  private val BootB = 20
+  /** Cumulative Poisson(1) probabilities P(X <= k), k = 0..7, as
+    * shortest-repr double literals (identical parse both engines;
+    * emitted with ::DOUBLE in SQL — a bare decimal literal is DECIMAL
+    * in DuckDB). u >= cdf(7) (p ~ 1e-5) caps the weight at 8. */
+  private val PoisCdf = Seq(
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238463, 0.9963401531726563, 0.9994058151824183,
+    0.999916758850712, 0.9999897508033253)
+
+  def q185Bootstrap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TextFunctions => TF}
+    val base = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").cast("string").as("id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val rep = base
+      .select(col("id"), col("cents"),
+        explode(sequence(lit(0), lit(BootB - 1))).as("b"))
+      .withColumn("u",
+        (TF.hash32(concat(col("id"), lit("#bs"), col("b").cast("string")))
+          + 1).cast("double") / 4294967296.0d)
+      .withColumn("w",
+        PoisCdf.zipWithIndex.tail
+          .foldLeft(when(col("u") < lit(PoisCdf.head), 0L)) {
+            case (acc, (c, k)) => acc.when(col("u") < lit(c), k.toLong)
+          }.otherwise(8L))
+      .groupBy(col("b"))
+      .agg(sum(col("w") * col("cents")).as("ws"), sum(col("w")).as("wn"))
+      .select(((col("ws").cast("double") / col("wn")) / 100.0).as("m_b"))
+    val tot = base.agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val mbar = rep.agg(Num.r(avg(col("m_b")), 6).as("mbar"))
+    rep.crossJoin(broadcast(mbar)).crossJoin(broadcast(tot))
+      .agg(
+        max(col("n")).as("n_purchases"),
+        Num.r4((max(col("s")).cast("double") / max(col("n"))) / 100.0)
+          .as("mean_value"),
+        Num.r(sqrt(
+          Num.r(sum(pow(col("m_b") - col("mbar"), 2)), 6) / (BootB - 1)), 6)
+          .as("boot_se"))
+  }
+
+  val q185Sql: String = {
+    import graft.functions.{TextFunctions => TF}
+    val caseW = PoisCdf.zipWithIndex.map { case (c, k) =>
+      s"WHEN u < $c::DOUBLE THEN $k"
+    }.mkString("CASE ", " ", " ELSE 8 END")
+    s"""WITH base AS (
+       |  SELECT event_id::VARCHAR AS id,
+       |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'),
+       |e AS (
+       |  SELECT b, cents, $caseW AS w
+       |  FROM (SELECT id, cents, b,
+       |          (${TF.sqlHash32("id || '#bs' || b::VARCHAR")} + 1)::DOUBLE
+       |            / 4294967296.0 AS u
+       |        FROM base CROSS JOIN
+       |          (SELECT unnest(range(0, $BootB)) AS b))),
+       |rep AS (
+       |  SELECT ((sum(w * cents)::DOUBLE / sum(w)) / 100.0) AS m_b
+       |  FROM e GROUP BY b),
+       |tot AS (SELECT count(*) AS n, sum(cents) AS s FROM base),
+       |mb AS (SELECT ${Num.sqlR("avg(m_b)", 6)} AS mbar FROM rep)
+       |SELECT CAST(max(n) AS BIGINT) AS n_purchases,
+       |  ${Num.sqlR4("(max(s)::DOUBLE / max(n)) / 100.0")} AS mean_value,
+       |  ${Num.sqlR(
+          s"sqrt(${Num.sqlR("sum(pow(m_b - mbar, 2))", 6)} / (${BootB} - 1))",
+          6)} AS boot_se
+       |FROM rep CROSS JOIN mb CROSS JOIN tot""".stripMargin
+  }
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q101_expectations" -> (q101Expectations _),
     "q102_drift" -> (q102Drift _),
     "q164_integrity" -> (q164Integrity _),
     "q166_jackknife" -> (q166Jackknife _),
-    "q182_split_balance" -> (q182SplitBalance _))
+    "q182_split_balance" -> (q182SplitBalance _),
+    "q185_bootstrap_se" -> (q185Bootstrap _))
 
   def oracles: Map[String, String] = Map(
     "q101_expectations" -> q101Sql,
     "q102_drift" -> q102Sql,
     "q164_integrity" -> q164Sql,
     "q166_jackknife" -> q166Sql,
-    "q182_split_balance" -> q182Sql)
+    "q182_split_balance" -> q182Sql,
+    "q185_bootstrap_se" -> q185Sql)
 }
