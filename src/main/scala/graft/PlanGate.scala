@@ -57,7 +57,6 @@ object PlanGate {
   private[graft] val Allowed: Map[String, (String, String)] = Map(
     "q27_cosine_topk" -> ("NOT (query_id# = nbr_id#)", "query set broadcast vs corpus: brute-force exact anchor (Similarity.bruteForceTopK doc)"),
     "q100_mmr_topk" -> ("NOT (query_id# = nbr_id#)", "query set broadcast vs corpus (MMR re-rank rides q27's anchor shape)"),
-    "q68_pq_adc" -> ("NOT (nbr_id# = query_id#)", "query set broadcast: ADC re-rank joins k-row candidate lists"),
     "q97_hard_negatives" -> ("NOT (query_id# = nbr_id#)", "query set broadcast vs corpus band filter"),
     "q28_cosine_pairs" -> ("id# < id#", "THE documented all-pairs exact oracle anchor (scale path = cosinePairsBlocked)"),
     "q113_source_overlap" -> ("sa# < sb#", "source-domain self-pairs: |distinct sources| rows per side"),

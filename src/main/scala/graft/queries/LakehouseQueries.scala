@@ -185,23 +185,32 @@ object LakehouseQueries {
        |ORDER BY cnt DESC, item
        |LIMIT $TopTerms""".stripMargin
 
-  // ---- q68: product-quantized ANN — FULLY oracle-checked (recall +
+  // ---- q68: IVF-PQ ANN — FULLY oracle-checked (recall +
   // reconstruction-error bounds additionally in
-  // ProductQuantizerSpec): the corpus is scanned as an (id, 8-code)
-  // table — 32× smaller than the float vectors — candidates ranked by
-  // ADC table lookup, then re-ranked exactly against full vectors.
+  // ProductQuantizerSpec): the corpus is scanned as an (id, 8-code,
+  // cell) table — 32× smaller than the float vectors — queries probe
+  // their nprobe nearest coarse cells (q29b's deterministic √n-derived
+  // quantizer), candidates within the probed cells ranked by ADC
+  // table lookup, then re-ranked exactly against full vectors. This
+  // is Faiss's IndexIVFPQ layout — a FLAT PQ scan is O(corpus) per
+  // query, hence O(n²) total with a fixed query fraction (measured
+  // 22.9× time for 10× data before the coarse stage; the flat form
+  // survives as ProductQuantizerSpec's exact-ADC recall baseline).
   // Same (query, k) contract as q27/q29/q29b for cross-checking.
   // Oracle-expressible because every stage is deterministic: codebooks
-  // are subslices of the first PqK vectors by id, the c·c−2·x·c score
-  // is a fixed-order multiply-add chain (DuckDB's list_sum folds
-  // left-to-right bit-identically to the JVM/codegen loops — the q29
-  // parity fact), the per-pair ADC sum is re-derived with
-  // list_sum(list(d ORDER BY m)) to preserve the m-order addition
-  // chain, and every argmin/top-N tie breaks on an id. ----
+  // are subslices of the first PqK vectors by id, coarse cells
+  // re-derive exactly as q29b's (r4-snapped cosine, ties on cell
+  // DESC), the c·c−2·x·c score is a fixed-order multiply-add chain
+  // (DuckDB's list_sum folds left-to-right bit-identically to the
+  // JVM/codegen loops — the q29 parity fact), the per-pair ADC sum is
+  // re-derived with list_sum(list(d ORDER BY m)) to preserve the
+  // m-order addition chain, and every argmin/top-N tie breaks on an
+  // id. ----
 
   private val PqM = 8
   private val PqK = 16
   private val PqCandN = 64
+  private val PqNprobe = 4
   private val TopK = 5
   private val QueryMod = 50
 
@@ -209,7 +218,7 @@ object LakehouseQueries {
     val e = embs(spark, dir)
     val cb = ProductQuantizer.train(e, PqM, PqK)
     ProductQuantizer.adcTopK(e, cb, col("vec_id") % QueryMod === 0, TopK,
-      candN = PqCandN)
+      candN = PqCandN, nprobe = PqNprobe)
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -217,6 +226,15 @@ object LakehouseQueries {
     val sub = 64 / PqM
     def dotZip(a: String, b: String): String =
       s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
+    // coarse quantizer: identical derivation to q29b (nlist =
+    // max(16, 2^round(log2 n / 2)); centroids = first nlist vectors
+    // by id; r4-snapped cell cosine; ties on cell DESC)
+    val nlistSql =
+      "(SELECT greatest(16, CAST(pow(2, round(log2(count(*)) / 2)) AS BIGINT)) FROM embeddings)"
+    def cosOf(a: String, b: String): String = Num.sqlR4(
+      s"list_sum(list_transform(list_zip($a.e, $b.e), x -> x[1] * x[2]))" +
+        s" / (sqrt(list_sum(list_transform($a.e, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b.e, x -> x * x))))")
     s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
        |           FROM embeddings),
        |cent AS (
@@ -244,12 +262,33 @@ object LakehouseQueries {
        |qtab AS (
        |  SELECT vec_id AS query_id, m, code, d FROM enc
        |  WHERE vec_id % $QueryMod = 0),
+       |coarse AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+       |  FROM v ORDER BY vec_id LIMIT $nlistSql),
+       |cellcos AS (
+       |  SELECT v.vec_id, coarse.cell, ${cosOf("v", "coarse")} AS ccos
+       |  FROM v, coarse),
+       |idx AS (
+       |  SELECT vec_id, cell FROM cellcos
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY ccos DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM cellcos
+       |  WHERE vec_id % $QueryMod = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY ccos DESC, cell DESC) <= $PqNprobe),
+       |pairs AS (
+       |  SELECT p.query_id, i.vec_id AS nbr_id
+       |  FROM probes p JOIN idx i ON i.cell = p.cell
+       |    AND i.vec_id <> p.query_id),
        |adc AS (
-       |  SELECT t.query_id, c.vec_id AS nbr_id,
+       |  SELECT pr.query_id, pr.nbr_id,
        |    ${Num.sqlR4("list_sum(list(t.d ORDER BY t.m))")} AS adc
-       |  FROM codes c JOIN qtab t ON t.m = c.m AND t.code = c.code
-       |    AND c.vec_id <> t.query_id
-       |  GROUP BY t.query_id, c.vec_id),
+       |  FROM pairs pr
+       |    JOIN codes c ON c.vec_id = pr.nbr_id
+       |    JOIN qtab t ON t.query_id = pr.query_id
+       |      AND t.m = c.m AND t.code = c.code
+       |  GROUP BY pr.query_id, pr.nbr_id),
        |cand AS (
        |  SELECT query_id, nbr_id FROM adc
        |  QUALIFY row_number() OVER (PARTITION BY query_id

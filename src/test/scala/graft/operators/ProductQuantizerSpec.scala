@@ -66,4 +66,42 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(recall >= 0.6, s"recall@5 = $recall")
     assert(run(emb.repartition(7)) == got)
   }
+
+  test("IVF-PQ: probed candidates are a subset of the flat ADC scan's " +
+      "cell-restricted corpus; results repartition-stable") {
+    val pred = col("vec_id") % 50 === 0
+    def run(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      ProductQuantizer.adcTopK(df, cb, pred, 5, candN = 64, nprobe = 4)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = run(emb)
+    // same query set as the flat scan; every result must come from a
+    // probed cell of its query (re-derive assignment + probes here)
+    val nl = Similarity.deriveNlist(emb.count())
+    val cent = Similarity.ivfCentroids(emb, nl)
+    val assign = emb.select(col("vec_id"),
+        array_max(Similarity.ivfCellArr(cent)(col("embedding")))
+          .getField("cell").as("cell"))
+      .as[(Long, Int)].collect().toMap
+    val probed = emb.filter(pred).select(col("vec_id"),
+        slice(sort_array(Similarity.ivfCellArr(cent)(col("embedding")),
+          asc = false), 1, 4).getField("cell").as("cells"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(ivf.keySet == probed.keySet)
+    ivf.foreach { case (q, nbrs) =>
+      nbrs.foreach { n =>
+        assert(probed(q).contains(assign(n)), s"q=$q nbr=$n not in probed cells")
+      }
+    }
+    // recall vs exact top-5 (IVF restricts candidates; random
+    // embeddings are the worst case — measured value pinned loosely)
+    val exact = Similarity.bruteForceTopK(emb, pred, 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = exact.map { case (q, nbrs) =>
+      ivf(q).intersect(nbrs).size.toDouble / nbrs.size
+    }.sum / exact.size
+    assert(recall >= 0.2, s"ivf-pq recall@5 = $recall")
+    assert(run(emb.repartition(7)) == ivf)
+  }
 }
