@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions => TF}
-import graft.operators.{Kmv, NaiveBayes, Num, Quantiles}
+import graft.operators.{Kmv, NaiveBayes, Num, Quantiles, Ridge}
 
 /** Round-7 second wave: feature-engineering and corpus-statistics
   * operators a training-data platform layers on top of curation —
@@ -1304,17 +1304,6 @@ object FeatureQueries {
   // the single-feature special case). λ excludes the intercept (the
   // standard convention). ----
 
-  private val RidgeLambda = 10.0
-
-  /** det of [[a,b,c],[d,e,f],[g,h,i]] — SAME association both forms. */
-  private def det3c(a: Column, b: Column, c: Column, d: Column, e: Column,
-      f: Column, g: Column, h: Column, i: Column): Column =
-    a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
-  private def det3s(a: String, b: String, c: String, d: String, e: String,
-      f: String, g: String, h: String, i: String): String =
-    s"($a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g)" +
-      s" + $c * ($d * $h - $e * $g))"
-
   def q187Ridge(spark: SparkSession, dir: String): DataFrame =
     ridgeFromInts(lineitem(spark, dir).select(
       col("l_returnflag").as("g"),
@@ -1323,34 +1312,12 @@ object FeatureQueries {
       floor(col("l_extendedprice") + 0.5).cast("long").as("y")))
 
   /** `rows` needs integer columns (g, x1, x2, y). */
-  private[graft] def ridgeFromInts(rows: DataFrame): DataFrame = {
-    val s = rows.groupBy(col("g")).agg(
-      count(lit(1)).as("n"),
-      sum(col("x1")).as("s1"), sum(col("x2")).as("s2"),
-      sum(col("x1") * col("x1")).as("s11"),
-      sum(col("x1") * col("x2")).as("s12"),
-      sum(col("x2") * col("x2")).as("s22"),
-      sum(col("y")).as("sy"),
-      sum(col("x1") * col("y")).as("s1y"),
-      sum(col("x2") * col("y")).as("s2y"))
-    def d(name: String) = col(name).cast("double")
-    val (nn, s1, s2) = (d("n"), d("s1"), d("s2"))
-    val (a11, a12) = (d("s11") + RidgeLambda, d("s12"))
-    val a22 = d("s22") + RidgeLambda
-    val (sy, s1y, s2y) = (d("sy"), d("s1y"), d("s2y"))
-    val dd = det3c(nn, s1, s2, s1, a11, a12, s2, a12, a22)
-    val d0 = det3c(sy, s1, s2, s1y, a11, a12, s2y, a12, a22)
-    val d1 = det3c(nn, sy, s2, s1, s1y, a12, s2, s2y, a22)
-    val d2 = det3c(nn, s1, sy, s1, a11, s1y, s2, a12, s2y)
-    s.select(col("g"), col("n"),
-        Num.r(d0 / dd, 6).as("beta0"),
-        Num.r(d1 / dd, 6).as("beta1"),
-        Num.r(d2 / dd, 6).as("beta2"))
-      .orderBy(col("g"))
-  }
+  private[graft] def ridgeFromInts(rows: DataFrame): DataFrame =
+    Ridge.solve(Ridge.sums(rows))
 
   val q187Sql: String = {
-    val lam = s"$RidgeLambda::DOUBLE"
+    import Ridge.det3s
+    val lam = s"${Ridge.Lambda}::DOUBLE"
     val (nn, s1, s2) = ("n::DOUBLE", "s1::DOUBLE", "s2::DOUBLE")
     val (a11, a12) = (s"(s11::DOUBLE + $lam)", "s12::DOUBLE")
     val a22 = s"(s22::DOUBLE + $lam)"

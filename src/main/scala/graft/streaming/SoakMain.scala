@@ -135,8 +135,14 @@ object SoakMain {
         val (mm, tm) = (mid.map(_.memBytes).max, tail.map(_.memBytes).max)
         // rows plateau: tail within 30% + jitter of mid; memory within
         // 50% (RocksDB block cache/compaction overhead is lumpier)
+        // AND at least 4 MB absolute — RocksDB allocates memtable
+        // arena in multi-MB blocks, so a near-empty store jitters by
+        // hundreds of KB with no state growth (measured: the 37-row
+        // kmv store moved 525→791 KB across windows while its rows
+        // SHRANK; the 137k-row store moved 1.5%)
         if (tr > mr * 1.3 + 64) bad ::= s"$name: rows grew mid=$mr tail=$tr"
-        if (mm > 0 && tm > mm * 1.5) bad ::= s"$name: rocksdb memory grew mid=$mm tail=$tm"
+        if (mm > 0 && tm > mm * 1.5 && tm - mm > (4L << 20))
+          bad ::= s"$name: rocksdb memory grew mid=$mm tail=$tm"
         s""""$name":{"samples":${c.size},"rows_mid_max":$mr,"rows_tail_max":$tr,""" +
           s""""mem_mid_max_kb":${r1(mm / 1024.0)},"mem_tail_max_kb":${r1(tm / 1024.0)}}"""
       }
