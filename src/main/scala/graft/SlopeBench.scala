@@ -119,7 +119,12 @@ object SlopeBench {
         s""""annotated":$annotatedJson,""" +
         s""""queries":$perQuery}"""
     try {
-      val out = java.nio.file.Paths.get("target", "slope.json")
+      // a restricted sweep (SPARK_GRAFT_ONLY) must not clobber the
+      // full record — it lands in slope_partial.json for hand-merging
+      // (learned the hard way: a one-query re-measure erased a
+      // 194-query record)
+      val file = if (only.isDefined) "slope_partial.json" else "slope.json"
+      val out = java.nio.file.Paths.get("target", file)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -10,7 +10,7 @@ root-caused in round 2; see VERDICT.md r10 "What's wrong" #1).
 Usage: python3 tools/check.py <sfDir> <outDir>
        python3 tools/check.py --selftest   # prove the audit catches HUGEINT
 """
-import sys, json, glob, math
+import os, sys, json, glob, math
 import duckdb
 
 
@@ -69,7 +69,12 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    # driver testdata is one file per table; Spark-written tables
+    # (GenData's sf1) are directories of part files
+    path = f"{sfdir}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
 def norm(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
