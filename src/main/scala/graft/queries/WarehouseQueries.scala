@@ -30,6 +30,21 @@ object WarehouseQueries {
   private def ts(s: String) = lit(s).cast("timestamp")
   private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
+  /** Exact e4-unit (0.0001-dollar) revenue: price and discount are
+    * 2-decimal by data contract (audited x == round(x, 2) row-exact at
+    * every SF), so cents × (100 − pct) is an exact int64 and its SUM
+    * cannot drift with partial-agg order. The plain double [[rev]] sum
+    * is fine per-group at small volume, but at sf1 a ~10⁶-row group's
+    * accumulated ulp error crossed an r2 cent boundary between engines
+    * (q136/q141, one cent off in a 10⁹-dollar sum) — whole-group money
+    * sums ride this instead and divide by 10⁴ at the end. */
+  private def revE4 =
+    floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
+      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+  private val revE4Sql =
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
+      " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+
   /** q131 — TPC-H Q3: shipping-priority top-10 unshipped-order revenue.
     * Fact-fact join (lineitem ⋈ orders) + broadcast customer filter;
     * top-k by snapped revenue with key tie-break. */
@@ -200,15 +215,17 @@ object WarehouseQueries {
       .join(broadcast(r), col("n2.n_regionkey") === col("r_regionkey"))
     vol.groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        Num.r(sum(when(col("n1.n_name") === "NATION_3", rev).otherwise(lit(0.0))), 2).as("nation_volume"),
-        Num.r(sum(rev), 2).as("total_volume"))
+        Num.r(sum(when(col("n1.n_name") === "NATION_3", revE4)
+          .otherwise(lit(0L))).cast("double") / 10000.0, 2).as("nation_volume"),
+        Num.r(sum(revE4).cast("double") / 10000.0, 2).as("total_volume"))
       .withColumn("mkt_share", Num.r(col("nation_volume") / col("total_volume"), 6))
       .orderBy(col("o_year"))
   }
 
   val q136Sql: String = {
-    val nat = Num.sqlR2("sum(CASE WHEN n1.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)")
-    val tot = Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")
+    val nat = Num.sqlR2("CAST(sum(CASE WHEN n1.n_name = 'NATION_3' THEN " +
+      s"$revE4Sql ELSE 0 END) AS BIGINT)::DOUBLE / 10000.0")
+    val tot = Num.sqlR2(s"CAST(sum($revE4Sql) AS BIGINT)::DOUBLE / 10000.0")
     s"""SELECT o_year, nation_volume, total_volume,
        |  ${Num.sqlR("nation_volume / total_volume", 6)} AS mkt_share
        |FROM (
@@ -346,15 +363,17 @@ object WarehouseQueries {
     val p = Tables.load(spark, dir, "part")
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .agg(
-        Num.r(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))), 2).as("promo_revenue_sum"),
-        Num.r(sum(rev), 2).as("total_revenue"))
+        Num.r(sum(when(col("p_type") === "PROMO", revE4)
+          .otherwise(lit(0L))).cast("double") / 10000.0, 2).as("promo_revenue_sum"),
+        Num.r(sum(revE4).cast("double") / 10000.0, 2).as("total_revenue"))
       .withColumn("promo_revenue_pct",
         Num.r(lit(100.0) * col("promo_revenue_sum") / col("total_revenue"), 4))
   }
 
   val q141Sql: String = {
-    val promo = Num.sqlR2("sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)")
-    val tot = Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")
+    val promo = Num.sqlR2("CAST(sum(CASE WHEN p_type = 'PROMO' THEN " +
+      s"$revE4Sql ELSE 0 END) AS BIGINT)::DOUBLE / 10000.0")
+    val tot = Num.sqlR2(s"CAST(sum($revE4Sql) AS BIGINT)::DOUBLE / 10000.0")
     s"""SELECT promo_revenue_sum, total_revenue,
        |  ${Num.sqlR("100.0 * promo_revenue_sum / total_revenue", 4)} AS promo_revenue_pct
        |FROM (
