@@ -142,20 +142,19 @@ object Bench {
     val timed = sweep.map { case (name, fn) =>
       name -> BenchHarness.minOfRunsCpu(spark, fn, sfDir, runs = 3)
     }
+    def r3(x: Double) = math.rint(x * 1000) / 1000
     val results = timed.map { case (k, (w, _)) => k -> w }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // per-query CPU clock of the winning run (steal self-diagnosis):
     // a query whose wall >> cpu/ncpu with LOW cpu was throttled by the
     // host, not slow — full record only (target/bench.json + full line)
-    def r3c(x: Double) = math.rint(x * 1000) / 1000
-    val qcpu = timed.map { case (k, (_, c)) => "\"" + k + "\":" + r3c(c) }
+    val qcpu = timed.map { case (k, (_, c)) => "\"" + k + "\":" + r3(c) }
       .mkString("{", ",", "}")
     val failed = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     val wallSec = (System.nanoTime() - wallStart) / 1e9
     val ncpu = Runtime.getRuntime.availableProcessors
-    def r3(x: Double) = math.rint(x * 1000) / 1000
     val loadFields =
       s""""load1_before":${load1Before},"load1_after":${load1()},""" +
         s""""proc_cpu_sec":${r3(procCpuSec() - cpuBefore)},""" +

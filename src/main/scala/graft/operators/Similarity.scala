@@ -225,11 +225,23 @@ object Similarity {
   private[graft] val TargetRowsPerBlock = 32768L
   private[graft] val RowBytesEstimate = 256L
 
+  /** Rows the optimizer can justify: above this the size statistic is
+    * treated as absent — an un-stats'd leaf (RDD/stream-backed frame,
+    * post-join estimate) reports `spark.sql.defaultSizeInBytes`
+    * (Long.MaxValue-ish), which would silently drive B to [[MaxBlocks]]
+    * and replicate a possibly tiny corpus into ~500 k tile tasks
+    * (review find, round 12). One count() job on the actual frame is
+    * the correct price for a missing statistic. */
+  private[graft] val StatsRowsSanityCap = 1000L * 1000 * 1000
+
   private[graft] def deriveBlocks(df: DataFrame): Int = {
     val bytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(0) }
-    val estRows = bytes / RowBytesEstimate
+    val estRows0 = bytes / RowBytesEstimate
+    val estRows =
+      if (estRows0 > StatsRowsSanityCap || estRows0 <= 0) BigInt(df.count())
+      else estRows0
     val b = (estRows + TargetRowsPerBlock - 1) / TargetRowsPerBlock
     b.max(MinBlocks).min(MaxBlocks).toInt
   }
@@ -346,11 +358,24 @@ object Similarity {
     * fixed tile count: probe work is q·(nprobe/nlist)·n, so constant
     * nlist degenerates IVF to a near-full scan as n grows — measured
     * as q29b's 19.5× time ratio (21.7 s) for 10× data on the
-    * sf0.1→sf1 decade before this derivation, 1.7× (3.9 s) after. */
-  private[graft] def deriveNlist(n: Long): Int =
-    math.min(4096L,
-      math.max(16L, 1L << math.round(math.log(n.toDouble) / math.log(2.0) / 2.0)))
-      .toInt
+    * sf0.1→sf1 decade before this derivation, 1.7× (3.9 s) after.
+    *
+    * Computed in PURE INTEGERS — `2^round(log2 n / 2)` equals
+    * `1 << (bitLength(n) / 2)` clamped to [2⁴, 2¹²] (proved exhaustive
+    * over dense + power-boundary n against the half-up float form:
+    * round(log2 n / 2) = k ⟺ n ∈ [2^(2k−1), 2^(2k+1)), an exact
+    * bit-length test). The float form risked a 1-ulp log divergence
+    * between engines exactly at the 2^(2k+1) boundaries, and its SQL
+    * twin had dropped the 4096 cap (review find, round 12). */
+  private[graft] def deriveNlist(n: Long): Int = {
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    1 << math.min(12, math.max(4, bitLen / 2))
+  }
+
+  /** The SQL twin of [[deriveNlist]] over a counted corpus — the same
+    * integer bit-length rule (DuckDB `bin` renders no leading zeros). */
+  private[graft] def deriveNlistSql(table: String): String =
+    s"(SELECT 1 << least(12, greatest(4, length(bin(count(*))) // 2)) FROM $table)"
 
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int,
       nlist: Int = 0, nprobe: Int = 4,

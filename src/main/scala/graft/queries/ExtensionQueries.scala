@@ -382,10 +382,10 @@ object ExtensionQueries {
 
   val q29bSql: String = {
     // nlist re-derived from the corpus exactly as Similarity
-    // .deriveNlist: max(16, 2^round(log2 n / 2)) — 16 at sf0.01, 32 at
-    // sf0.1 (scalar CTE + subquery LIMIT keep the SQL size-generic)
-    val nlistSql =
-      "(SELECT greatest(16, CAST(pow(2, round(log2(count(*)) / 2)) AS BIGINT)) FROM embeddings)"
+    // .deriveNlist — 16 at sf0.01, 32 at sf0.1, 128 at sf1 (the shared
+    // integer bit-length rule; the old float form here had dropped the
+    // 4096 cap and risked a 1-ulp log divergence at power boundaries)
+    val nlistSql = Similarity.deriveNlistSql("embeddings")
     val nprobe = 4
     def cosOf(a: String, b: String): String = Num.sqlR4(
       s"list_sum(list_transform(list_zip($a.e, $b.e), x -> x[1] * x[2]))" +

@@ -226,11 +226,10 @@ object LakehouseQueries {
     val sub = 64 / PqM
     def dotZip(a: String, b: String): String =
       s"list_sum(list_transform(list_zip($a, $b), z -> z[1] * z[2]))"
-    // coarse quantizer: identical derivation to q29b (nlist =
-    // max(16, 2^round(log2 n / 2)); centroids = first nlist vectors
+    // coarse quantizer: identical derivation to q29b (the shared
+    // integer bit-length nlist rule; centroids = first nlist vectors
     // by id; r4-snapped cell cosine; ties on cell DESC)
-    val nlistSql =
-      "(SELECT greatest(16, CAST(pow(2, round(log2(count(*)) / 2)) AS BIGINT)) FROM embeddings)"
+    val nlistSql = Similarity.deriveNlistSql("embeddings")
     def cosOf(a: String, b: String): String = Num.sqlR4(
       s"list_sum(list_transform(list_zip($a.e, $b.e), x -> x[1] * x[2]))" +
         s" / (sqrt(list_sum(list_transform($a.e, x -> x * x)))" +

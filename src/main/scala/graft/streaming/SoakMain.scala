@@ -149,7 +149,15 @@ object SoakMain {
     }.filter(_.nonEmpty)
     if (inv.size > 3) bad ::= s"inventory rows ${inv.size} > calendar bound"
     val verdict = if (bad.isEmpty) "PASS" else "FAIL"
-    println(s"""{"soak":"$verdict","sec":$soakSec,"inventory_days":${inv.size},${stats.mkString(",")}${if (bad.nonEmpty) s""","violations":${bad.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")}""" else ""}}""")
+    // assemble as a field list so an all-sparse run (stats empty)
+    // still prints valid JSON — no dangling commas
+    val fields = Seq(
+      s""""soak":"$verdict"""", s""""sec":$soakSec""",
+      s""""inventory_days":${inv.size}""") ++ stats ++
+      (if (bad.nonEmpty)
+        Seq(s""""violations":${bad.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")}""")
+      else Nil)
+    println(fields.mkString("{", ",", "}"))
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)
   }

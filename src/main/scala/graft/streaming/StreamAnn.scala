@@ -26,11 +26,15 @@ object StreamAnn {
     * vectors. `corpus` is a static DataFrame (vec_id, embedding).
     * Output: (query_id, rank, nbr_id, cos) — same contract as the
     * batch ivfTopK. Use outputMode complete/update (the top-k
-    * aggregation is incremental). */
+    * aggregation is incremental). `nlist = 0` (default) derives the
+    * cell count from the corpus exactly as the batch twin — a FIXED
+    * default here silently broke stream≡batch parity the moment the
+    * corpus outgrew the derivation's floor (review find, round 12). */
   def ivfEnrich(queries: DataFrame, corpus: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 0, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = Similarity.ivfCentroids(corpus, nlist, idCol, vecCol)
+    val nl = if (nlist > 0) nlist else Similarity.deriveNlist(corpus.count())
+    val centroids = Similarity.ivfCentroids(corpus, nl, idCol, vecCol)
     val cellArr = Similarity.ivfCellArr(centroids) _
     // the index side: one cell per corpus vector; cache — it is
     // re-read every micro-batch

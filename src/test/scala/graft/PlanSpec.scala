@@ -253,10 +253,17 @@ class PlanSpec extends SparkSpec {
       graft.operators.Similarity.cosinePairsBlocked(emb, 0.35))
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), plan.take(1500))
-    // the pair join is a real equi-join on the tile key
-    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*\\bba".r
-      .findFirstIn(plan.replace("\n", " ")).isDefined ||
-      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+    // the pair join is a real equi-join on the tile key. Formatted
+    // explain puts join keys on detail lines ("Left keys [2]: [ba#…"),
+    // so pin (a) some hash/merge join exists and (b) a JOIN-KEY line
+    // names the tile column ba — ba exists only in this operator, and
+    // the no-BNLJ assert above already excludes the regressed form.
+    // (The prior version had an any-join-anywhere fallback disjunct
+    // that made the key check vacuous — review find, round 12.)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findFirstIn(plan).isDefined, plan.take(1500))
+    assert(plan.linesIterator.exists(l =>
+      l.contains("keys") && "\\bba#".r.findFirstIn(l).isDefined),
       plan.take(1500))
     assert(graft.PlanGate.violations("cosine_pairs_blocked",
       graft.operators.Similarity.cosinePairsBlocked(emb, 0.35)

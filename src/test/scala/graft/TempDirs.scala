@@ -10,8 +10,10 @@ object TempDirs {
   def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      Files.walk(p).iterator().asScala.toSeq.reverse
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(f => try Files.deleteIfExists(f) catch { case _: Throwable => () })
+      finally walk.close() // an unclosed walk leaks a directory stream per call
     }
   }
 }
