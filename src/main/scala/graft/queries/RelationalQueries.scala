@@ -24,27 +24,41 @@ object RelationalQueries {
 
   /** q1: pricing summary — filter + groupBy + sum/avg/count.
     * Reference ops: A1 count, A3 sum, A5 avg, P6 round (SURVEY §2.6). */
+  // money sums ride exact integers (cents / e4 units — price and
+  // discount are 2-decimal by data contract, row-audited at every SF):
+  // the sf10 sweep caught the plain double sum one cent off in a
+  // 2.8·10¹¹ sum over a 5.3 M-row group (the q136/q141 ulp class;
+  // see WarehouseQueries.revE4). Quantity sums are integer-valued
+  // doubles — exact as-is up to 2⁵³.
+  private def priceCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+  private def discE4 = priceCents *
+    (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
+  private val priceCentsSql =
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+  private val discE4Sql = s"$priceCentsSql" +
+    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
     li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         Num.r(sum(col("l_quantity")), 2).as("sum_qty"),
-        Num.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        Num.r(sum(priceCents).cast("double") / 100.0, 2).as("sum_base_price"),
+        Num.r(sum(discE4).cast("double") / 10000.0, 2).as("sum_disc_price"),
         Num.r(avg(col("l_quantity")), 2).as("avg_qty"),
-        Num.r(avg(col("l_extendedprice")), 2).as("avg_price"),
+        Num.r((sum(priceCents).cast("double") / 100.0) / count(lit(1)), 2).as("avg_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   val q1Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  floor((floor((sum(l_quantity)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS sum_qty,
-      |  floor((floor((sum(l_extendedprice)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS sum_base_price,
-      |  floor((floor((sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS sum_disc_price,
-      |  floor((floor((avg(l_quantity)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_qty,
-      |  floor((floor((avg(l_extendedprice)) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS avg_price,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${Num.sqlR2("sum(l_quantity)")} AS sum_qty,
+      |  ${Num.sqlR2(s"CAST(sum($priceCentsSql) AS BIGINT)::DOUBLE / 100.0")} AS sum_base_price,
+      |  ${Num.sqlR2(s"CAST(sum($discE4Sql) AS BIGINT)::DOUBLE / 10000.0")} AS sum_disc_price,
+      |  ${Num.sqlR2("avg(l_quantity)")} AS avg_qty,
+      |  ${Num.sqlR2(s"(CAST(sum($priceCentsSql) AS BIGINT)::DOUBLE / 100.0) / count(*)")} AS avg_price,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
