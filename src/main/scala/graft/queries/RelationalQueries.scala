@@ -132,14 +132,16 @@ object RelationalQueries {
       .groupBy(col("o_orderpriority"))
       .agg(
         count(lit(1)).as("line_count"),
-        Num.r(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // 5 priority groups × ~10⁷ rows at sf10 → 1e10+ sums: exact
+        // e4 integers (the q1/q136/q141 ulp class)
+        Num.r(sum(discE4).cast("double") / 10000.0, 2).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
 
   val q4Sql: String =
-    """SELECT o_orderpriority,
+    s"""SELECT o_orderpriority,
       |  count(*) AS line_count,
-      |  floor((floor((sum(l_extendedprice * (1 - l_discount))) * 1000000 + 0.5) / 1000000) * 100 + 0.5) / 100 AS revenue
+      |  ${Num.sqlR2(s"CAST(sum($discE4Sql) AS BIGINT)::DOUBLE / 10000.0")} AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
       |GROUP BY o_orderpriority

@@ -38,12 +38,14 @@ object WarehouseQueries {
     * accumulated ulp error crossed an r2 cent boundary between engines
     * (q136/q141, one cent off in a 10⁹-dollar sum) — whole-group money
     * sums ride this instead and divide by 10⁴ at the end. */
-  private def revE4 =
-    floor(col("l_extendedprice") * 100 + 0.5).cast("long") *
-      (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
-  private val revE4Sql =
-    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)" +
-      " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+  private def priceCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+  private def discPct = floor(col("l_discount") * 100 + 0.5).cast("long")
+  private def revE4 = priceCents * (lit(100L) - discPct)
+  private val priceCentsSql =
+    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+  private val discPctSql =
+    "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+  private val revE4Sql = s"$priceCentsSql * (100 - $discPctSql)"
 
   /** q131 — TPC-H Q3: shipping-priority top-10 unshipped-order revenue.
     * Fact-fact join (lineitem ⋈ orders) + broadcast customer filter;
@@ -120,12 +122,15 @@ object WarehouseQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(Num.r(sum(rev), 2).as("revenue"))
+      // nation-level money sums reach ~1.2e10 at sf10, where one ulp
+      // (2e-6 relative) exceeds the r6 snap grain — exact e4 integers
+      // like q1/q136/q141
+      .agg(Num.r(sum(revE4).cast("double") / 10000.0, 2).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val q133Sql: String =
-    s"""SELECT n_name, ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    s"""SELECT n_name, ${Num.sqlR2(s"CAST(sum($revE4Sql) AS BIGINT)::DOUBLE / 10000.0")} AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -143,11 +148,15 @@ object WarehouseQueries {
     Tables.load(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-      .agg(Num.r(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      // global single-group money sum — exact e4 integers (here the
+      // measure is price × discount, so cents × pct)
+      .agg(Num.r(sum(priceCents * discPct).cast("double") / 10000.0, 2)
+        .as("revenue"))
   }
 
   val q134Sql: String =
-    s"""SELECT ${Num.sqlR2("sum(l_extendedprice * l_discount)")} AS revenue
+    s"""SELECT ${Num.sqlR2(
+        s"CAST(sum($priceCentsSql * $discPctSql) AS BIGINT)::DOUBLE / 10000.0")} AS revenue
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
@@ -172,14 +181,14 @@ object WarehouseQueries {
         (col("n1.n_name") === "NATION_2" && col("n2.n_name") === "NATION_1"))
       .groupBy(col("n1.n_name").as("supp_nation"), col("n2.n_name").as("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(Num.r(sum(rev), 2).as("volume"))
+      .agg(Num.r(sum(revE4).cast("double") / 10000.0, 2).as("volume"))
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
   val q135Sql: String =
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        |  CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-       |  ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS volume
+       |  ${Num.sqlR2(s"CAST(sum($revE4Sql) AS BIGINT)::DOUBLE / 10000.0")} AS volume
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -259,13 +268,13 @@ object WarehouseQueries {
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(Num.r(sum(rev), 2).as("sum_profit"))
+      .agg(Num.r(sum(revE4).cast("double") / 10000.0, 2).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
   }
 
   val q137Sql: String =
     s"""SELECT n_name AS nation, CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-       |  ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS sum_profit
+       |  ${Num.sqlR2(s"CAST(sum($revE4Sql) AS BIGINT)::DOUBLE / 10000.0")} AS sum_profit
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
        |JOIN supplier ON l_suppkey = s_suppkey
@@ -466,7 +475,7 @@ object WarehouseQueries {
   }
 
   val q145Sql: String =
-    s"""SELECT ${Num.sqlR2("sum(l_extendedprice * (1 - l_discount))")} AS revenue
+    s"""SELECT ${Num.sqlR2(s"CAST(sum($revE4Sql) AS BIGINT)::DOUBLE / 10000.0")} AS revenue
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
