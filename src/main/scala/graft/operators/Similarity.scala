@@ -231,7 +231,12 @@ object Similarity {
     * (Long.MaxValue-ish), which would silently drive B to [[MaxBlocks]]
     * and replicate a possibly tiny corpus into ~500 k tile tasks
     * (review find, round 12). One count() job on the actual frame is
-    * the correct price for a missing statistic. */
+    * the correct price for a missing statistic: the count only fires
+    * when the estimate is absurd (sentinel-sized or absent), truth is
+    * required there to avoid the small-corpus blowup (B too LARGE
+    * replicates each row to ~B/2 tiles — not the safe direction), and
+    * for a frame genuinely past the cap the count is noise next to
+    * the O(n²) pair join this operator then performs. */
   private[graft] val StatsRowsSanityCap = 1000L * 1000 * 1000
 
   private[graft] def deriveBlocks(df: DataFrame): Int = {

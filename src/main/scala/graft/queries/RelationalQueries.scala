@@ -24,19 +24,14 @@ object RelationalQueries {
 
   /** q1: pricing summary — filter + groupBy + sum/avg/count.
     * Reference ops: A1 count, A3 sum, A5 avg, P6 round (SURVEY §2.6). */
-  // money sums ride exact integers (cents / e4 units — price and
-  // discount are 2-decimal by data contract, row-audited at every SF):
-  // the sf10 sweep caught the plain double sum one cent off in a
-  // 2.8·10¹¹ sum over a 5.3 M-row group (the q136/q141 ulp class;
-  // see WarehouseQueries.revE4). Quantity sums are integer-valued
-  // doubles — exact as-is up to 2⁵³.
-  private def priceCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-  private def discE4 = priceCents *
-    (lit(100L) - floor(col("l_discount") * 100 + 0.5).cast("long"))
-  private val priceCentsSql =
-    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
-  private val discE4Sql = s"$priceCentsSql" +
-    " * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))"
+  // money sums ride exact integers (the ≥10¹⁰ ulp class — the sf10
+  // sweep caught the plain double sum one cent off in a 2.8·10¹¹ sum
+  // over a 5.3 M-row group; contract in operators.Money). Quantity
+  // sums are integer-valued doubles — exact as-is up to 2⁵³.
+  private def priceCents = graft.operators.Money.cents(col("l_extendedprice"))
+  private def discE4 = graft.operators.Money.revE4
+  private val priceCentsSql = graft.operators.Money.centsSql("l_extendedprice")
+  private val discE4Sql = graft.operators.Money.revE4Sql
 
   def q1Agg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")

@@ -30,22 +30,13 @@ object WarehouseQueries {
   private def ts(s: String) = lit(s).cast("timestamp")
   private def rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
 
-  /** Exact e4-unit (0.0001-dollar) revenue: price and discount are
-    * 2-decimal by data contract (audited x == round(x, 2) row-exact at
-    * every SF), so cents × (100 − pct) is an exact int64 and its SUM
-    * cannot drift with partial-agg order. The plain double [[rev]] sum
-    * is fine per-group at small volume, but at sf1 a ~10⁶-row group's
-    * accumulated ulp error crossed an r2 cent boundary between engines
-    * (q136/q141, one cent off in a 10⁹-dollar sum) — whole-group money
-    * sums ride this instead and divide by 10⁴ at the end. */
-  private def priceCents = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
-  private def discPct = floor(col("l_discount") * 100 + 0.5).cast("long")
-  private def revE4 = priceCents * (lit(100L) - discPct)
-  private val priceCentsSql =
-    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
-  private val discPctSql =
-    "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
-  private val revE4Sql = s"$priceCentsSql * (100 - $discPctSql)"
+  // exact integer money sums (the ≥10¹⁰ ulp class) — contract and
+  // both engine forms live in operators.Money
+  import graft.operators.Money.{revE4, revE4Sql}
+  private def priceCents = graft.operators.Money.cents(col("l_extendedprice"))
+  private def discPct = graft.operators.Money.cents(col("l_discount"))
+  private val priceCentsSql = graft.operators.Money.centsSql("l_extendedprice")
+  private val discPctSql = graft.operators.Money.centsSql("l_discount")
 
   /** q131 — TPC-H Q3: shipping-priority top-10 unshipped-order revenue.
     * Fact-fact join (lineitem ⋈ orders) + broadcast customer filter;
@@ -471,7 +462,11 @@ object WarehouseQueries {
       (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
         (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
         (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) && col("l_quantity").between(20, 30))))
-      .agg(Num.r(sum(rev), 2).as("revenue"))
+      // global single-group sum — must ride e4 integers IN LOCKSTEP
+      // with the oracle (the Spark side here was briefly left on
+      // doubles while the SQL went exact: the two engines then compute
+      // DIFFERENT expressions and agree only within ulp luck)
+      .agg(Num.r(sum(revE4).cast("double") / 10000.0, 2).as("revenue"))
   }
 
   val q145Sql: String =

@@ -40,7 +40,7 @@ class StreamAnnSpec extends SparkSpec {
   }
 
   test("parity holds where the derived nlist exceeds the floor " +
-      "(sf0.01 corpus, nlist 16 → sf0.1 corpus, nlist 32)") {
+      "(sf0.001 corpus derives the 16 floor; this sf0.1 corpus, 32)") {
     // regression pin for the round-12 review find: a fixed nlist=16
     // default silently diverged from the batch twin's derivation the
     // moment the corpus outgrew the floor — this corpus derives 32
