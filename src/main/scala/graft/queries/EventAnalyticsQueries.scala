@@ -116,10 +116,23 @@ object EventAnalyticsQueries {
     val ev = events(spark, dir)
       .withColumn("is_dropoff", col("event_type").isin(dropTypes: _*))
     val win = Windows.withSlidingWindow(ev, "ts", Width, Slide)
-    win.groupBy(col("window_start"), col("window_end"), col("event_type"))
+    // Two-level aggregation: a single-level count(DISTINCT user_id) makes
+    // Catalyst group on (window, event_type, user_id) first AND drags the
+    // BoundedMinSample UDAF into that per-user stage — ObjectHashAggregate
+    // (no codegen, object buffers, sort-based fallback past 128 keys) over
+    // every window-expanded event row. Grouping per-user explicitly keeps
+    // the full-input stage a codegen HashAggregate of declarative aggs; the
+    // UDAF then only sees one row per distinct (window, type, user).
+    val perUser = win
+      .groupBy(col("window_start"), col("window_end"), col("event_type"),
+        col("user_id"))
       .agg(
-        count(lit(1)).as("status_count"),
-        countDistinct(col("user_id")).as("unique_users"),
+        count(lit(1)).as("user_events"),
+        first(col("is_dropoff")).as("is_dropoff"))
+    perUser.groupBy(col("window_start"), col("window_end"), col("event_type"))
+      .agg(
+        sum(col("user_events")).as("status_count"),
+        count(col("user_id")).as("unique_users"),
         first(col("is_dropoff")).as("is_dropoff"),
         // bounded-state sample (operators.Sampling): k smallest distinct
         // ids with O(k) aggregation state — the scale-safe form of the
