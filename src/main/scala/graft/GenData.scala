@@ -36,8 +36,12 @@ import org.apache.spark.sql.functions._
   *    (see substituteDocs for the measured failure of weaker
   *    schemes).
   *  - embeddings for copy k>0 are coordinate-permuted by a seeded
-  *    per-copy permutation: within-copy cosines are EXACTLY the base
-  *    cosines (pair structure replicates per copy), and cross-copy
+  *    per-copy permutation: within-copy cosines equal the base
+  *    cosines up to float summation order (the permutation reorders
+  *    the dot-product sum, so a pair sitting within an ulp of an r4
+  *    snap boundary can flip — identical after the snap everywhere
+  *    else, and cross-ENGINE parity is unaffected since both engines
+  *    see the same permuted data), and cross-copy
   *    cosines follow the corpus' natural random-pair distribution —
   *    measured at sf0.1: qualifying rate at τ=0.35 is 0.00208
   *    cross-permuted vs 0.00207 natural, so threshold-pair queries

@@ -109,6 +109,29 @@ object PlanGate {
     * normalize so the same join dedupes to one condition string. */
   private[graft] def normCond(s: String): String = s.replaceAll("#\\d+[L]?", "#")
 
+  /** Canonical condition string: split top-level conjuncts, normalize
+    * expression ids in each, sort. The same logical join can render
+    * its conjuncts in different orders between the main AQE plan and a
+    * captured pre-checkpoint snapshot (optimizer reordering, pushed
+    * null guards) — without the sort, the one-excused-join tracking
+    * would see two "distinct" conditions and flag the second sighting.
+    * Allowlist fragments are single-conjunct substrings, so sorting
+    * cannot break `contains(frag)`. */
+  private[graft] def canonCond(
+      condition: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : String = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    condition match {
+      case None => "None"
+      case Some(e) =>
+        conjuncts(e).map(c => normCond(c.toString)).sorted.mkString(" AND ")
+    }
+  }
+
   private val debug = sys.env.contains("PLANGATE_DEBUG")
 
   private[graft] def violations(name: String, plans: Seq[SparkPlan]): Seq[String] = {
@@ -130,7 +153,7 @@ object PlanGate {
             build.isInstanceOf[LocalTableScanExec] ||
             build.isInstanceOf[ReusedExchangeExec]
         if (!benign) {
-          val cond = normCond(j.condition.map(_.toString).getOrElse("None"))
+          val cond = canonCond(j.condition)
           if (debug) println(s"""DEBUG $name BNLJ type=${j.joinType} cond=$cond""")
           val excusable = Allowed.get(name).exists { case (frag, _) =>
             cond.contains(frag) &&
@@ -141,11 +164,13 @@ object PlanGate {
         }
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
         if (!isScalarMerge(e.child)) {
+          // grouping keys normalized and sorted for the same
+          // render-order robustness as canonCond
+          def aggDesc(gs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =
+            "agg:" + gs.map(g => normCond(g.toString)).sorted.mkString(",")
           val childDesc = strip(e.child) match {
-            case h: HashAggregateExec =>
-              "agg:" + normCond(h.groupingExpressions.map(_.toString).mkString(","))
-            case s: SortAggregateExec =>
-              "agg:" + normCond(s.groupingExpressions.map(_.toString).mkString(","))
+            case h: HashAggregateExec => aggDesc(h.groupingExpressions)
+            case s: SortAggregateExec => aggDesc(s.groupingExpressions)
             case other => other.nodeName
           }
           if (debug) println(s"""DEBUG $name SinglePartition child=$childDesc""")

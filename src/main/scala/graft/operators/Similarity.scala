@@ -239,6 +239,12 @@ object Similarity {
     * the O(n²) pair join this operator then performs. */
   private[graft] val StatsRowsSanityCap = 1000L * 1000 * 1000
 
+  /** BATCH-ONLY: the count() fallback below executes a job, so this
+    * must never see a streaming-source frame (it would throw) and
+    * should not see a foreachBatch micro-batch frame (a LogicalRDD
+    * with no stats — every micro-batch would pay a count job).
+    * Streaming callers pass an explicit nBlocks / use the micro-batch
+    * floor ([[incrementalPairs]]). */
   private[graft] def deriveBlocks(df: DataFrame): Int = {
     val bytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -300,8 +306,14 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(least(col("cid"), col("bid")).as("id_a"),
         greatest(col("cid"), col("bid")).as("id_b"), col("cos"))
+    // nBlocks = 0 resolves to the MinBlocks floor, NOT deriveBlocks:
+    // the batch is micro-batch-sized by contract, and in a foreachBatch
+    // context it is a stats-less LogicalRDD — deriveBlocks would pay a
+    // count job per micro-batch (or throw on a direct streaming frame)
+    // to learn a size the contract already bounds.
+    val intraBlocks = if (nBlocks > 0) nBlocks else MinBlocks
     cross.unionByName(
-      cosinePairsBlocked(batch, threshold, idCol, vecCol, nBlocks))
+      cosinePairsBlocked(batch, threshold, idCol, vecCol, intraBlocks))
   }
 
   /** Deterministic pseudo-random hyperplanes: component j of plane

@@ -55,8 +55,17 @@ object TextDedup {
     * Quadratic in shared-shingle pairs — verification / small-corpus
     * tool; LSH below is the scale path. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n).cache()
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    jaccardPairsFromTokens(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")),
+      n, threshold)
+
+  /** [[jaccardPairs]] over a pre-tokenized (id, toks) frame —
+    * identical rows; the token-level twin of
+    * [[prefixJaccardPairsFromTokens]]. */
+  def jaccardPairsFromTokens(tokDf: DataFrame, n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val ds = shinglesFromTokenCol(tokDf, n).cache()
     val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     // inverted-index pruning: a shingle in exactly one document can't
     // produce a pair — drop singletons before the self-join (most

@@ -1314,6 +1314,95 @@ object CorpusStatsQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- cross-plan twins (graft.CrossPlan): same result through a
+  // structurally different algorithm/plan, for the queries whose
+  // DuckDB oracle is infeasible at sf1. Pair queries swap the PPJoin
+  // prefix filter for the full inverted-index join; embedding-graph
+  // queries swap the blocked-tile cosine join for the plain all-pairs
+  // join; the composed pipelines swap the hybrid CC (local union-find
+  // finish) for pure distributed star rounds, the struct-max canonical
+  // argmax for a window row_number, and drop the shared cache. ----
+
+  /** Alternate verdict table: inverted-index edges, distributed-only
+    * CC, window-function canonical selection. Same rows as
+    * [[canonicalVerdictsFromBase]]. */
+  private def canonicalVerdictsAlt(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokDf = base.select(col("doc_id").as("id"), col("toks"))
+    // full inverted-index pair join over the pre-tokenized frame:
+    // shingle → postings → every shared-shingle pair, exact Jaccard
+    val edges = TextDedup.jaccardPairsFromTokens(tokDf, n = 3, threshold = 0.5)
+    val cc = graft.operators.ClusterDedup
+      .connectedComponents(edges, "id_a", "id_b", localFinishEdges = 0L)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val scored = base.select(col("doc_id"), col("quality_score"))
+    val labeled = scored.join(cc, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labeled
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        col("kept"))
+  }
+
+  def crossPlanAlternates: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q86_prefix_jaccard" -> ((s, dir) =>
+        TextDedup.jaccardPairs(docs(s, dir), n = 3, threshold = PrefixTau)
+          .orderBy(col("id_a"), col("id_b"))),
+      "q88_containment" -> ((s, dir) =>
+        TextDedup.containmentPairs(docs(s, dir), n = 3,
+          threshold = ContainTau)
+          .orderBy(col("contained"), col("container"))),
+      "q87_pagerank" -> ((s, dir) =>
+        Graph.pageRank(
+          Similarity.cosinePairs(embs(s, dir), PrTau)
+            .select(col("id_a"), col("id_b")),
+          iters = PrIters, damping = PrDamp)
+          .orderBy(col("node"))),
+      "q181_degree_mle" -> ((s, dir) => {
+        val edges = Similarity.cosinePairs(embs(s, dir), PrTau)
+          .select(col("id_a"), col("id_b"))
+          .cutLineage()
+        val deg = edges.select(col("id_a").as("node"))
+          .unionAll(edges.select(col("id_b").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        deg.agg(count(lit(1)).as("n_nodes"),
+            (sum(col("d")) / 2).cast("long").as("n_edges"),
+            max(col("d")).as("max_degree"),
+            Num.r4(avg(col("d"))).as("mean_degree"),
+            sum(log(col("d").cast("double") * 2)).as("slog"))
+          .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+            col("mean_degree"),
+            Num.r4(lit(1.0) + col("n_nodes").cast("double") / col("slog"))
+              .as("alpha_mle"))
+      }),
+      "q98_canonical_docs" -> ((s, dir) =>
+        canonicalVerdictsAlt(pipelineBase(docs(s, dir)))
+          .orderBy(col("doc_id"))),
+      "q105_corpus_pipeline" -> ((s, dir) => {
+        // no shared cache: every stage recomputes from the scan, and
+        // the global order uses a different range-partition count —
+        // pos is a total rank, so partitioning must not change it
+        val base = pipelineBase(docs(s, dir))
+        val kept = canonicalVerdictsAlt(base)
+          .filter(col("kept") && col("quality_score") >= QualityGate)
+          .select(col("doc_id"))
+        val train = base.select(col("doc_id"), col("lang"))
+          .join(kept, "doc_id")
+          .withColumn("split", TF.splitAssign(col("doc_id")))
+          .filter(col("split") === "train")
+          .select(col("doc_id"), col("lang"),
+            TF.hash60(concat(col("doc_id").cast("string"), lit("#ord")))
+              .as("ord"))
+        graft.operators.GlobalOrder
+          .withGlobalPos(train, numPartitions = 7,
+            order = Seq(col("ord"), col("doc_id")), posCol = "pos")
+          .select(col("pos"), col("doc_id"), col("lang"))
+          .orderBy(col("pos"))
+      }))
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),
     "q83_lm_score" -> (q83LmScore _),

@@ -533,6 +533,45 @@ object ExtensionQueries {
     "q29b_ann_ivf" -> (q29bIvf _),
     "q30_multimodal" -> (q30Multimodal _))
 
+  /** Structurally different twins for the sf1 cross-plan gate
+    * (graft.CrossPlan): same result set as the primary through a
+    * different algorithm/plan, so the queries whose DuckDB oracle is
+    * infeasible at sf1 still get an independent check there.
+    *
+    * q24: the primary is the PPJoin prefix-filtered form; the twin is
+    * the full inverted-index join ([[TextDedup.jaccardPairs]], every
+    * shared-shingle pair scored) — no prefix bound, no positional
+    * filter, different candidate generation and verification path.
+    *
+    * q26: the primary joins one exploded band table on (band, key)
+    * with a broadcast; the twin runs four independent per-band
+    * equi-joins on the raw signature table (shuffle joins) and unions
+    * them — different join decomposition, different dedup point. */
+  def crossPlanAlternates: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q24_ngram_jaccard" -> ((s, dir) =>
+        TextDedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b"))),
+      "q26_simhash" -> (q26SimhashAlt _))
+
+  private def q26SimhashAlt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Lineage.LineageOps
+    val sigs = TextDedup.simhash(docs(spark, dir)).cutLineage()
+    val perBand = (0 until 4).map { b =>
+      val keyed = sigs.select(col("id"), col("simhash"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))
+      keyed.as("a").join(keyed.as("b"),
+          col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .as("hamming"))
+    }
+    perBand.reduce(_ unionAll _)
+      .filter(col("hamming") <= 6)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   def oracles: Map[String, String] = Map(
     "q20_content_dedup" -> q20Sql,
     "q21_token_stats" -> q21Sql,

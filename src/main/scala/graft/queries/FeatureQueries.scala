@@ -1348,6 +1348,26 @@ object FeatureQueries {
        |FROM s ORDER BY g""".stripMargin
   }
 
+  /** Structurally different twin for the sf1 cross-plan gate
+    * (graft.CrossPlan). q118's primary propagates labels over the
+    * PPJoin prefix-filtered edge list; the twin runs the identical
+    * propagation over full inverted-index edges
+    * ([[graft.operators.TextDedup.jaccardPairs]]) — an independent
+    * derivation of the same edge set feeding the same rounds. */
+  def crossPlanAlternates: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q118_label_prop" -> ((s: SparkSession, dir: String) => {
+      import graft.operators.{LabelProp, TextDedup}
+      val d = docs(s, dir)
+      val edges = TextDedup.jaccardPairs(d, n = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val nodes = d.select(col("doc_id").as("id"),
+        when(col("doc_id") % 5 === 0 && col("lang").isNotNull, col("lang"))
+          .as("seed"))
+      LabelProp.propagate(nodes, edges, LpRounds)
+        .select(col("id").as("doc_id"), col("label"), col("seeded"))
+        .orderBy(col("doc_id"))
+    }))
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q187_ridge" -> (q187Ridge _),
     "q106_naive_bayes" -> (q106NaiveBayes _),

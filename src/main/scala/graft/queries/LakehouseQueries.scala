@@ -1028,6 +1028,20 @@ object LakehouseQueries {
        |FROM a FULL OUTER JOIN b USING (key)""".stripMargin
   }
 
+  /** Structurally different twin for the sf1 cross-plan gate
+    * (graft.CrossPlan). q79's primary counts triangles over the
+    * blocked-tile cosine edge list; the twin derives the edges through
+    * the plain all-pairs join ([[Similarity.cosinePairs]], no tiling,
+    * no per-tile dedup) — the small-corpus verification form — and
+    * feeds the same triangle count. */
+  def crossPlanAlternates: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q79_triangles" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Graph.triangleCounts(
+        Similarity.cosinePairs(embs(s, dir), SemTau)
+          .select(col("id_a"), col("id_b")))
+        .orderBy(col("tri_cnt").desc, col("node"))
+        .limit(10)))
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),
     "q65_merge_upsert" -> (q65MergeUpsert _),

@@ -894,6 +894,25 @@ object PipelineQueries {
        |ORDER BY lang, bin""".stripMargin
   }
 
+  /** Structurally different twin for the sf1 cross-plan gate
+    * (graft.CrossPlan). q36's primary is prefix-filtered PPJoin edges
+    * into the hybrid large/small-star CC (with the local union-find
+    * finish); the twin feeds full inverted-index edges
+    * ([[TextDedup.jaccardPairs]]) into PURE distributed star rounds
+    * (`localFinishEdges = 0`) — different candidate generation AND a
+    * different component algorithm end to end. */
+  def crossPlanAlternates: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q36_dedup_clusters" -> ((s: SparkSession, dir: String) => {
+      val edges = TextDedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
+      val cc = ClusterDedup.connectedComponents(edges, "id_a", "id_b",
+        localFinishEdges = 0L)
+      val sizes = cc.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      cc.join(sizes, "cluster_id")
+        .select(col("cluster_id"), col("id").as("doc_id"), col("cluster_size"))
+        .orderBy(col("cluster_id"), col("doc_id"))
+    }))
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q35_levenshtein" -> (q35Levenshtein _),
     "q36_dedup_clusters" -> (q36DedupClusters _),

@@ -62,14 +62,25 @@ object StreamMarkov {
         val out = types.zip(types.drop(1)).map { case (a, b) =>
           Transition(userId, a, b)
         }
-        val last = sorted.last
-        state.update(LastEv(last.ts.getTime, last.event_id,
-          last.event_type))
+        // keep the NEWEST-seen event as the boundary record: a
+        // cross-batch straggler older than the stored last event
+        // (contract-violating input) mis-pairs its own transition, but
+        // must not also regress the boundary and the timeout horizon —
+        // that would compound the divergence beyond the documented
+        // single mis-paired transition
+        val newest = sorted.last
+        val storedIsNewer = state.getOption.exists(p =>
+          p.tsMs > newest.ts.getTime ||
+            (p.tsMs == newest.ts.getTime && p.eventId >= newest.event_id))
+        val last =
+          if (storedIsNewer) state.get
+          else LastEv(newest.ts.getTime, newest.event_id, newest.event_type)
+        state.update(last)
         // always set the timeout (wm is 0 in the first micro-batch —
         // guarding on it would leak first-batch-only users forever)
         val wm = state.getCurrentWatermarkMs()
         state.setTimeoutTimestamp(
-          math.max(last.ts.getTime + idleMs, wm + 60 * 1000))
+          math.max(last.tsMs + idleMs, wm + 60 * 1000))
         out.iterator
       }
     }

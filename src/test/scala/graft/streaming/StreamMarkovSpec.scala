@@ -54,6 +54,35 @@ class StreamMarkovSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cross-batch straggler older than the stored boundary does not " +
+      "regress the state") {
+    val in = MemoryStream[StreamMarkov.Ev](spark)
+    val q = StreamMarkov.transitions(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mk_mem_straggler").start()
+    try {
+      in.addData(
+        ev(7, "view", "2024-01-01 10:00:00", 1),
+        ev(7, "purchase", "2024-01-01 10:20:00", 3))
+      q.processAllAvailable()
+      // contract-violating straggler: OLDER than the stored boundary
+      // (purchase @10:20). Its own transition mis-pairs (documented),
+      // but the boundary must stay at the newest-seen event —
+      in.addData(ev(7, "cart", "2024-01-01 10:10:00", 2))
+      q.processAllAvailable()
+      // — so a subsequent in-order event pairs against purchase, not
+      // against the straggler
+      in.addData(ev(7, "refund", "2024-01-01 10:30:00", 4))
+      q.processAllAvailable()
+      val out = spark.table("mk_mem_straggler")
+        .as[StreamMarkov.Transition].collect().toSeq
+      assert(out.contains(StreamMarkov.Transition(7, "purchase", "refund")),
+        s"boundary regressed: $out")
+      assert(!out.contains(StreamMarkov.Transition(7, "cart", "refund")),
+        s"straggler became the boundary: $out")
+    } finally q.stop()
+  }
+
   test("eviction horizon is the documented divergence: a user returning " +
       "after it starts a fresh chain") {
     val in = MemoryStream[StreamMarkov.Ev](spark)

@@ -7,8 +7,12 @@ Spark int64 hash-mismatches even when every value is equal. This audit
 makes that class fail locally too (it regressed in round 10 after being
 root-caused in round 2; see VERDICT.md r10 "What's wrong" #1).
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [name,name,...]
        python3 tools/check.py --selftest   # prove the audit catches HUGEINT
+
+The optional third argument restricts the compare to exact query names
+(comma-separated) — the per-query unit the timed sweep driver
+(tools/sweep.py) uses to put a timeout around each oracle.
 """
 import os, sys, json, glob, math
 import duckdb
@@ -90,9 +94,13 @@ def norm(rows, cols):
         out.append("|".join(rr))
     return sorted(out)
 
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+
 fail = 0
 for name in sorted(set(list(oracle.keys()) +
         [d.split("/")[-1] for d in glob.glob(f"{outdir}/*") if not d.endswith(".json")])):
+    if only is not None and name not in only:
+        continue
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
         print(f"FAIL {name}: no spark output"); fail += 1; continue

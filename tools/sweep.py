@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Timed per-query oracle sweep: runs tools/check.py once per query
+(so one hung/heavy DuckDB oracle cannot stall the rest), collects
+OK/FAIL/TIMEOUT/SKIP per query, and writes a JSON summary.
+
+Usage: python3 tools/sweep.py <sfDir> <outDir> <summary.json>
+           [--timeout SEC] [--skip name,name,...]
+
+Queries are taken from <outDir>'s dump directories (whatever Verify
+wrote); names in --skip are recorded as SKIP with no attempt.
+"""
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+
+sfdir, outdir, summary_path = sys.argv[1], sys.argv[2], sys.argv[3]
+timeout = 600
+skip = set()
+args = sys.argv[4:]
+while args:
+    if args[0] == "--timeout":
+        timeout = int(args[1]); args = args[2:]
+    elif args[0] == "--skip":
+        skip = set(args[1].split(",")); args = args[2:]
+    else:
+        raise SystemExit(f"unknown arg {args[0]}")
+
+names = sorted(d.split("/")[-1] for d in glob.glob(f"{outdir}/*")
+               if os.path.isdir(d))
+here = os.path.dirname(os.path.abspath(__file__))
+results = {}
+for name in names:
+    if name in skip:
+        results[name] = {"status": "SKIP", "sec": 0.0}
+        print(f"SKIP {name}", flush=True)
+        continue
+    t0 = time.time()
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(here, "check.py"),
+             sfdir, outdir, name],
+            capture_output=True, text=True, timeout=timeout)
+        sec = time.time() - t0
+        tail = (p.stdout.strip().splitlines() or ["<no output>"])
+        status = "OK" if p.returncode == 0 else "FAIL"
+        results[name] = {"status": status, "sec": round(sec, 1),
+                         "detail": tail[0][:400]}
+        print(f"{status:4s} {name} ({sec:.1f} s): {tail[0][:200]}",
+              flush=True)
+    except subprocess.TimeoutExpired:
+        sec = time.time() - t0
+        results[name] = {"status": "TIMEOUT", "sec": round(sec, 1)}
+        print(f"TIMEOUT {name} ({sec:.0f} s)", flush=True)
+
+counts = {}
+for r in results.values():
+    counts[r["status"]] = counts.get(r["status"], 0) + 1
+summary = {"sf": sfdir, "out": outdir, "timeout_sec": timeout,
+           "counts": counts, "queries": results}
+with open(summary_path, "w") as f:
+    json.dump(summary, f, indent=1, sort_keys=True)
+print(json.dumps({"sweep": counts, "n": len(results)}))
+sys.exit(0 if counts.get("FAIL", 0) == 0 and counts.get("TIMEOUT", 0) == 0
+         else 1)
