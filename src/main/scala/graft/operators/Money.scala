@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Exact integer money arithmetic shared by every query that sums
@@ -41,4 +41,39 @@ object Money {
 
   val revE4Sql: String =
     s"${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})"
+
+  /** Two-level exact global sums for the single-global-group tail —
+    * the form the contract note above reserves for totals past the
+    * int64/2⁵³ single-level bounds. Level 1 sums each measure as int64
+    * within hash buckets of `key` (map-side combine intact; ANSI mode
+    * turns an overflowing bucket into a loud error, and bucket row
+    * counts shrink 1/buckets so the 9·10⁹-rows-per-group int64 bound
+    * becomes 9·10⁹·buckets rows globally); level 2 sums the bucket
+    * sums as decimal(38,0) — exact at ANY total magnitude, where a
+    * double carrying the same total loses cents past 2⁵³ integer
+    * units. Returns one row with each measure aliased per `measures`,
+    * as decimal(38,0).
+    *
+    * The level-2 exchange carries `buckets` rows — a scalar-merge
+    * funnel, the same shape as any grand total. */
+  def globalExact(df: DataFrame, key: Column,
+      measures: Seq[(String, Column)], buckets: Int = 1 << 10): DataFrame = {
+    require(measures.nonEmpty)
+    val level1 = df
+      .groupBy(pmod(xxhash64(key), lit(buckets)).as("__bucket"))
+      .agg(measures.head._2.as("__m0"),
+        measures.tail.zipWithIndex
+          .map { case ((_, m), i) => m.as(s"__m${i + 1}") }: _*)
+    level1.agg(
+      sum(col("__m0").cast("decimal(38,0)")).as(measures.head._1),
+      measures.tail.zipWithIndex.map { case ((name, _), i) =>
+        sum(col(s"__m${i + 1}").cast("decimal(38,0)")).as(name)
+      }: _*)
+  }
+
+  /** SQL twin of [[globalExact]] for one measure: DuckDB's BIGINT sum
+    * is HUGEINT (exact) — the cast pins the arrow type to the same
+    * decimal128(38,0) the Spark side emits. */
+  def globalExactSql(sumExpr: String): String =
+    s"CAST(sum($sumExpr) AS DECIMAL(38,0))"
 }

@@ -60,6 +60,30 @@ object RelationalQueries {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** q188: the single-global-group money total via the two-level
+    * exact form ([[graft.operators.Money.globalExact]]) — int64 bucket
+    * sums, decimal(38,0) sum of bucket sums. This is the shape q1's
+    * contract note reserves for totals past the int64 / 2⁵³
+    * single-level bounds (a 100-TB global revenue row); here it is
+    * oracle-pinned against DuckDB's exact HUGEINT sum. */
+  def q188GlobalMoney(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+    graft.operators.Money.globalExact(li, col("l_orderkey"),
+      Seq("total_rev_e4" -> sum(discE4),
+        "total_base_cents" -> sum(priceCents),
+        "count_order" -> count(lit(1))))
+  }
+
+  val q188Sql: String = {
+    import graft.operators.Money.globalExactSql
+    s"""SELECT ${globalExactSql(discE4Sql)} AS total_rev_e4,
+       |  ${globalExactSql(priceCentsSql)} AS total_base_cents,
+       |  CAST(count(*) AS DECIMAL(38,0)) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-01'""".stripMargin
+  }
+
   /** q2: row-level projection + derived columns + filter pushdown.
     * Reference ops: P1 select/rename, P2 derived col, P3 cast, P9
     * arithmetic (SURVEY §2.3; gmv_processor.py:23-26 total_value). */
@@ -452,7 +476,8 @@ object RelationalQueries {
     "q11b_set_ops" -> (q11bSetOps _),
     "q11c_map_funcs" -> (q11cMapFuncs _),
     "q33_scalar_subquery" -> (q33ScalarSubquery _),
-    "q34_pivot" -> (q34Pivot _))
+    "q34_pivot" -> (q34Pivot _),
+    "q188_global_money" -> (q188GlobalMoney _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -470,5 +495,6 @@ object RelationalQueries {
     "q11b_set_ops" -> q11bSql,
     "q11c_map_funcs" -> q11cSql,
     "q33_scalar_subquery" -> q33Sql,
-    "q34_pivot" -> q34Sql)
+    "q34_pivot" -> q34Sql,
+    "q188_global_money" -> q188Sql)
 }
