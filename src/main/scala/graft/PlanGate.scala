@@ -55,9 +55,9 @@ object PlanGate {
     * normalized) BNLJ condition, and at most one distinct join per
     * entry is excused. */
   private[graft] val Allowed: Map[String, (String, String)] = Map(
-    "q27_cosine_topk" -> ("NOT (query_id# = nbr_id#)", "query set broadcast vs corpus: brute-force exact anchor (Similarity.bruteForceTopK doc)"),
-    "q100_mmr_topk" -> ("NOT (query_id# = nbr_id#)", "query set broadcast vs corpus (MMR re-rank rides q27's anchor shape)"),
-    "q97_hard_negatives" -> ("NOT (query_id# = nbr_id#)", "query set broadcast vs corpus band filter"),
+    // q27/q97/q100 exemptions deleted (round 13): the query-probe scan
+    // is now a block-keyed broadcast hash equi-join
+    // (Similarity.queryCorpusScan) — same pair coverage, no BNLJ.
     "q28_cosine_pairs" -> ("id# < id#", "THE documented all-pairs exact oracle anchor (scale path = cosinePairsBlocked)"),
     "q113_source_overlap" -> ("sa# < sb#", "source-domain self-pairs: |distinct sources| rows per side"),
     "q119_interval_overlap" -> ("avgc#", "hourly histogram vs one-row global average"),

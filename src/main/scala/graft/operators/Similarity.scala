@@ -33,6 +33,30 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = vec_cosine(a, b)
 
+  /** The exact query-set × corpus scan as a KEYED join: corpus rows
+    * carry a derived block id, the (small, fixed-fraction) query set
+    * replicates to every block through an exploded literal range, and
+    * the scan is a broadcast hash EQUI-join on the block key — the
+    * same linear corpus scan the conditioned
+    * BroadcastNestedLoopJoin(queries) form performed, now with
+    * per-task match counts bounded by the block size and a join shape
+    * the optimizer (and PlanGate) can reason about. Pair coverage is
+    * identical: each corpus row lives in exactly one block and each
+    * query visits every block once; the self-pair drops in the filter
+    * above the join. `queries` must have (query_id, qv); `corpus`
+    * (nbr_id, cv). */
+  private def queryCorpusScan(queries: DataFrame, corpus: DataFrame,
+      nBlocks: Int = 0): DataFrame = {
+    val b = if (nBlocks > 0) nBlocks else deriveBlocks(corpus)
+    val qRep = queries.withColumn("blk",
+      explode(array((0 until b).map(i => lit(i)): _*)))
+    corpus
+      .withColumn("blk", pmod(xxhash64(col("nbr_id")), lit(b)).cast("int"))
+      .join(broadcast(qRep), "blk")
+      .filter(col("query_id") =!= col("nbr_id"))
+      .drop("blk")
+  }
+
   /** Brute-force cosine top-k: for each query vector (subset of the
     * corpus selected by `queryPred`), the k nearest corpus vectors.
     * Deterministic: rank on rounded cosine with id tie-break. */
@@ -41,7 +65,7 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("nbr_id"))
+    val scored = queryCorpusScan(queries, corpus)
       .withColumn("cos", Num.r4(cosine(col("qv"), col("cv"))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("nbr_id"))
@@ -71,7 +95,7 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("nbr_id"))
+    val scored = queryCorpusScan(queries, corpus)
       .withColumn("cos", Num.r4(cosine(col("qv"), col("cv"))))
       .filter(col("cos") >= lo && col("cos") < hi)
     val w = Window.partitionBy(col("query_id"))
@@ -114,7 +138,7 @@ object Similarity {
     // sims) again — uncached, Spark would repeat the full corpus scan
     // + broadcast join once per reference. Post-top-m state is m rows
     // per query — bounded model-sized data, safe to pin.
-    val cand = corpus.join(broadcast(queries), col("query_id") =!= col("nbr_id"))
+    val cand = queryCorpusScan(queries, corpus)
       .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
       .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= m)
       .select(col("query_id"), col("nbr_id"), col("rel"), col("cv"))
