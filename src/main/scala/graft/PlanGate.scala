@@ -58,7 +58,10 @@ object PlanGate {
     // q27/q97/q100 exemptions deleted (round 13): the query-probe scan
     // is now a block-keyed broadcast hash equi-join
     // (Similarity.queryCorpusScan) — same pair coverage, no BNLJ.
-    "q28_cosine_pairs" -> ("id# < id#", "THE documented all-pairs exact oracle anchor (scale path = cosinePairsBlocked)"),
+    // q28's exemption deleted too: its exempted BNLJ silently became a
+    // CartesianProductExec at sf10 (broadcast threshold exceeded) — the
+    // exposed query now rides cosinePairsBlocked; the naive form stays
+    // a test/CrossPlan-only verification twin.
     "q113_source_overlap" -> ("sa# < sb#", "source-domain self-pairs: |distinct sources| rows per side"),
     "q119_interval_overlap" -> ("avgc#", "hourly histogram vs one-row global average"),
     "q153_edit_join" -> ("levenshtein", "short-string branch: both sides len <= q(k-1)+1, alphabet-bounded (EditDistanceJoin doc)"),

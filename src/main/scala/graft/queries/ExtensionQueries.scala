@@ -276,8 +276,16 @@ object ExtensionQueries {
 
   // ---- q28: embedding near-dup pairs (cosine threshold) ----
 
+  /** The exposed query rides the blocked-tile join: the naive
+    * all-pairs form ([[Similarity.cosinePairs]]) broadcasts one side,
+    * and past the broadcast threshold Catalyst silently degrades the
+    * conditioned BNLJ to a CartesianProductExec — observed live at
+    * sf10 (200 k vectors, round 13), invisible to PlanGate's sf0.001
+    * walk. cosinePairs stays in the library as the small-corpus
+    * verification twin (ScalaCheck-pinned ≡ blocked; CrossPlan's q87/
+    * q79/q181 alternates run it at sf1). */
   def q28CosinePairs(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosinePairs(embs(spark, dir), 0.35)
+    Similarity.cosinePairsBlocked(embs(spark, dir), 0.35)
       .orderBy(col("id_a"), col("id_b"))
 
   /** The oracle mirrors the blocked-tile formulation (per-vector norms
