@@ -28,15 +28,15 @@ object StreamDemo {
 
     val shared = args.contains("--shared")
     val t0 = System.nanoTime()
-    val mkQueries = if (shared) StreamApp.runShared _ else StreamApp.run _
-    val queries = mkQueries(spark,
+    val queries = StreamApp.run(spark,
       FileEventSource(s"$outRoot/events/orders"),
       FileEventSource(s"$outRoot/events/items"),
       FileEventSource(s"$outRoot/events/payments"),
       s"$outRoot/metrics",
       WindowConfig(watermark = Some("10 minutes")),
       SinkConfig(triggerInterval = "2 seconds",
-        checkpointRoot = s"$outRoot/checkpoints"))
+        checkpointRoot = s"$outRoot/checkpoints"),
+      shared = shared)
     queries.foreach(_.processAllAvailable())
     queries.foreach(_.stop())
     val elapsed = (System.nanoTime() - t0) / 1e9

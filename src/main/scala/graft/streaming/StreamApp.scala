@@ -166,6 +166,26 @@ object StreamApp {
     ordersQuery +: pipes
   }
 
+  /** First-class mode switch: `shared = true` runs the 3-query shared
+    * topology (one orders read/dedup, funnel + drop-off derived from
+    * the fine-grain aggregate — it beats the 4-query reference
+    * topology at both measured scales and halves source reads and
+    * dedup state); `shared = false` keeps the reference's 4
+    * independent queries as the fidelity default.
+    * SharedTopologyEquivalenceSpec pins the streamed outputs of the
+    * two modes against each other. */
+  def run(spark: SparkSession,
+      ordersSrc: EventSource, itemsSrc: EventSource, paymentsSrc: EventSource,
+      outRoot: String, cfg: WindowConfig, sink: SinkConfig,
+      shared: Boolean): Seq[StreamingQuery] =
+    if (shared) {
+      val sharedCfg =
+        if (cfg.watermark.isDefined) cfg
+        else cfg.copy(watermark = Some("10 minutes"))
+      runShared(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot,
+        sharedCfg, sink)
+    } else run(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink)
+
   /** Reference topology: 4 independent queries, parquet sinks. */
   def run(spark: SparkSession,
       ordersSrc: EventSource, itemsSrc: EventSource, paymentsSrc: EventSource,
