@@ -722,7 +722,11 @@ object WarehouseQueries {
     ranked.crossJoin(n)
       .agg(max(col("n")).as("n_customers"),
         sum(col("cents")).as("total_cents"),
-        sum((lit(2) * col("i") - col("n") - 1) * col("cents")).as("gnum"),
+        // decimal(38,0) sum: the per-row product (≤ n·cents ≈ 3·10¹³ at
+        // sf10) fits int64, but its SUM is ~n²·c̄ ≈ 10¹⁹ > 2⁶³ — the
+        // sweep caught the long sum overflowing (ANSI, loud) at sf10
+        sum(((lit(2) * col("i") - col("n") - 1) * col("cents"))
+          .cast("decimal(38,0)")).as("gnum"),
         sum(when(col("i") > col("n") - expr("n div 10"), col("cents"))
           .otherwise(0L)).as("top_cents"))
       .select(col("n_customers"),
