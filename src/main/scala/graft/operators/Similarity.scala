@@ -132,15 +132,28 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    val wRel = Window.partitionBy(col("query_id"))
-      .orderBy(col("rel").desc, col("nbr_id"))
+    // Top-m candidates via the bounded aggregator (O(m) state,
+    // map-side pruning — lshTopK's pattern), NOT a window rank: the
+    // window form sorts every (query × corpus) scored row, and the
+    // candidate vector `cv` needed by the sim matrix below would ride
+    // the whole n·q-row sort (observed at sf10: a multi-hundred-GB
+    // spill that filled the disk). The aggregation prunes to m per
+    // query before the shuffle; `cv` is re-joined for the m·q
+    // survivors only. Ordering (score desc, id asc) matches the
+    // window-rank tie-break exactly.
+    val topM = queryCorpusScan(queries, corpus)
+      .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
+      .groupBy(col("query_id"))
+      .agg(Sampling.topKByScore(col("nbr_id"), col("rel"), m).as("topm"))
+      .select(col("query_id"), explode(col("topm")).as("s"))
+      .select(col("query_id"), col("s.id").as("nbr_id"),
+        col("s.score").as("rel"))
     // cache: every greedy round references the candidate table (and
     // sims) again — uncached, Spark would repeat the full corpus scan
-    // + broadcast join once per reference. Post-top-m state is m rows
-    // per query — bounded model-sized data, safe to pin.
-    val cand = queryCorpusScan(queries, corpus)
-      .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
-      .withColumn("rn", row_number().over(wRel)).filter(col("rn") <= m)
+    // once per reference. Post-top-m state is m rows per query —
+    // bounded model-sized data, safe to pin (broadcast as the small
+    // side of the cv re-fetch).
+    val cand = corpus.join(broadcast(topM), Seq("nbr_id"))
       .select(col("query_id"), col("nbr_id"), col("rel"), col("cv"))
       .cache()
     val sims = cand.select(col("query_id"), col("nbr_id").as("id_a"), col("cv").as("va"))

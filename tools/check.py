@@ -71,6 +71,13 @@ sfdir, outdir = sys.argv[1], sys.argv[2]
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 con = duckdb.connect()
+# Resource caps: an sf10-scale oracle that outgrows memory spills to
+# temp — uncapped, one window-over-100M-events oracle spilled 72 GB and
+# filled the disk (round 13). Better a loud FAIL recorded in the sweep
+# than a wedged machine.
+con.execute("SET memory_limit='40GB'")
+con.execute("SET temp_directory='/tmp/duck_spill'")
+con.execute("SET max_temp_directory_size='20GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     # driver testdata is one file per table; Spark-written tables
