@@ -173,7 +173,9 @@ object PipelineQueries {
     Tables.load(spark, dir, "orders")
       .cube(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("order_count"),
-        Num.r2(sum(col("o_totalprice"))).as("revenue"))
+        // exact cents — the >=1e10 double-sum ulp class (see q11)
+        Num.r2(sum(graft.operators.Money.cents(col("o_totalprice")))
+          .cast("double") / 100.0).as("revenue"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -184,7 +186,7 @@ object PipelineQueries {
     s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        |  coalesce(o_orderstatus, 'ALL') AS status,
        |  count(*) AS order_count,
-       |  ${Num.sqlR2("sum(o_totalprice)")} AS revenue
+       |  ${Num.sqlR2(s"CAST(sum(${graft.operators.Money.centsSql("o_totalprice")}) AS BIGINT)::DOUBLE / 100.0")} AS revenue
        |FROM orders
        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
        |ORDER BY priority, status""".stripMargin

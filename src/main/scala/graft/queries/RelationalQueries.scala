@@ -337,9 +337,13 @@ object RelationalQueries {
     * aggregation covers all grouping sets before the shuffle). */
   def q11Rollup(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
+    // revenue rides exact cents: the grand-total row sums ~3.8e12
+    // dollars at sf10 — the >=1e10 double-sum ulp class (one cent off
+    // vs the oracle, caught by the round-13 sf10 sweep)
     orders.rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("order_count"),
-        Num.r(sum(col("o_totalprice")), 2).as("revenue"))
+        Num.r(sum(graft.operators.Money.cents(col("o_totalprice")))
+          .cast("double") / 100.0, 2).as("revenue"))
       .select(
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
@@ -351,7 +355,7 @@ object RelationalQueries {
     s"""SELECT coalesce(o_orderpriority, 'ALL') AS priority,
        |  coalesce(o_orderstatus, 'ALL') AS status,
        |  count(*) AS order_count,
-       |  ${graft.operators.Num.sqlR2("sum(o_totalprice)")} AS revenue
+       |  ${graft.operators.Num.sqlR2(s"CAST(sum(${graft.operators.Money.centsSql("o_totalprice")}) AS BIGINT)::DOUBLE / 100.0")} AS revenue
        |FROM orders
        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
        |ORDER BY priority, status""".stripMargin
