@@ -103,7 +103,9 @@ object LakehouseQueries {
     val merged = Merge.upsert(orders, updates.unionByName(inserts), Seq("o_orderkey"))
     merged.groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("orders"),
-        Num.r2(sum(col("o_totalprice"))).as("revenue"),
+        // exact cents — the >=1e10 double-sum ulp class (see q52/q11)
+        Num.r2(sum(graft.operators.Money.cents(col("o_totalprice")))
+          .cast("double") / 100.0).as("revenue"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"))
       .orderBy(col("o_orderstatus"))
@@ -125,7 +127,7 @@ object LakehouseQueries {
        |  WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = o.o_orderkey)
        |  UNION ALL SELECT * FROM ch)
        |SELECT o_orderstatus, count(*) AS orders,
-       |  ${Num.sqlR2("sum(o_totalprice)")} AS revenue,
+       |  ${Num.sqlR2("CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0")} AS revenue,
        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
        |FROM merged GROUP BY o_orderstatus
        |ORDER BY o_orderstatus""".stripMargin

@@ -786,10 +786,14 @@ object PipelineQueries {
       .agg(
         count(lit(1)).as("rows_total"),
         count(col("np")).as("rows_priced"),
-        Num.r2(sum(col("np"))).as("priced_sum"),
+        // exact cents: these sums are ~6.4e11 dollars at sf10 — the
+        // >=1e10 double-sum ulp class (round-13 sf10 sweep finding)
+        Num.r2(sum(graft.operators.Money.cents(col("np")))
+          .cast("double") / 100.0).as("priced_sum"),
         Num.r2(avg(col("np"))).as("priced_avg"),
         sum(when(col("np") <=> lit(null), 1L).otherwise(0L)).as("null_safe_nulls"),
-        Num.r2(sum(coalesce(col("np"), lit(0.0)))).as("sum_coalesced"),
+        Num.r2(sum(coalesce(graft.operators.Money.cents(col("np")), lit(0L)))
+          .cast("double") / 100.0).as("sum_coalesced"),
         sum(when(col("np").isNotNull, 1L).otherwise(0L)).as("via_nvl2"))
       .orderBy(col("gp").asc_nulls_first)
 
@@ -797,10 +801,10 @@ object PipelineQueries {
     s"""SELECT nullif(o_orderpriority, '3-MEDIUM') AS gp,
        |  count(*) AS rows_total,
        |  count(np) AS rows_priced,
-       |  ${Num.sqlR2("sum(np)")} AS priced_sum,
+       |  ${Num.sqlR2("CAST(sum(CAST(floor(np * 100 + 0.5) AS BIGINT)) AS BIGINT)::DOUBLE / 100.0")} AS priced_sum,
        |  ${Num.sqlR2("avg(np)")} AS priced_avg,
        |  CAST(sum(CASE WHEN np IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_safe_nulls,
-       |  ${Num.sqlR2("sum(coalesce(np, 0.0))")} AS sum_coalesced,
+       |  ${Num.sqlR2("CAST(sum(coalesce(CAST(floor(np * 100 + 0.5) AS BIGINT), 0)) AS BIGINT)::DOUBLE / 100.0")} AS sum_coalesced,
        |  CAST(sum(CASE WHEN np IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS via_nvl2
        |FROM (SELECT *,
        |        CASE WHEN o_orderkey % 7 <> 0 THEN o_totalprice END AS np
