@@ -65,20 +65,20 @@ class PlanGateSpec extends SparkSpec {
   }
 
   test("an allowlist entry excuses at most ONE distinct matching join") {
-    val d = data
-    // two DIFFERENT theta joins whose conditions both contain q28's
-    // fragment ("id# < id#"): only the first is excused
-    val j1 = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
-    val j2 = d.as("a").join(d.as("b"),
-      col("a.id") < col("b.id") && col("a.v") < col("b.v"))
+    // two DIFFERENT theta joins whose conditions both contain q113's
+    // fragment ("sa# < sb#"): only the first is excused
+    val a = data.select(col("id").as("sa"), col("v").as("va"))
+    val b = data.select(col("id").as("sb"), col("v").as("vb"))
+    val j1 = a.join(b, col("sa") < col("sb"))
+    val j2 = a.join(b, col("sa") < col("sb") && col("va") < col("vb"))
     val plans = Seq(j1, j2).map(_.queryExecution.executedPlan)
-    assert(PlanGate.violations("q28_cosine_pairs", plans).count(
+    assert(PlanGate.violations("q113_source_overlap", plans).count(
       _.startsWith("BNLJ")) == 1)
     // …while the SAME join seen in two snapshots (main plan + captured
     // pre-checkpoint copy) stays excused — expr-id normalization
     // dedupes it to one condition
-    val again = d.as("a").join(d.as("b"), col("a.id") < col("b.id"))
-    assert(PlanGate.violations("q28_cosine_pairs",
+    val again = a.join(b, col("sa") < col("sb"))
+    assert(PlanGate.violations("q113_source_overlap",
       Seq(j1, again).map(_.queryExecution.executedPlan)).isEmpty)
   }
 
