@@ -55,7 +55,11 @@ object SlopeBench {
     "q86_prefix_jaccard" ->
       "shingle-space saturation (31^3 ceiling; colliding pairs 92x for 10x data) - generator vocabulary, not operator",
     "q88_containment" ->
-      "shingle-space saturation (31^3 ceiling; colliding pairs 92x for 10x data) - generator vocabulary, not operator")
+      "shingle-space saturation (31^3 ceiling; colliding pairs 92x for 10x data) - generator vocabulary, not operator",
+    "q29b_ann_ivf" ->
+      "inherent n^1.5: query set grows with n AND per-query probe cost grows as n/nlist = sqrt(n) - expected ratio 10^0.5 ~ 3.2x per decade at fixed recall",
+    "q68_pq_adc" ->
+      "inherent n^1.5 (same shape as q29b: IVF cells = sqrt(n), queries prop. to n); ADC re-rank adds a constant factor")
 
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SLOPE_DIRS",
