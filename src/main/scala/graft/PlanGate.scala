@@ -74,9 +74,11 @@ object PlanGate {
     * child aggregate, justification). At most one distinct funnel per
     * entry is excused. */
   private[graft] val AllowedFunnel: Map[String, (String, String)] = Map(
-    "q84_temperature_mix" -> ("source", "mixture window over the per-source aggregate: |sources| rows"),
-    "q99_mix_plan" -> ("lang", "mix-plan window over the per-lang token aggregate: |langs| rows"),
-    "q103_epoch_expand" -> ("lang", "epoch quota window over the per-lang aggregate: |langs| rows"))
+    // q84/q99/q103 entries deleted (round 14): their empty-frame
+    // mixture windows now ride Scalars.withScalars (scalar-merge agg +
+    // one-row broadcast cross) — no SinglePartition exchange of data
+    // rows remains to excuse.
+  )
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
     // the AQE wrappers are leaf nodes — their plans hang off fields;
@@ -100,7 +102,7 @@ object PlanGate {
     case other => other
   }
 
-  private def isScalarMerge(child: SparkPlan): Boolean = strip(child) match {
+  private[graft] def isScalarMerge(child: SparkPlan): Boolean = strip(child) match {
     case h: HashAggregateExec => h.groupingExpressions.isEmpty
     case s: SortAggregateExec => s.groupingExpressions.isEmpty
     case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty

@@ -107,14 +107,18 @@ object CorpusStatsQueries {
   private val MixBudget = 10000
 
   def q84TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.partitionBy()
-    docs(spark, dir)
+    import graft.operators.Scalars.withScalars
+    // cached: |sources| rows after the one corpus shuffle — the two
+    // scalar-cross stages below each re-read this frame, and without
+    // the cache the second would rescan the corpus
+    val perSource = docs(spark, dir)
       .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("p",
-        col("n_docs").cast("double") / sum(col("n_docs")).over(wAll))
+      .cache()
+    val withP = withScalars(perSource, "tot_n" -> sum(col("n_docs")))
+      .withColumn("p", col("n_docs").cast("double") / col("tot_n"))
       .withColumn("pa", pow(col("p"), MixAlpha))
-      .withColumn("w", col("pa") / sum(col("pa")).over(wAll))
+    withScalars(withP, "tot_pa" -> sum(col("pa")))
+      .withColumn("w", col("pa") / col("tot_pa"))
       .select(col("source"), col("n_docs"), Num.r4(col("p")).as("p"),
         Num.r4(col("w")).as("w"),
         Num.r2(col("w") * MixBudget).as("exp_docs"))
@@ -1001,28 +1005,39 @@ object CorpusStatsQueries {
     * alloc, frozen) with r8-snapped model state — shared by q99 (the
     * plan report) and q103 (applying the plan as per-doc replication). */
   private[queries] def mixPlanRaw(d: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAll = Window.partitionBy()
+    import graft.operators.Scalars.withScalars
     def s8(c: org.apache.spark.sql.Column) = Num.r(c, 8)
-    val base = d
+    // Global sums ride scalar-agg + one-row broadcast cross joins
+    // (Scalars.withScalars), not empty-frame windows — a SinglePartition
+    // funnel over even this |langs|-row frame is a plan shape the gate
+    // should not need to exempt. The per-lang frame is cached: every
+    // round's scalar aggregate re-reads the chain, and uncached the
+    // corpus groupBy would re-run once per reference.
+    val perLang = d
       .groupBy(col("lang"))
       .agg(sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("b", sum(col("n_tokens")).over(wAll).cast("double"))
+      .cache()
+    val withB = withScalars(perLang, "bl" -> sum(col("n_tokens")))
+      .withColumn("b", col("bl").cast("double")).drop("bl")
       .withColumn("pa", pow(col("n_tokens") / col("b"), lit(MixAlpha)))
-      .withColumn("w", s8(col("pa") / sum(col("pa")).over(wAll)))
+    val base = withScalars(withB, "tot_pa" -> sum(col("pa")))
+      .withColumn("w", s8(col("pa") / col("tot_pa"))).drop("tot_pa")
       .withColumn("cap", s8(col("n_tokens") * lit(MixEpochCap)))
     (1 to MixRounds).foldLeft(
       base.withColumn("frozen", lit(false)).withColumn("alloc", lit(0.0))) {
       (cur, _) =>
         // rem/den read the PREVIOUS round's frozen set; alloc then
         // freezes anyone pushed past their cap for the next round
-        val rem = col("b") -
-          sum(when(col("frozen"), col("cap")).otherwise(0.0)).over(wAll)
-        val den = sum(when(col("frozen"), 0.0).otherwise(col("w"))).over(wAll)
-        cur
+        val stepped = withScalars(cur,
+          "frozen_cap" -> sum(when(col("frozen"), col("cap")).otherwise(0.0)),
+          "den" -> sum(when(col("frozen"), 0.0).otherwise(col("w"))))
+        val rem = col("b") - col("frozen_cap")
+        stepped
           .withColumn("alloc", when(col("frozen"), col("cap"))
-            .otherwise(when(den > 0, s8(col("w") * rem / den)).otherwise(0.0)))
+            .otherwise(when(col("den") > 0, s8(col("w") * rem / col("den")))
+              .otherwise(0.0)))
           .withColumn("frozen", col("frozen") || col("alloc") > col("cap"))
+          .drop("frozen_cap", "den")
     }
   }
 
