@@ -64,10 +64,15 @@ object Money {
       .agg(measures.head._2.as("__m0"),
         measures.tail.zipWithIndex
           .map { case ((_, m), i) => m.as(s"__m${i + 1}") }: _*)
+    // coalesce: an empty input yields zero level-1 bucket rows, so each
+    // level-2 sum would be NULL where the oracle's CAST(count(*) ...)
+    // is 0 — pin the empty-relation result to exact decimal zero.
+    def l2(c: Column) =
+      coalesce(sum(c.cast("decimal(38,0)")), lit(0).cast("decimal(38,0)"))
     level1.agg(
-      sum(col("__m0").cast("decimal(38,0)")).as(measures.head._1),
+      l2(col("__m0")).as(measures.head._1),
       measures.tail.zipWithIndex.map { case ((name, _), i) =>
-        sum(col(s"__m${i + 1}").cast("decimal(38,0)")).as(name)
+        l2(col(s"__m${i + 1}")).as(name)
       }: _*)
   }
 

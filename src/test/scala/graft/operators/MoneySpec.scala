@@ -51,4 +51,16 @@ class MoneySpec extends SparkSpec {
     assert(BigInt(out.getDecimal(1).toBigInteger) == 9)
     assert(BigInt(out.getDecimal(2).toBigInteger) == 3)
   }
+
+  test("empty input yields exact decimal zero, not NULL") {
+    // level 1 over an empty frame produces zero bucket rows; level 2's
+    // sums would be NULL where the oracle's CAST(count(*) AS DECIMAL)
+    // is 0 — the coalesce pins the empty-relation result
+    val empty = Seq.empty[(Long, Long)].toDF("id", "e4")
+    val out = Money.globalExact(empty, col("id"),
+      Seq("t" -> sum(col("e4")), "n" -> count(lit(1)))).head()
+    assert(!out.isNullAt(0) && !out.isNullAt(1))
+    assert(BigInt(out.getDecimal(0).toBigInteger) == 0)
+    assert(BigInt(out.getDecimal(1).toBigInteger) == 0)
+  }
 }

@@ -28,11 +28,25 @@ while args:
     else:
         raise SystemExit(f"unknown arg {args[0]}")
 
-names = sorted(d.split("/")[-1] for d in glob.glob(f"{outdir}/*")
-               if os.path.isdir(d))
+dumped = set(d.split("/")[-1] for d in glob.glob(f"{outdir}/*")
+             if os.path.isdir(d))
+# Union with oracle_sql.json keys: a query Verify failed to dump (it
+# prints to stderr and writes no dir) must surface as MISSING here, not
+# silently vanish from the sweep — full check.py catches this class via
+# the same union ("FAIL: no spark output"), so the timed sweep must too.
+oracle_keys = set()
+oracle_json = os.path.join(outdir, "oracle_sql.json")
+if os.path.exists(oracle_json):
+    oracle_keys = set(json.load(open(oracle_json)).keys())
+names = sorted(dumped | oracle_keys)
 here = os.path.dirname(os.path.abspath(__file__))
 results = {}
 for name in names:
+    if name not in dumped:
+        results[name] = {"status": "MISSING", "sec": 0.0,
+                         "detail": "no Verify dump dir for oracle key"}
+        print(f"MISSING {name}: no Verify dump dir", flush=True)
+        continue
     if name in skip:
         results[name] = {"status": "SKIP", "sec": 0.0}
         print(f"SKIP {name}", flush=True)
@@ -64,4 +78,4 @@ with open(summary_path, "w") as f:
     json.dump(summary, f, indent=1, sort_keys=True)
 print(json.dumps({"sweep": counts, "n": len(results)}))
 sys.exit(0 if counts.get("FAIL", 0) == 0 and counts.get("TIMEOUT", 0) == 0
-         else 1)
+         and counts.get("MISSING", 0) == 0 else 1)
