@@ -53,8 +53,15 @@ object Sampling {
     * carries ≤ k rows per key per task. */
   final class TopKByScore(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    private def better(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.id < b.id)
+    // java.lang.Double.compare, not primitive >: with NaN scores (a
+    // zero-norm vector's cosine) primitive > violates strict weak
+    // ordering and sortWith may place NaN candidates arbitrarily;
+    // compare orders NaN greatest, matching how Spark's desc window
+    // rank (which this aggregator replaces) orders NaN.
+    private def better(a: Scored, b: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
 
     override def zero: Seq[Scored] = Seq.empty
 

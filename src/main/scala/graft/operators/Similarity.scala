@@ -47,7 +47,19 @@ object Similarity {
     * (nbr_id, cv). */
   private def queryCorpusScan(queries: DataFrame, corpus: DataFrame,
       nBlocks: Int = 0): DataFrame = {
-    val b = if (nBlocks > 0) nBlocks else deriveBlocks(corpus)
+    // The broadcast carries |q|·b rows (each block replica holds the
+    // full query vector), so b must be sized from the REPLICATION
+    // budget as well as the corpus: a query set that fit the old
+    // one-copy BNLJ broadcast could otherwise blow the 8 GB
+    // BroadcastExchange limit at b=1024. Capping b trades per-task
+    // match amplification (b=1 degrades gracefully to the old
+    // one-copy-of-queries shape) for a bounded broadcast; an explicit
+    // nBlocks is the caller's contract and is not second-guessed.
+    val b = if (nBlocks > 0) nBlocks else {
+      val qRows = estimateRows(queries).max(1)
+      val bCap = (BigInt(BroadcastRepRowsBudget) / qRows).max(1)
+      BigInt(deriveBlocks(corpus)).min(bCap).toInt
+    }
     val qRep = queries.withColumn("blk",
       explode(array((0 until b).map(i => lit(i)): _*)))
     corpus
@@ -276,6 +288,12 @@ object Similarity {
     * the O(n²) pair join this operator then performs. */
   private[graft] val StatsRowsSanityCap = 1000L * 1000 * 1000
 
+  /** Max replicated query rows a [[queryCorpusScan]] broadcast may
+    * carry (|q|·b): 4 M rows ≈ 1 GiB at [[RowBytesEstimate]] — well
+    * under the 8 GB BroadcastExchange hard limit with headroom for
+    * wider embeddings. */
+  private[graft] val BroadcastRepRowsBudget = 4L * 1024 * 1024
+
   /** BATCH-ONLY: the count() fallback below executes a job, so this
     * must never see a streaming-source frame (it would throw) and
     * should not see a foreachBatch micro-batch frame (a LogicalRDD
@@ -283,15 +301,21 @@ object Similarity {
     * Streaming callers pass an explicit nBlocks / use the micro-batch
     * floor ([[incrementalPairs]]). */
   private[graft] def deriveBlocks(df: DataFrame): Int = {
+    val estRows = estimateRows(df)
+    val b = (estRows + TargetRowsPerBlock - 1) / TargetRowsPerBlock
+    b.max(MinBlocks).min(MaxBlocks).toInt
+  }
+
+  /** Optimizer size statistic → row estimate, falling back to one
+    * count() job when the statistic is absent/absurd (same contract
+    * and rationale as [[deriveBlocks]] — batch frames only). */
+  private[graft] def estimateRows(df: DataFrame): BigInt = {
     val bytes =
       try df.queryExecution.optimizedPlan.stats.sizeInBytes
       catch { case _: Throwable => BigInt(0) }
     val estRows0 = bytes / RowBytesEstimate
-    val estRows =
-      if (estRows0 > StatsRowsSanityCap || estRows0 <= 0) BigInt(df.count())
-      else estRows0
-    val b = (estRows + TargetRowsPerBlock - 1) / TargetRowsPerBlock
-    b.max(MinBlocks).min(MaxBlocks).toInt
+    if (estRows0 > StatsRowsSanityCap || estRows0 <= 0) BigInt(df.count())
+    else estRows0
   }
 
   def cosinePairsBlocked(emb: DataFrame, threshold: Double,

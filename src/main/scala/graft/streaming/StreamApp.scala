@@ -179,11 +179,12 @@ object StreamApp {
       outRoot: String, cfg: WindowConfig, sink: SinkConfig,
       shared: Boolean): Seq[StreamingQuery] =
     if (shared) {
-      val sharedCfg =
-        if (cfg.watermark.isDefined) cfg
-        else cfg.copy(watermark = Some("10 minutes"))
-      runShared(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot,
-        sharedCfg, sink)
+      // No silent watermark injection: shared mode REQUIRES one
+      // (append-mode finalization) and runShared's require says so
+      // loudly — a default here would mask the caller's mistake while
+      // shared = false ran unwatermarked, silently computing over a
+      // different config.
+      runShared(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink)
     } else run(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink)
 
   /** Reference topology: 4 independent queries, parquet sinks. */

@@ -26,4 +26,23 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Seq[String])].collect().head
     assert(out._2 == (0 until 5).map(i => f"v$i%07d"))
   }
+
+  test("topKByScore orders NaN greatest, matching the desc window rank") {
+    // zero-norm vectors yield NaN cosines; primitive > would violate
+    // strict weak ordering and let sortWith place them arbitrarily
+    val df = Seq(
+      (1L, 0.9), (2L, Double.NaN), (3L, 0.5), (4L, Double.NaN), (5L, 0.7)
+    ).toDF("id", "score")
+    val viaAgg = df.groupBy(lit(1).as("g"))
+      .agg(Sampling.topKByScore($"id", $"score", 3).as("t"))
+      .select(explode($"t").as("s"))
+      .select($"s.id").as[Long].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy($"score".desc, $"id")
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).orderBy($"rn")
+      .select($"id").as[Long].collect().toSeq
+    assert(viaAgg == viaWindow)
+    assert(viaAgg == Seq(2L, 4L, 1L), "NaN first (desc), then finite desc")
+  }
 }
