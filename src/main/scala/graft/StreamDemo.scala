@@ -46,13 +46,24 @@ object StreamDemo {
       f"events=$nEvents drained in $elapsed%.1f s " +
       f"(${nEvents / elapsed}%.0f events/s)")
 
-    Seq("real_time_funnel", "gmv_metrics", "drop_off_analysis", "payment_metrics")
-      .foreach { t =>
-        val n = try spark.read.parquet(s"$outRoot/metrics/$t").count()
-          catch { case _: Throwable => 0L }
-        println(s"[demo] $t rows=$n")
-      }
+    val sinkRows =
+      Seq("real_time_funnel", "gmv_metrics", "drop_off_analysis", "payment_metrics")
+        .map { t =>
+          val n = try spark.read.parquet(s"$outRoot/metrics/$t").count()
+            catch { case _: Throwable => 0L }
+          println(s"[demo] $t rows=$n")
+          t -> n
+        }
     println(s"[demo] output at $outRoot")
+    // Machine-checkable throughput record (the Bench JSON-line
+    // contract): one line per topology per run so the streaming claim
+    // in BASELINE.md is re-measurable by grep instead of prose.
+    val sinks = sinkRows.map { case (t, n) => s""""$t":$n""" }.mkString(",")
+    println(s"""{"metric":"stream_demo","topology":"${
+        if (shared) "shared" else "reference"
+      }","events":$nEvents,"wall_sec":${f"$elapsed%.3f"},""" +
+      s""""stream_events_per_sec":${f"${nEvents / elapsed}%.1f"},""" +
+      s""""queries":${queries.size},"sink_rows":{$sinks}}""")
     spark.stop()
   }
 }
