@@ -31,7 +31,8 @@ object CrossPlan {
       graft.queries.PipelineQueries.crossPlanAlternates ++
       graft.queries.LakehouseQueries.crossPlanAlternates ++
       graft.queries.FeatureQueries.crossPlanAlternates ++
-      graft.queries.CorpusStatsQueries.crossPlanAlternates
+      graft.queries.CorpusStatsQueries.crossPlanAlternates ++
+      graft.queries.SignalQueries.crossPlanAlternates
 
   final case class Fp(rows: Long, sum: String, xor: Long)
 

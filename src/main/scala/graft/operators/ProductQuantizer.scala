@@ -58,7 +58,7 @@ object ProductQuantizer {
     * out keeps the 128-codeword encode projection inside janino's
     * method limits (the rounded form blew past them and the whole
     * stage fell back to interpreted eval). */
-  private def subScore(x: Column, codeword: Array[Double]): Column =
+  private[graft] def subScore(x: Column, codeword: Array[Double]): Column =
     lit(codeword.map(v => v * v).sum) -
       lit(2.0) * vec_dot(x, typedLit(codeword))
 

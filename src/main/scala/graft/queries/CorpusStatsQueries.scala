@@ -1416,7 +1416,91 @@ object CorpusStatsQueries {
             order = Seq(col("ord"), col("doc_id")), posCol = "pos")
           .select(col("pos"), col("doc_id"), col("lang"))
           .orderBy(col("pos"))
-      }))
+      }),
+      "q100_mmr_topk" -> (q100Alt _),
+      "q183_incremental_pairs" -> (q183Alt _))
+
+  /** q100 twin (sf10 cross-plan): candidate top-m via a conditioned
+    * broadcast-queries scan + slim window rank (vectors dropped BEFORE
+    * the sort — the r13 spill lesson) instead of the block-keyed scan
+    * + bounded aggregator; the greedy rounds pick their argmax by
+    * max(struct(score, −nbr_id)) instead of window row_number. All
+    * scores are the identical r4-snapped expressions, so ties and
+    * picks must agree exactly. */
+  private def q100Alt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorFunctions.vec_cosine
+    import org.apache.spark.sql.expressions.Window
+    val emb = embs(spark, dir)
+    val queries = emb.filter(col("vec_id") % MmrMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("cv"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("nbr_id"))
+    val topM = corpus.join(broadcast(queries),
+        col("query_id") =!= col("nbr_id"))
+      .withColumn("rel", Num.r4(vec_cosine(col("qv"), col("cv"))))
+      .select(col("query_id"), col("nbr_id"), col("rel"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= MmrM)
+      .select(col("query_id"), col("nbr_id"), col("rel"))
+    val cand = corpus.join(broadcast(topM), Seq("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), col("rel"), col("cv"))
+      .cache()
+    val sims = cand
+      .select(col("query_id"), col("nbr_id").as("id_a"), col("cv").as("va"))
+      .join(cand.select(col("query_id"), col("nbr_id").as("id_b"),
+        col("cv").as("vb")), Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", Num.r4(vec_cosine(col("va"), col("vb"))))
+      .select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
+      .cache()
+    val slim = cand.select(col("query_id"), col("nbr_id"), col("rel"))
+    // argmax by max(struct(score, -nbr_id)): score desc, then nbr_id
+    // ASC — the window (score desc, nbr_id) tie-break
+    def argmax(df: DataFrame, pick: Int): DataFrame = df
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("score"), (-col("nbr_id")).as("negid"))).as("mm"))
+      .select(col("query_id"), lit(pick).as("pick"),
+        (-col("mm.negid")).as("nbr_id"), col("mm.score").as("score"))
+    val first = argmax(
+      slim.withColumn("score", Num.r4(lit(MmrLam) * col("rel"))), 1)
+    (2 to MmrK).foldLeft(first) { (sel, j) =>
+      val selIds = sel.select(col("query_id").as("qs"),
+        col("nbr_id").as("sel_id"))
+      val pick = argmax(slim
+        .join(sel.select(col("query_id"), col("nbr_id")),
+          Seq("query_id", "nbr_id"), "left_anti")
+        .join(sims.withColumnRenamed("query_id", "qa"),
+          col("qa") === col("query_id") && col("id_a") === col("nbr_id"))
+        .join(selIds, col("qs") === col("query_id") &&
+          col("id_b") === col("sel_id"))
+        .groupBy(col("query_id"), col("nbr_id"), col("rel"))
+        .agg(max(col("sim")).as("ms"))
+        .withColumn("score", Num.r4(lit(MmrLam) * col("rel") -
+          lit(1.0 - MmrLam) * col("ms"))), j)
+      sel.unionByName(pick).cutLineage()
+    }.orderBy(col("query_id"), col("pick"))
+  }
+
+  /** q183 twin: ALL qualifying pairs over the whole corpus through the
+    * blocked tile join, then filtered to pairs touching the batch —
+    * versus the primary's batch-broadcast corpus scan + intra-batch
+    * tiles. Cosine is argument-order-exact (per-dim products commute,
+    * fold order fixed), so the r4-snapped values agree. */
+  private def q183Alt(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val flags = e.select(col("vec_id"),
+      (vecSplitHash >= IncrBatchBucket).as("is_batch"))
+    Similarity.cosinePairsBlocked(e, IncrPairTau)
+      .join(flags.select(col("vec_id").as("id_a"),
+        col("is_batch").as("ba")), Seq("id_a"))
+      .join(flags.select(col("vec_id").as("id_b"),
+        col("is_batch").as("bb")), Seq("id_b"))
+      .filter(col("ba") || col("bb"))
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_entropy" -> (q82Entropy _),

@@ -560,7 +560,47 @@ object ExtensionQueries {
       "q24_ngram_jaccard" -> ((s, dir) =>
         TextDedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))),
-      "q26_simhash" -> (q26SimhashAlt _))
+      "q26_simhash" -> (q26SimhashAlt _),
+      "q29_ann_lsh" -> (q29Alt _))
+
+  /** q29 twin (sf10 cross-plan): eight independent per-table bucket
+    * equi-joins over per-table key columns (the q26-twin
+    * decomposition) unioned and DISTINCTed on bare ids, vectors
+    * re-fetched afterwards, exact scores ranked by window row_number —
+    * versus the primary's single fused VecLshKeys posexplode join and
+    * bounded top-k aggregator. Keys come from the same plane matrix
+    * (Similarity.lshKey per table), so candidate sets are identical. */
+  private def q29Alt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorFunctions.vec_cosine
+    import org.apache.spark.sql.expressions.Window
+    val numPlanes = 6; val numTables = 8; val dim = 64
+    val e = embs(spark, dir)
+    val keyed = e.select(col("vec_id").as("id") +: col("embedding").as("v") +:
+      (0 until numTables).map(t =>
+        Similarity.lshKey(col("embedding"), t, numPlanes, dim).as(s"k$t")): _*)
+    val perTable = (0 until numTables).map { t =>
+      val b = keyed.select(col("id"), col(s"k$t").as("key"))
+      val q = keyed.filter(col("id") % QueryMod === 0)
+        .select(col("id").as("query_id"), col(s"k$t").as("key"))
+      b.join(q, Seq("key"))
+        .filter(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id").as("nbr_id"))
+    }
+    val cands = perTable.reduce(_ unionByName _).distinct()
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cands
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("cv")),
+        Seq("nbr_id"))
+      .join(broadcast(e.filter(col("vec_id") % QueryMod === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        Seq("query_id"))
+      .withColumn("cos", Num.r4(vec_cosine(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 
   private def q26SimhashAlt(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Lineage.LineageOps

@@ -1037,12 +1037,180 @@ object LakehouseQueries {
     * no per-tile dedup) — the small-corpus verification form — and
     * feeds the same triangle count. */
   def crossPlanAlternates: Map[String, (SparkSession, String) => DataFrame] =
-    Map("q79_triangles" -> ((s: SparkSession, dir: String) =>
-      graft.operators.Graph.triangleCounts(
-        Similarity.cosinePairs(embs(s, dir), SemTau)
-          .select(col("id_a"), col("id_b")))
-        .orderBy(col("tri_cnt").desc, col("node"))
-        .limit(10)))
+    Map(
+      "q79_triangles" -> ((s: SparkSession, dir: String) =>
+        graft.operators.Graph.triangleCounts(
+          Similarity.cosinePairs(embs(s, dir), SemTau)
+            .select(col("id_a"), col("id_b")))
+          .orderBy(col("tri_cnt").desc, col("node"))
+          .limit(10)),
+      "q68_pq_adc" -> (q68Alt _),
+      "q76_semdedup" -> (q76Alt _),
+      "q81_kmeans_train" -> (q81Alt _))
+
+  /** q68 twin (sf10 cross-plan): the ADC scan decomposed RELATIONALLY —
+    * codes and the query lookup table explode to (m, code) rows, the
+    * per-pair ADC distance is a (m, code) equi-join plus an m-ordered
+    * array fold (same left-assoc addition chain as the primary's fixed
+    * M-term lookup sum), cell assignment/probing ride posexplode +
+    * argmax/window instead of in-row array_max/slice, and both top-N
+    * stages use window row_number instead of the bounded aggregator.
+    * Every scalar (subScore, r4 snaps, tie-breaks) is the identical
+    * expression, so the fingerprints must match bit-for-bit. */
+  private def q68Alt(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.VectorFunctions.vec_cosine
+    import org.apache.spark.sql.expressions.Window
+    val e = embs(spark, dir)
+    val cb = ProductQuantizer.train(e, PqM, PqK)
+    val nl = Similarity.deriveNlist(e.count())
+    val cent = Similarity.ivfCentroids(e, nl)
+    // cell assignment: posexplode of the (cos, cell) struct array +
+    // groupBy argmax — same (max cos, tie max cell) as array_max
+    val cellOf = e
+      .select(col("vec_id").as("nbr_id"),
+        posexplode(Similarity.ivfCellArr(cent)(col("embedding")))
+          .as(Seq("ci", "s")))
+      .groupBy(col("nbr_id"))
+      .agg(max(struct(col("s.cos"), col("s.cell"))).as("m"))
+      .select(col("nbr_id"), col("m.cell").as("cell"))
+    val codes = e
+      .select(col("vec_id").as("nbr_id"),
+        posexplode(ProductQuantizer.encode(col("embedding"), cb))
+          .as(Seq("m", "code")))
+      .join(cellOf, Seq("nbr_id"))
+    // query ADC table as rows: (query_id, m, code, d), the same
+    // subScore expression the in-row table uses
+    val qBase = e.filter(col("vec_id") % QueryMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val sub = 64 / PqM
+    val qTab = qBase.select(col("query_id"),
+      explode(array((0 until PqM).flatMap { mi =>
+        val x = slice(col("qv"), mi * sub + 1, sub)
+        (0 until PqK).map { ki =>
+          struct(lit(mi).as("m"), lit(ki).as("code"),
+            ProductQuantizer.subScore(x, cb.books(mi)(ki)).as("d"))
+        }
+      }: _*)).as("t"))
+      .select(col("query_id"), col("t.m").as("m"), col("t.code").as("code"),
+        col("t.d").as("d"))
+    // probe cells: window row_number over (cos desc, cell desc) —
+    // the sort_array(desc).slice(nprobe) order
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("s.cos").desc, col("s.cell").desc)
+    val qCells = qBase
+      .select(col("query_id"),
+        posexplode(Similarity.ivfCellArr(cent)(col("qv"))).as(Seq("ci", "s")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= PqNprobe)
+      .select(col("query_id"), col("s.cell").as("cell"))
+    // per-pair ADC: (m, code) join, then an m-ordered left fold —
+    // the primary's reduce(_ + _) chain (0.0 seed is exact: every
+    // partial is +0.0-safe)
+    val pairs = codes.join(broadcast(qCells), Seq("cell"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .join(broadcast(qTab), Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sort_array(collect_list(struct(col("m"), col("d")))).as("md"))
+      .withColumn("adc", Num.r4(aggregate(
+        col("md").getField("d"), lit(0.0), (acc, x) => acc + x)))
+    val wCand = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("nbr_id"))
+    val cands = pairs
+      .withColumn("rn", row_number().over(wCand))
+      .filter(col("rn") <= PqCandN)
+      .select(col("query_id"), col("nbr_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("nbr_id"))
+    cands
+      .join(e.select(col("vec_id").as("nbr_id"), col("embedding").as("cv")),
+        Seq("nbr_id"))
+      .join(broadcast(qBase), Seq("query_id"))
+      .withColumn("cos", Num.r4(vec_cosine(col("qv"), col("cv"))))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q76 twin: cell assignment by window row_number over the exploded
+    * (centroid × vector) cosines instead of the struct-max argmax
+    * groupBy; the within-cell pair join is unchanged arithmetic. */
+  private def q76Alt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.plans.VectorFunctions.vec_cosine
+    import org.apache.spark.sql.expressions.Window
+    val emb = embs(spark, dir)
+    val nCells = semCellCount(emb.count())
+    val centDf = broadcast(Similarity.ivfCentroids(emb, nCells).toSeq
+      .toDF("cell", "cv"))
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("cos").desc, col("cell").desc)
+    val assigned = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .join(centDf)
+      .withColumn("cos", Num.r4(vec_cosine(col("v"), col("cv"))))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cell"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .withColumn("cos", Num.r4(vec_cosine(col("a.v"), col("b.v"))))
+      .filter(col("cos") >= SemTau)
+      .select(col("a.cell").as("cell"), col("a.id").as("id_a"),
+        col("b.id").as("id_b"), col("cos"))
+      .orderBy(col("cell"), col("id_a"), col("id_b"))
+  }
+
+  /** q81 twin: each round's assignment is a centroid-DataFrame join +
+    * window argmin instead of the in-row literal distArr array_min,
+    * with the identical Σ(xᵢ−cᵢ)² left-fold and r4 snap; means come
+    * from explicit sum/count instead of avg. Snapped means re-enter
+    * each round as literals exactly as in the primary, so any
+    * divergence would compound loudly. */
+  private def q81Alt(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val emb = embs(spark, dir)
+    def sqDistCol(v: Column, cv: Column): Column =
+      aggregate(zip_with(v.cast("array<double>"), cv,
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("id"))
+      .orderBy(col("dist"), col("cell"))
+    def assignAlt(centroids: Array[Array[Double]]): DataFrame = {
+      val centDf = broadcast(
+        centroids.toIndexedSeq.zipWithIndex
+          .map { case (c, i) => (i.toLong, c.toSeq) }
+          .toDF("cell", "cv"))
+      emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+        .join(centDf)
+        .withColumn("dist", Num.r4(sqDistCol(col("v"), col("cv"))))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("v"), col("cell"))
+    }
+    var centroids = graft.operators.KMeans.initCentroids(emb, KmTrainK)
+    for (_ <- 1 to KmIters) {
+      val means = assignAlt(centroids)
+        .select(col("cell"), posexplode(col("v").cast("array<double>"))
+          .as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(Num.r4(sum(col("x")) / count(lit(1))).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getAs[Long]("cell").toInt)(r.getAs[Int]("dim")) =
+        r.getAs[Double]("m"))
+      centroids = next
+    }
+    val counts = assignAlt(centroids)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+    val model = centroids.zipWithIndex.flatMap { case (cv, cell) =>
+      cv.zipWithIndex.map { case (x, d) => (cell.toLong, (d + 1).toLong, x) }
+    }.toSeq
+    model.toDF("cell", "dim", "centroid")
+      .join(counts, Seq("cell"))
+      .select(col("cell"), col("dim"), col("centroid"), col("n_members"))
+      .orderBy(col("cell"), col("dim"))
+  }
 
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q64_boilerplate" -> (q64Boilerplate _),

@@ -306,6 +306,56 @@ object SignalQueries {
        |WHERE levenshtein(a.s, b.s) <= $EditK
        |ORDER BY name_a, name_b""".stripMargin
 
+  /** q148 twin (sf10 cross-plan): the EXPANDED-window winnowing
+    * formulation — each gram explodes into every window containing it
+    * (a sequence() explode) and each window picks its fingerprint by
+    * groupBy + min(struct(h, −p)) — versus the primary's single
+    * sliding window-frame min. Same rightmost-min rule, same hash60
+    * gram hashes, so the fingerprint sets are identical; the pair
+    * stage re-runs the same df-guarded inverted-index join inline. */
+  private def q148Alt(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        TF.shinglesFromTokens(TF.tokens(col("text")), K).as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+        posexplode(col("sh")).as(Seq("p", "gram")))
+      .select(col("doc_id"), col("n_grams"), col("p"),
+        TF.hash60(col("gram")).as("h"))
+    // valid window starts s ∈ [max(0, p−w+1), min(p, max(n−w, 0))]
+    val maxS = greatest(col("n_grams") - W, lit(0))
+    val fp = grams
+      .withColumn("s", explode(sequence(
+        greatest(lit(0), col("p") - W + 1), least(col("p"), maxS))))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(min(struct(col("h"), (-col("p")).as("np"))).as("m"))
+      .select(col("doc_id"), col("m.h").as("fp_hash"))
+      .distinct().cache()
+    val kept = fp.join(
+      fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf),
+      Seq("fp_hash")).cache()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val a = kept.select(col("doc_id").as("doc_a"), col("fp_hash"))
+    val b = kept.select(col("doc_id").as("doc_b"), col("fp_hash"))
+    a.join(b, Seq("fp_hash"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinShared)
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"),
+        col("n_fp").as("n_fp_a"))), Seq("doc_a"))
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"),
+        col("n_fp").as("n_fp_b"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        Num.r4(col("shared").cast("double") /
+          least(col("n_fp_a"), col("n_fp_b")).cast("double")).as("overlap"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def crossPlanAlternates: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q148_winnow_pairs" -> (q148Alt _))
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_winnow_pairs" -> (q148WinnowPairs _),
     "q149_kn_score" -> (q149KnScore _),

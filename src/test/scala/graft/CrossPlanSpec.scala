@@ -12,11 +12,14 @@ class CrossPlanSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
-  test("alternates cover exactly the sf1 DuckDB-infeasible queries") {
+  test("alternates cover the sf1 + sf10 DuckDB-infeasible queries") {
     val expected = Set("q24_ngram_jaccard", "q26_simhash",
       "q36_dedup_clusters", "q79_triangles", "q86_prefix_jaccard",
       "q87_pagerank", "q88_containment", "q98_canonical_docs",
-      "q105_corpus_pipeline", "q118_label_prop", "q181_degree_mle")
+      "q105_corpus_pipeline", "q118_label_prop", "q181_degree_mle",
+      // round 14: the seven sf10-infeasible additions
+      "q29_ann_lsh", "q68_pq_adc", "q76_semdedup", "q81_kmeans_train",
+      "q100_mmr_topk", "q148_winnow_pairs", "q183_incremental_pairs")
     assert(CrossPlan.alternates.keySet == expected)
     assert(expected.subsetOf(SparkEntry.queries.keySet))
   }
