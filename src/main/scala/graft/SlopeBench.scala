@@ -22,7 +22,7 @@ import org.apache.spark.sql.SparkSession
   * sustained > data_ratio × slack on a query whose big-SF time is
   * real says the operator's work grows faster than its input — the
   * 100 TB red flag. One run per (query, SF) after the same warmup as
-  * Bench; results land in BASELINE.md as the per-family slope table.
+  * Bench; results land in HISTORY.md as the per-family slope table.
   */
 object SlopeBench {
   private val TimeFloor = 1.0 // sec at the largest SF
@@ -33,7 +33,7 @@ object SlopeBench {
     * separate `annotated` field WITH the evidence, so a reader can
     * re-check the argument rather than trust a silent allowlist.
     * Root causes measured on the sf0.1→sf1 decade (PpProbe /
-    * output-row counts, BASELINE.md §Round 12):
+    * output-row counts, HISTORY.md §Round 12):
     *  - the corpus has a FIXED 31-word vocabulary, so 3-shingle space
     *    saturates at 31³ = 29 791 (27 213 already used at sf0.1);
     *    distinct shingles grow 1.09× for 10× data and colliding
