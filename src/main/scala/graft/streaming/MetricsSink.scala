@@ -97,12 +97,27 @@ object MetricsSink {
       .queryName(queryName)
       .start()
 
-  /** JDBC upsert writer (idiomatic mode). Builds
-    * INSERT ... ON CONFLICT (keyCols) DO UPDATE from the batch schema and
-    * executes per partition — executors connect, not the driver
-    * (mirrors the reference's executor-side JDBC, SURVEY §3.1.5).
-    * Unexercisable in this environment (no Postgres); the SQL-text
-    * construction is unit-tested. */
+  /** Upsert dialect for [[jdbcUpsertWriter]].
+    *
+    *  - [[UpsertDialect.Postgres]]: one batched
+    *    INSERT ... ON CONFLICT (keys) DO UPDATE statement — the
+    *    reference's target database (init_metrics.sql). Unexercisable
+    *    in this environment (no PG-wire database or driver jar; see
+    *    the jar-inventory tripwire in PostgresUpsertContractSpec), so
+    *    the SQL text is pinned by unit test.
+    *  - [[UpsertDialect.UpdateThenInsert]]: portable two-statement
+    *    upsert — UPDATE by key, INSERT when zero rows matched, retry
+    *    the UPDATE once on a duplicate-key race. Works on any JDBC
+    *    database (exercised live against embedded Derby, including
+    *    cross-micro-batch last-refinement-wins and the firstWriteWins
+    *    quirk). Per-row round-trips instead of addBatch, so prefer
+    *    the Postgres dialect where available. */
+  sealed trait UpsertDialect
+  object UpsertDialect {
+    case object Postgres extends UpsertDialect
+    case object UpdateThenInsert extends UpsertDialect
+  }
+
   def upsertSql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
     val collist = columns.mkString(", ")
     val placeholders = columns.map(_ => "?").mkString(", ")
@@ -112,32 +127,97 @@ object MetricsSink {
       s"ON CONFLICT (${keyCols.mkString(", ")}) DO UPDATE SET $updates"
   }
 
+  private[streaming] def insertSql(table: String, columns: Seq[String]): String =
+    s"INSERT INTO $table (${columns.mkString(", ")}) " +
+      s"VALUES (${columns.map(_ => "?").mkString(", ")})"
+
+  private[streaming] def updateSql(table: String, columns: Seq[String],
+      keyCols: Seq[String]): String = {
+    val sets = columns.filterNot(keyCols.contains)
+      .map(c => s"$c = ?").mkString(", ")
+    val where = keyCols.map(k => s"$k = ?").mkString(" AND ")
+    s"UPDATE $table SET $sets WHERE $where"
+  }
+
+  /** JDBC upsert writer (idiomatic mode). Executes per partition —
+    * executors connect, not the driver (mirrors the reference's
+    * executor-side JDBC, SURVEY §3.1.5). Dialect selects the upsert
+    * statement shape; semantics are identical: last refinement wins,
+    * or first write wins when `firstWriteWins` (metrics_sink.py:38-39
+    * K1 compat — duplicate keys are silently dropped). */
   def jdbcUpsertWriter(url: String, table: String, keyCols: Seq[String],
-      props: Properties, firstWriteWins: Boolean = false): (DataFrame, Long) => Unit =
+      props: Properties, firstWriteWins: Boolean = false,
+      dialect: UpsertDialect = UpsertDialect.Postgres): (DataFrame, Long) => Unit =
     (batch, _) => {
       val columns = batch.schema.fieldNames.toSeq
-      val sql =
-        if (firstWriteWins)
-          // K1 compat: plain append; duplicate-key failures are swallowed
-          // per-row, replicating metrics_sink.py:38-39 first-write-wins.
-          s"INSERT INTO $table (${columns.mkString(", ")}) " +
-            s"VALUES (${columns.map(_ => "?").mkString(", ")}) ON CONFLICT DO NOTHING"
-        else upsertSql(table, columns, keyCols)
       batch.foreachPartition { (rows: Iterator[Row]) =>
         val conn = java.sql.DriverManager.getConnection(url, props)
         try {
           conn.setAutoCommit(false)
-          val st = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-            st.addBatch()
-            n += 1
-            if (n % 500 == 0) st.executeBatch()
+          dialect match {
+            case UpsertDialect.Postgres =>
+              writePostgres(conn, table, columns, keyCols, firstWriteWins, rows)
+            case UpsertDialect.UpdateThenInsert =>
+              writeUpdateThenInsert(conn, table, columns, keyCols,
+                firstWriteWins, rows)
           }
-          st.executeBatch()
           conn.commit()
         } finally conn.close()
       }
     }
+
+  private def writePostgres(conn: java.sql.Connection, table: String,
+      columns: Seq[String], keyCols: Seq[String], firstWriteWins: Boolean,
+      rows: Iterator[Row]): Unit = {
+    val sql =
+      if (firstWriteWins) insertSql(table, columns) + " ON CONFLICT DO NOTHING"
+      else upsertSql(table, columns, keyCols)
+    val st = conn.prepareStatement(sql)
+    var n = 0
+    rows.foreach { r =>
+      columns.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+      st.addBatch()
+      n += 1
+      if (n % 500 == 0) st.executeBatch()
+    }
+    st.executeBatch()
+  }
+
+  private def writeUpdateThenInsert(conn: java.sql.Connection, table: String,
+      columns: Seq[String], keyCols: Seq[String], firstWriteWins: Boolean,
+      rows: Iterator[Row]): Unit = {
+    val nonKey = columns.filterNot(keyCols.contains)
+    val colIdx = columns.zipWithIndex.toMap
+    val ins = conn.prepareStatement(insertSql(table, columns))
+    val upd =
+      if (nonKey.isEmpty) null
+      else conn.prepareStatement(updateSql(table, columns, keyCols))
+    def runUpdate(r: Row): Int =
+      if (upd == null) 1 // key-only row: nothing to refine, treat as hit
+      else {
+        (nonKey ++ keyCols).zipWithIndex.foreach { case (c, i) =>
+          upd.setObject(i + 1, r.get(colIdx(c)))
+        }
+        upd.executeUpdate()
+      }
+    def runInsert(r: Row): Unit = {
+      columns.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+      ins.executeUpdate()
+    }
+    rows.foreach { r =>
+      if (firstWriteWins) {
+        // INSERT, swallow the duplicate-key failure per row
+        try runInsert(r)
+        catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+      } else if (runUpdate(r) == 0) {
+        // no existing row: INSERT, retrying the UPDATE once if a
+        // concurrent writer won the insert race
+        try runInsert(r)
+        catch {
+          case _: java.sql.SQLIntegrityConstraintViolationException =>
+            runUpdate(r); ()
+        }
+      }
+    }
+  }
 }
