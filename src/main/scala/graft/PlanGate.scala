@@ -62,10 +62,13 @@ object PlanGate {
     // CartesianProductExec at sf10 (broadcast threshold exceeded) — the
     // exposed query now rides cosinePairsBlocked; the naive form stays
     // a test/CrossPlan-only verification twin.
+    // q119's entry deleted (round 14): a scalar-merge build side is
+    // now statically benign (one row ⇒ output ≤ stream side) — the
+    // rule covers every withScalars + filter-on-the-scalar plan, not
+    // one query. q161's deleted too: the exact twin rides an
+    // offset-explode equi-join instead of the datediff range BNLJ.
     "q113_source_overlap" -> ("sa# < sb#", "source-domain self-pairs: |distinct sources| rows per side"),
-    "q119_interval_overlap" -> ("avgc#", "hourly histogram vs one-row global average"),
     "q153_edit_join" -> ("levenshtein", "short-string branch: both sides len <= q(k-1)+1, alphabet-bounded (EditDistanceJoin doc)"),
-    "q161_sliding_distinct" -> ("datediff", "day-anchor range join: aggregated (day) frames, ~30 rows/side"),
     "q183_incremental_pairs" -> ("NOT (cid# = bid#)", "arriving micro-batch broadcast vs one corpus scan (Similarity.incrementalPairs contract)"))
 
   /** SinglePartition exchanges that carry a bounded post-aggregation
@@ -99,6 +102,17 @@ object PlanGate {
     case i: InputAdapter => strip(i.child)
     case r: ReusedExchangeExec => r // broadcast reuse: original not reachable
     case e: exchange.BroadcastExchangeExec => strip(e.child)
+    // an executed AQE plan wraps the join inputs in materialized query
+    // stages; the shape of interest (scalar agg, local scan) is inside
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      strip(q.plan)
+    case s: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+      strip(s.child)
+    // row-count-non-increasing unary nodes (Catalyst inserts null
+    // guards above broadcast build sides): stripping them preserves
+    // every boundedness argument the callers make
+    case f: FilterExec => strip(f.child)
+    case pr: ProjectExec => strip(pr.child)
     case other => other
   }
 
@@ -156,7 +170,14 @@ object PlanGate {
         val benign =
           (j.joinType == Cross && j.condition.isEmpty) ||
             build.isInstanceOf[LocalTableScanExec] ||
-            build.isInstanceOf[ReusedExchangeExec]
+            build.isInstanceOf[ReusedExchangeExec] ||
+            // a grouping-free aggregate build side is statically one
+            // row (≤ one per task for a partial merge), so the
+            // conditioned loop is just a filter over the stream side —
+            // output ≤ stream rows, no quadratic blowup possible. This
+            // is the Scalars.withScalars + filter-on-the-scalar shape:
+            // Catalyst pushes the predicate into the broadcast cross.
+            isScalarMerge(build)
         if (!benign) {
           val cond = canonCond(j.condition)
           if (debug) println(s"""DEBUG $name BNLJ type=${j.joinType} cond=$cond""")

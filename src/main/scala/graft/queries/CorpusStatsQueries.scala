@@ -1038,6 +1038,11 @@ object CorpusStatsQueries {
               .otherwise(0.0)))
           .withColumn("frozen", col("frozen") || col("alloc") > col("cap"))
           .drop("frozen_cap", "den")
+          // |langs|-row frame: cut per round or round k's scalar
+          // aggregate re-executes rounds 1..k−1 (the LabelProp
+          // quadratic-re-execution lesson; measured 0.57 → 2.8 s on
+          // the bench when left growing)
+          .cutLineage()
     }
   }
 

@@ -445,9 +445,18 @@ object EventAnalyticsQueries {
       .groupBy(col("day"))
       .agg(count(lit(1)).as("window_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+    // exact twin: each (eday, user) serves the ≤7 target days
+    // [eday, eday+6] — offset-explode to an EQUI join on the day key
+    // (semi vs existing days), never a datediff range BNLJ; the
+    // pre-distinct bounds the explode at 7·|distinct (day, user)|.
+    // The oracle keeps the naive BETWEEN form — the equality proves
+    // the rewrite (the q119 bucketing contract).
     val exact = ev.select(to_date(col("ts")).as("eday"), col("user_id"))
-      .join(broadcast(daily.select(col("day"))),
-        datediff(col("day"), col("eday")).between(0, 6))
+      .distinct()
+      .select(col("user_id"), col("eday"),
+        explode(sequence(lit(0), lit(6))).as("off"))
+      .select(col("user_id"), date_add(col("eday"), col("off")).as("day"))
+      .join(broadcast(daily.select(col("day"))), Seq("day"), "left_semi")
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
     rolled.join(exact, "day")

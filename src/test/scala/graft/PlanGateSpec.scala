@@ -41,6 +41,19 @@ class PlanGateSpec extends SparkSpec {
     assert(viol("probe", ok).isEmpty)
   }
 
+  test("quiet on a CONDITIONED scalar-build BNLJ (filter on the scalar)") {
+    // Catalyst pushes the filter into the broadcast cross, producing a
+    // conditioned BNLJ — but a grouping-free aggregate build side is
+    // statically one row, so output ≤ stream side: benign without a
+    // per-query exemption (the withScalars + threshold shape, q119)
+    val d = data
+    val avg = d.agg((sum(col("v")) / count(lit(1))).as("avgv"))
+    val ok = d.crossJoin(broadcast(avg)).filter(col("v") > col("avgv"))
+    assert(ok.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "probe must actually plan as a conditioned BNLJ")
+    assert(viol("probe", ok).isEmpty)
+  }
+
   test("quiet on a literal model-table broadcast (LocalTableScan build side)") {
     val d = data
     val model = Seq((0, 1.0), (1, 5.0)).toDF("cell", "cv")
