@@ -62,6 +62,26 @@ object Schemas {
     "olist.orders" -> order,
     "olist.order_items" -> item,
     "olist.payments" -> payment)
+
+  /** Wire-contract nullability (avro_schemas.py:1-57): exactly the
+    * fields the reference declares WITHOUT a `["null", T]` union are
+    * required — the envelope, plus per-schema measures and `timestamp`.
+    * Spark encoders mark every reference-typed field nullable, so the
+    * Avro wire schema needs this explicit tightening — a required
+    * field and a union encode differently on the wire (the union
+    * writes a branch index byte). */
+  private val envelope = Set("event_id", "event_type", "event_time", "order_id")
+  private def wire(st: StructType, required: Set[String]): StructType =
+    StructType(st.fields.map(f => f.copy(nullable = !required(f.name))))
+  /** avro_schemas.py:1-16 ORDER_SCHEMA. */
+  val orderWire: StructType = wire(order, envelope + "timestamp")
+  /** avro_schemas.py:19-33 ORDER_ITEM_SCHEMA. */
+  val itemWire: StructType = wire(item,
+    envelope ++ Set("order_item_id", "price", "freight_value", "timestamp"))
+  /** avro_schemas.py:36-50 PAYMENT_SCHEMA. */
+  val paymentWire: StructType = wire(payment,
+    envelope ++ Set("payment_sequential", "payment_installments",
+      "payment_value", "timestamp"))
 }
 
 /** Metric-row shapes mirroring the reference's Postgres tables

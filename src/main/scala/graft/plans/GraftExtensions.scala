@@ -50,8 +50,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           TokenWindows(es.head,
             foldedInt(es(1), "token_windows(_, size, _)"),
             foldedInt(es(2), "token_windows(_, _, stride)"))))
+    // Avro wire-format codec for pure-SQL pipelines; the decode target
+    // schema and record identity are compile-time literals:
+    //   SELECT avro_encode(named_struct('a', a), 'Rec', 'ns')
+    //   SELECT avro_decode(payload, 'a BIGINT, b STRING', 'Rec', 'ns').*
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("avro_encode"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[AvroEncode].getName, "avro_encode"),
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          AvroEncode(es.head,
+            foldedString(es(1), "avro_encode(_, recordName, _)"),
+            foldedString(es(2), "avro_encode(_, _, namespace)"),
+            schemaId = if (es.length > 3)
+              foldedInt(es(3), "avro_encode(_, _, _, schemaId)") else -1)))
+    ext.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("avro_decode"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[AvroDecode].getName, "avro_decode"),
+        (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          AvroDecode(es.head,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              foldedString(es(1), "avro_decode(_, schemaDdl, _)")),
+            foldedString(es(2), "avro_decode(_, _, recordName, _)"),
+            foldedString(es(3), "avro_decode(_, _, _, namespace)"),
+            schemaId = if (es.length > 4)
+              foldedInt(es(4), "avro_decode(..., schemaId)") else -1,
+            failOnError = true)))
     ext.injectOptimizerRule(_ => SimplifySelfCosine)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
+
+  private def foldedString(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      where: String): String = {
+    require(e.foldable, s"$where must be a literal string")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$where must be a literal string, got $other")
+    }
   }
 
   /** Extract a literal int argument at function-resolution time —

@@ -567,7 +567,46 @@ object EventAnalyticsQueries {
        |  ON a.event_type = b.event_type AND b.day = a.day - 7
        |ORDER BY a.event_type, a.day""".stripMargin
 
+  /** q190: Avro wire-format round trip over the whole events table —
+    * every row serialized to real Avro binary (plans/AvroExpressions,
+    * the reference's avro_schemas.py transport with Confluent framing)
+    * and decoded back; the oracle is the PLAIN projection, so the hash
+    * equality proves encode∘decode = id on live data, field classes
+    * long/string/double/timestamp included. The fixed wire StructType
+    * pins the on-wire union layout independent of inferred
+    * nullability. */
+  private val q190WireSt = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("user_id",
+      org.apache.spark.sql.types.LongType, nullable = true),
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("value",
+      org.apache.spark.sql.types.DoubleType, nullable = true),
+    org.apache.spark.sql.types.StructField("props",
+      org.apache.spark.sql.types.StringType, nullable = true),
+    org.apache.spark.sql.types.StructField("ts",
+      org.apache.spark.sql.types.TimestampType, nullable = true)))
+
+  def q190AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import graft.plans.AvroExpressions.{avro_decode, avro_encode}
+    val cols = q190WireSt.fieldNames.toSeq
+    events(spark, dir)
+      .select(avro_encode(struct(cols.map(col): _*), "EventRecord",
+        "graft.events", schemaId = 1, wireSchema = Some(q190WireSt)).as("p"))
+      .select(avro_decode(col("p"), q190WireSt, "EventRecord",
+        "graft.events", schemaId = 1).as("r"))
+      .select(cols.map(n => col(s"r.$n").as(n)): _*)
+      .orderBy(col("event_id"))
+  }
+
+  val q190Sql: String =
+    """SELECT event_id, user_id, event_type, value, props, ts
+      |FROM events ORDER BY event_id""".stripMargin
+
   def entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q190_avro_roundtrip" -> (q190AvroRoundtrip _),
     "q12_funnel" -> (q12Funnel _),
     "q13_gmv" -> (q13Gmv _),
     "q14_dropoff" -> (q14DropOff _),
@@ -584,6 +623,7 @@ object EventAnalyticsQueries {
     "q165_wow_growth" -> (q165WowGrowth _))
 
   def oracles: Map[String, String] = Map(
+    "q190_avro_roundtrip" -> q190Sql,
     "q12_funnel" -> q12Sql,
     "q13_gmv" -> q13Sql,
     "q14_dropoff" -> q14Sql,

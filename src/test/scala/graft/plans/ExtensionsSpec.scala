@@ -56,6 +56,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("literal integer"))
   }
 
+  test("avro_encode / avro_decode usable from SQL via extensions") {
+    // full SQL round trip, framing included; decode schema is a
+    // literal DDL string resolved at function-resolution time. The DDL
+    // must state the WIRE nullability: the encoder derived plain
+    // (non-union) fields from the literal struct, so the decoder's DDL
+    // says NOT NULL — nullability is a byte-level difference in Avro
+    val r = spark.sql(
+      "SELECT avro_decode(avro_encode(named_struct('a', 7L, 'b', 'hi'), " +
+        "'Rec', 'ns', 3), 'a BIGINT NOT NULL, b STRING NOT NULL', " +
+        "'Rec', 'ns', 3) AS r")
+      .select("r.a", "r.b").collect().head
+    assert(r.getLong(0) == 7L && r.getString(1) == "hi")
+    // non-literal (non-foldable) schema DDL is rejected at resolution
+    val err = intercept[Exception] {
+      spark.sql("SELECT avro_decode(CAST('x' AS BINARY), " +
+        "concat('a BIGINT', CAST(rand() AS STRING)), 'R', 'n')").collect()
+    }
+    assert(err.getMessage.contains("literal string"))
+  }
+
   test("optimizer rule folds cosine(x, x) to 1.0") {
     import spark.implicits._
     val df = Seq((1L, Array(3.0f, 4.0f))).toDF("id", "v")
