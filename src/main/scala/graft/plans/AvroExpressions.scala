@@ -228,8 +228,9 @@ final case class AvroDecode(child: Expression, structType: StructType,
       }
       InternalRow.fromSeq(out.toIndexedSeq)
     } catch {
-      case e: Throwable if failOnError => throw e
-      case _: Throwable => null
+      // only swallow genuinely recoverable decode failures; fatal
+      // errors (OOM, interrupts) always propagate
+      case scala.util.control.NonFatal(_) if !failOnError => null
     }
 
   override protected def withNewChildInternal(newChild: Expression): AvroDecode =
