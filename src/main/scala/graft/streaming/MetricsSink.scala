@@ -192,20 +192,20 @@ object MetricsSink {
     val upd =
       if (nonKey.isEmpty) null
       else conn.prepareStatement(updateSql(table, columns, keyCols))
-    def runUpdate(r: Row): Int =
-      if (upd == null) 1 // key-only row: nothing to refine, treat as hit
-      else {
-        (nonKey ++ keyCols).zipWithIndex.foreach { case (c, i) =>
-          upd.setObject(i + 1, r.get(colIdx(c)))
-        }
-        upd.executeUpdate()
+    def runUpdate(r: Row): Int = {
+      (nonKey ++ keyCols).zipWithIndex.foreach { case (c, i) =>
+        upd.setObject(i + 1, r.get(colIdx(c)))
       }
+      upd.executeUpdate()
+    }
     def runInsert(r: Row): Unit = {
       columns.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
       ins.executeUpdate()
     }
     rows.foreach { r =>
-      if (firstWriteWins) {
+      if (firstWriteWins || upd == null) {
+        // firstWriteWins, or a key-only table (zero non-key columns —
+        // nothing to refine, so upsert degenerates to insert-if-absent):
         // INSERT, swallow the duplicate-key failure per row
         try runInsert(r)
         catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }

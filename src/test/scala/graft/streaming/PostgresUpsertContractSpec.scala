@@ -75,6 +75,28 @@ class PostgresUpsertContractSpec extends SparkSpec {
     }
   }
 
+  test("UpdateThenInsert dialect: key-only table degenerates to insert-if-absent") {
+    // zero non-key columns: nothing to refine, so upsert ≡ ON CONFLICT
+    // DO NOTHING — new keys insert, duplicates are dropped silently
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try conn.createStatement().execute(
+      "CREATE TABLE m_keys (k1 INT NOT NULL, k2 INT NOT NULL, PRIMARY KEY (k1, k2))")
+    finally conn.close()
+    val write = MetricsSink.jdbcUpsertWriter(url, "m_keys",
+      Seq("k1", "k2"), props,
+      dialect = MetricsSink.UpsertDialect.UpdateThenInsert)
+    write(Seq((1, 0), (2, 0)).toDF("k1", "k2"), 0L)
+    write(Seq((2, 0), (3, 0)).toDF("k1", "k2"), 1L)
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT k1 FROM m_keys ORDER BY k1")
+      val got = Iterator.continually(rs)
+        .takeWhile(_.next()).map(_.getInt(1)).toList
+      assert(got == List(1, 2, 3))
+    } finally c.close()
+  }
+
   test("dialects build from the same column/key lists") {
     // the Postgres text is the one init_metrics.sql expects; the
     // portable pair must address the same columns in the same roles
