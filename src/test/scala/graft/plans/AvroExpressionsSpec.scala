@@ -171,6 +171,36 @@ class AvroExpressionsSpec extends SparkSpec {
       (err.getCause != null && err.getCause.getMessage.contains("timestamp")))
   }
 
+  test("property: random OrderEvents (unicode, empty, extremes) round trip") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val strGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(20)),
+      Gen.const(""),
+      Gen.const("héllo wörld — 中文 🙂"),
+      Gen.listOfN(5, Gen.choose(Char.MinValue, '퟿')).map(_.mkString))
+    val optGen = Gen.option(strGen)
+    val evGen = for {
+      id <- Gen.choose(0, 999999)
+      et <- strGen; tm <- strGen; oid <- strGen
+      c <- optGen; st <- optGen; ap <- optGen; ed <- optGen
+      ts <- strGen // wire-required
+    } yield OrderEvent(s"e$id", et, tm, oid, c, st, ap, ed, Some(ts))
+    val prop = Prop.forAll(Gen.listOfN(4, evGen)) { evs =>
+      val df = evs.toDF()
+      val back = df
+        .select(avro_encode(struct(df.columns.map(col): _*),
+          "OrderEvent", "com.ecommerce.events",
+          wireSchema = Some(Schemas.orderWire)).as("p"))
+        .select(avro_decode(col("p"), Schemas.orderWire,
+          "OrderEvent", "com.ecommerce.events").as("r"))
+        .select("r.*").as[OrderEvent].collect().toSeq
+      back == evs
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("encode is deterministic: same row, same bytes") {
     val df = sampleOrders.toDF()
     def run() = df.select(avro_encode(struct(df.columns.map(col): _*),
