@@ -103,12 +103,18 @@ object AvroExpressions {
       wireSchema))
 
   /** Avro binary → struct of `st`. `failOnError=false` yields NULL on a
-    * malformed payload (the reference's malformed-drop contract, S2). */
+    * malformed payload (the reference's malformed-drop contract, S2).
+    * `writerSchema` enables Avro schema RESOLUTION — the registry
+    * evolution case: bytes written under an older (or newer) schema
+    * are read under `st`, added nullable fields fill with their null
+    * default, dropped fields are skipped, and an unresolvable change
+    * (e.g. a missing required field) fails loudly. */
   def avro_decode(c: Column, st: StructType, recordName: String = "Record",
       namespace: String = "graft", schemaId: Int = -1,
-      failOnError: Boolean = true): Column =
+      failOnError: Boolean = true,
+      writerSchema: Option[StructType] = None): Column =
     GraftColumnBridge.column(AvroDecode(GraftColumnBridge.expression(c),
-      st, recordName, namespace, schemaId, failOnError))
+      st, recordName, namespace, schemaId, failOnError, writerSchema))
 }
 
 /** Catalyst struct → Avro-binary bytes. */
@@ -180,7 +186,7 @@ final case class AvroEncode(child: Expression, recordName: String,
 /** Avro-binary bytes → Catalyst struct. */
 final case class AvroDecode(child: Expression, structType: StructType,
     recordName: String, namespace: String, schemaId: Int,
-    failOnError: Boolean)
+    failOnError: Boolean, writerSchema: Option[StructType] = None)
     extends UnaryExpression with CodegenFallback {
   import AvroExpressions._
 
@@ -199,7 +205,14 @@ final case class AvroDecode(child: Expression, structType: StructType,
     }
 
   @transient private lazy val schema = avroSchemaFor(structType, recordName, namespace)
-  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
+  // writer != reader => Avro schema resolution (GenericDatumReader's
+  // two-schema constructor): reader-added nullable fields take their
+  // null default, writer-only fields are skipped
+  @transient private lazy val reader = writerSchema match {
+    case Some(w) => new GenericDatumReader[GenericRecord](
+      avroSchemaFor(w, recordName, namespace), schema)
+    case None => new GenericDatumReader[GenericRecord](schema)
+  }
   @transient private var decoder: BinaryDecoder = _
   @transient private var reuse: GenericRecord = _
 

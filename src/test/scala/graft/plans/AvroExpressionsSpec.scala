@@ -171,6 +171,39 @@ class AvroExpressionsSpec extends SparkSpec {
       (err.getCause != null && err.getCause.getMessage.contains("timestamp")))
   }
 
+  test("schema evolution: old-writer bytes resolve under a newer reader") {
+    // v1 writer: (a, b); v2 reader adds nullable c (null default) and
+    // drops b — the registry evolution case
+    val v1 = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("b", StringType, nullable = false)))
+    val v2 = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("c", DoubleType, nullable = true)))
+    val df = Seq((7L, "old")).toDF("a", "b")
+    val out = df
+      .select(avro_encode(struct(col("a"), col("b")), "Rec", "ns",
+        wireSchema = Some(v1)).as("p"))
+      .select(avro_decode(col("p"), v2, "Rec", "ns",
+        writerSchema = Some(v1)).as("r"))
+      .select("r.*").collect().head
+    assert(out.getLong(0) == 7L && out.isNullAt(1),
+      "added nullable field must fill with its null default")
+    // unresolvable change: reader REQUIRES a field the writer never
+    // wrote -> loud failure, not silent garbage
+    val v2bad = StructType(Seq(
+      StructField("a", LongType, nullable = false),
+      StructField("d", StringType, nullable = false)))
+    val err = intercept[Exception] {
+      df.select(avro_encode(struct(col("a"), col("b")), "Rec", "ns",
+          wireSchema = Some(v1)).as("p"))
+        .select(avro_decode(col("p"), v2bad, "Rec", "ns",
+          writerSchema = Some(v1)).as("r"))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("property: random OrderEvents (unicode, empty, extremes) round trip") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val strGen = Gen.oneOf(
