@@ -166,6 +166,32 @@ class ReplayContractSpec extends SparkSpec {
 
   // ---- (a)+(b) DataFrame-returning twins ------------------------------
 
+  test("Avro decode replay: stateless wire decode re-delivers identically") {
+    import graft.model.Schemas
+    import graft.plans.AvroExpressions.{avro_decode, avro_encode}
+    val events = Seq(
+      graft.model.OrderEvent("e1", "order_created", "t1", "o1",
+        Some("c1"), Some("created"), None, None, Some("ts1")),
+      graft.model.OrderEvent("e2", "order_delivered", "t2", "o2",
+        None, None, None, None, Some("ts2")),
+      graft.model.OrderEvent("e3", "order_created", "t3", "o3",
+        Some("c3"), None, None, None, Some("ts3")))
+    val batch = events.toDF()
+    val payloads = batch
+      .select(avro_encode(struct(batch.columns.map(col): _*),
+        "OrderEvent", "com.ecommerce.events", schemaId = 42,
+        wireSchema = Some(Schemas.orderWire)).as("v"))
+      .as[Array[Byte]].collect().toSeq
+    val chunks = Seq(payloads.take(2), payloads.drop(2))
+    assertDeterministic("AvroDecode",
+      runTwiceDf(chunks, "append") { in =>
+        in.toDF("value")
+          .select(avro_decode(col("value"), Schemas.orderWire,
+            "OrderEvent", "com.ecommerce.events", schemaId = 42).as("r"))
+          .select("r.*")
+      })
+  }
+
   test("StreamNb replay: stateless classification re-delivers identically") {
     def cluster(label: Int, c: Array[Double], n: Int, seed: Int) = {
       val rnd = new scala.util.Random(seed)
