@@ -10,6 +10,13 @@ import graft.streaming.{EventGenerator, SinkConfig, StreamApp, WindowConfig}
   * counts. Usage: runMain graft.StreamDemo [sfDir] [outRoot]
   */
 object StreamDemo {
+  /** Locale-independent numeric rendering for the JSON line — the f
+    * interpolator uses the default locale, and a comma decimal
+    * separator (de_DE, fr_FR) would emit unparseable JSON. */
+  private def jnum(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f",
+      java.lang.Double.valueOf(v))
+
   def main(args: Array[String]): Unit = {
     val positional = args.filterNot(_.startsWith("--"))
     val sfDir = positional.headOption.getOrElse("/root/testdata/sf0.001")
@@ -61,8 +68,8 @@ object StreamDemo {
     val sinks = sinkRows.map { case (t, n) => s""""$t":$n""" }.mkString(",")
     println(s"""{"metric":"stream_demo","topology":"${
         if (shared) "shared" else "reference"
-      }","events":$nEvents,"wall_sec":${f"$elapsed%.3f"},""" +
-      s""""stream_events_per_sec":${f"${nEvents / elapsed}%.1f"},""" +
+      }","events":$nEvents,"wall_sec":${jnum(elapsed, 3)},""" +
+      s""""stream_events_per_sec":${jnum(nEvents / elapsed, 1)},""" +
       s""""queries":${queries.size},"sink_rows":{$sinks}}""")
     spark.stop()
   }

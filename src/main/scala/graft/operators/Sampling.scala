@@ -53,15 +53,20 @@ object Sampling {
     * carries ≤ k rows per key per task. */
   final class TopKByScore(k: Int)
       extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-    // java.lang.Double.compare, not primitive >: with NaN scores (a
-    // zero-norm vector's cosine) primitive > violates strict weak
-    // ordering and sortWith may place NaN candidates arbitrarily;
-    // compare orders NaN greatest, matching how Spark's desc window
-    // rank (which this aggregator replaces) orders NaN.
-    private def better(a: Scored, b: Scored): Boolean = {
-      val c = java.lang.Double.compare(a.score, b.score)
-      c > 0 || (c == 0 && a.id < b.id)
-    }
+    // Must match Spark's desc window rank (which this aggregator
+    // replaces) on BOTH double edge classes: primitive == first so
+    // -0.0 and 0.0 tie-break by id (Spark's compareDoubles treats
+    // them equal; Double.compare alone would rank +0.0 above -0.0 —
+    // negated scores like -adc produce -0.0), then Double.compare for
+    // NaN (zero-norm cosines): NaN orders greatest, NaN-vs-NaN falls
+    // through to the id tie-break. Equivalence classes {−0.0, 0.0}
+    // and {NaN} keep the ordering strict-weak for sortWith.
+    private def better(a: Scored, b: Scored): Boolean =
+      if (a.score == b.score) a.id < b.id
+      else {
+        val c = java.lang.Double.compare(a.score, b.score)
+        c > 0 || (c == 0 && a.id < b.id)
+      }
 
     override def zero: Seq[Scored] = Seq.empty
 

@@ -132,8 +132,27 @@ final case class AvroEncode(child: Expression, recordName: String,
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case _: StructType =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case st: StructType =>
+        // values are written by POSITION, so a wireSchema whose names
+        // or types disagree with the input would silently serialize
+        // values under the wrong fields — reject at analysis
+        wireSchema match {
+          case Some(w) if w.fieldNames.toSeq != st.fieldNames.toSeq =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+              .TypeCheckFailure(
+                s"avro_encode wireSchema field names ${w.fieldNames.toSeq} " +
+                  s"must match the input struct ${st.fieldNames.toSeq} " +
+                  "(same names, same order)")
+          case Some(w) if w.fields.map(_.dataType).toSeq !=
+              st.fields.map(_.dataType).toSeq =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+              .TypeCheckFailure(
+                "avro_encode wireSchema field types must match the input " +
+                  "struct (only nullability may differ)")
+          case _ =>
+            org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+              .TypeCheckSuccess
+        }
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"avro_encode expects a struct input, got $other")
@@ -216,12 +235,18 @@ final case class AvroDecode(child: Expression, structType: StructType,
   @transient private var decoder: BinaryDecoder = _
   @transient private var reuse: GenericRecord = _
 
-  override def nullSafeEval(input: Any): Any =
+  override def nullSafeEval(input: Any): Any = {
+    // force schema/reader construction OUTSIDE the permissive try:
+    // an unsupported field type or an unresolvable writer/reader pair
+    // is a CONFIGURATION error that must fail loudly on the first row
+    // even with failOnError=false — only per-record data corruption
+    // may become NULL
+    val rd = reader
     try {
       val raw = input.asInstanceOf[Array[Byte]]
       val body = if (schemaId >= 0) unframe(raw, schemaId) else raw
       decoder = DecoderFactory.get().binaryDecoder(body, decoder)
-      reuse = reader.read(reuse, decoder)
+      reuse = rd.read(reuse, decoder)
       val out = new Array[Any](structType.length)
       var i = 0
       while (i < structType.length) {
@@ -245,6 +270,7 @@ final case class AvroDecode(child: Expression, structType: StructType,
       // errors (OOM, interrupts) always propagate
       case scala.util.control.NonFatal(_) if !failOnError => null
     }
+  }
 
   override protected def withNewChildInternal(newChild: Expression): AvroDecode =
     copy(child = newChild)

@@ -183,6 +183,16 @@ object MetricsSink {
     st.executeBatch()
   }
 
+  /** SQLState 23505 is the STANDARD unique-violation code (PostgreSQL
+    * AND Derby both use it); PostgreSQL's driver throws plain
+    * SQLException subclasses that are NOT
+    * SQLIntegrityConstraintViolationException, so the duplicate-key
+    * test must go through SQLState — and must match ONLY 23505, not
+    * the whole class 23 (NOT NULL / FK / CHECK violations are real
+    * errors, not duplicates, and must propagate). */
+  private def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    e.getSQLState == "23505"
+
   private def writeUpdateThenInsert(conn: java.sql.Connection, table: String,
       columns: Seq[String], keyCols: Seq[String], firstWriteWins: Boolean,
       rows: Iterator[Row]): Unit = {
@@ -202,21 +212,28 @@ object MetricsSink {
       columns.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
       ins.executeUpdate()
     }
+    // PostgreSQL aborts the whole open transaction after ANY failed
+    // statement; a savepoint around each INSERT keeps the
+    // swallow-duplicate / retry-update paths valid there (Derby
+    // tolerates the savepoint too).
+    def insertDupSafe(r: Row): Boolean = {
+      val sp = conn.setSavepoint()
+      try { runInsert(r); conn.releaseSavepoint(sp); true }
+      catch {
+        case e: java.sql.SQLException if isDuplicateKey(e) =>
+          conn.rollback(sp); false
+      }
+    }
     rows.foreach { r =>
       if (firstWriteWins || upd == null) {
         // firstWriteWins, or a key-only table (zero non-key columns —
         // nothing to refine, so upsert degenerates to insert-if-absent):
-        // INSERT, swallow the duplicate-key failure per row
-        try runInsert(r)
-        catch { case _: java.sql.SQLIntegrityConstraintViolationException => () }
+        // INSERT, drop the row on duplicate key only
+        insertDupSafe(r); ()
       } else if (runUpdate(r) == 0) {
         // no existing row: INSERT, retrying the UPDATE once if a
         // concurrent writer won the insert race
-        try runInsert(r)
-        catch {
-          case _: java.sql.SQLIntegrityConstraintViolationException =>
-            runUpdate(r); ()
-        }
+        if (!insertDupSafe(r)) { runUpdate(r); () }
       }
     }
   }

@@ -45,4 +45,21 @@ class SamplingSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
     assert(viaAgg == Seq(2L, 4L, 1L), "NaN first (desc), then finite desc")
   }
+
+  test("topKByScore treats -0.0 and 0.0 as equal, matching Spark's sort") {
+    // Spark's compareDoubles has -0.0 == 0.0 (id tie-break); raw
+    // Double.compare would rank +0.0 above -0.0 — negated scores
+    // (e.g. -adc) produce -0.0
+    val df = Seq((1L, 0.0), (2L, -0.0), (3L, -1.0)).toDF("id", "score")
+    val viaAgg = df.groupBy(lit(1).as("g"))
+      .agg(Sampling.topKByScore($"id", $"score", 2).as("t"))
+      .select(explode($"t").as("s"))
+      .select($"s.id").as[Long].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)).orderBy($"score".desc, $"id")
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2).orderBy($"rn")
+      .select($"id").as[Long].collect().toSeq
+    assert(viaAgg == viaWindow && viaAgg == Seq(1L, 2L))
+  }
 }

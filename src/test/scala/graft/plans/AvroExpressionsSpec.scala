@@ -171,6 +171,33 @@ class AvroExpressionsSpec extends SparkSpec {
       (err.getCause != null && err.getCause.getMessage.contains("timestamp")))
   }
 
+  test("wireSchema must match the input struct by name and type") {
+    val df = sampleOrders.take(1).toDF()
+    // reordered names -> analysis-time rejection (values are written
+    // by position; silent misattribution must be impossible)
+    val shuffled = StructType(Schemas.orderWire.fields.reverse)
+    val err = intercept[Exception] {
+      df.select(avro_encode(struct(df.columns.map(col): _*),
+        "OrderEvent", "com.ecommerce.events",
+        wireSchema = Some(shuffled)).as("p")).collect()
+    }
+    assert(err.getMessage.contains("field names"))
+  }
+
+  test("config errors fail loudly even with failOnError=false") {
+    // an unsupported field type in the TARGET schema is a
+    // configuration error, not per-record corruption — it must not
+    // silently NULL every row
+    val badSt = StructType(Seq(
+      StructField("d", DecimalType(10, 2), nullable = true)))
+    val junk = Seq(Array[Byte](1, 2, 3)).toDF("p")
+    val err = intercept[Exception] {
+      junk.select(avro_decode(col("p"), badSt,
+        failOnError = false).as("r")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("schema evolution: old-writer bytes resolve under a newer reader") {
     // v1 writer: (a, b); v2 reader adds nullable c (null default) and
     // drops b — the registry evolution case

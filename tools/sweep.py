@@ -4,10 +4,16 @@
 OK/FAIL/TIMEOUT/SKIP per query, and writes a JSON summary.
 
 Usage: python3 tools/sweep.py <sfDir> <outDir> <summary.json>
-           [--timeout SEC] [--skip name,name,...]
+           [--timeout SEC] [--skip name,name,...] [--allow-partial]
 
-Queries are taken from <outDir>'s dump directories (whatever Verify
-wrote); names in --skip are recorded as SKIP with no attempt.
+Queries are the UNION of <outDir>'s dump directories and the
+oracle_sql.json keys: an oracle key with no dump dir means Verify
+failed on that query and is recorded as MISSING (a failure), so a
+broken dump cannot read as all-green. --skip names are recorded as
+SKIP with no attempt (checked FIRST, so a skip also silences a
+missing dump). --allow-partial downgrades MISSING to SKIP — for spot
+sweeps over a prefix-restricted Verify run, whose oracle_sql.json
+still lists every query.
 """
 import glob
 import json
@@ -19,12 +25,15 @@ import time
 sfdir, outdir, summary_path = sys.argv[1], sys.argv[2], sys.argv[3]
 timeout = 600
 skip = set()
+allow_partial = False
 args = sys.argv[4:]
 while args:
     if args[0] == "--timeout":
         timeout = int(args[1]); args = args[2:]
     elif args[0] == "--skip":
         skip = set(args[1].split(",")); args = args[2:]
+    elif args[0] == "--allow-partial":
+        allow_partial = True; args = args[1:]
     else:
         raise SystemExit(f"unknown arg {args[0]}")
 
@@ -42,14 +51,19 @@ names = sorted(dumped | oracle_keys)
 here = os.path.dirname(os.path.abspath(__file__))
 results = {}
 for name in names:
-    if name not in dumped:
-        results[name] = {"status": "MISSING", "sec": 0.0,
-                         "detail": "no Verify dump dir for oracle key"}
-        print(f"MISSING {name}: no Verify dump dir", flush=True)
-        continue
     if name in skip:
         results[name] = {"status": "SKIP", "sec": 0.0}
         print(f"SKIP {name}", flush=True)
+        continue
+    if name not in dumped:
+        if allow_partial:
+            results[name] = {"status": "SKIP", "sec": 0.0,
+                             "detail": "not dumped (partial sweep)"}
+            print(f"SKIP {name}: not dumped (partial sweep)", flush=True)
+        else:
+            results[name] = {"status": "MISSING", "sec": 0.0,
+                             "detail": "no Verify dump dir for oracle key"}
+            print(f"MISSING {name}: no Verify dump dir", flush=True)
         continue
     t0 = time.time()
     try:
