@@ -37,7 +37,9 @@ import org.apache.spark.unsafe.types.UTF8String
 object AvroExpressions {
 
   /** Catalyst → Avro schema. Supported: the reference-schema type set
-    * (string/int/long/double/boolean/binary) + timestamp-micros. */
+    * (string/int/long/double/boolean/binary) + timestamp-micros and
+    * local-timestamp-micros (TimestampNTZ — what Tables.load's
+    * nanos conversion yields for the events table). */
   def avroSchemaFor(st: StructType, recordName: String,
       namespace: String): Schema = {
     def base(dt: DataType): Schema = dt match {
@@ -50,6 +52,8 @@ object AvroExpressions {
       case BinaryType => Schema.create(Schema.Type.BYTES)
       case TimestampType =>
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
       case other =>
         throw new IllegalArgumentException(
           s"avro_encode: unsupported field type $other")
@@ -180,7 +184,8 @@ final case class AvroEncode(child: Expression, recordName: String,
         } else f.dataType match {
           case StringType => new org.apache.avro.util.Utf8(row.getUTF8String(i).getBytes)
           case IntegerType => java.lang.Integer.valueOf(row.getInt(i))
-          case LongType | TimestampType => java.lang.Long.valueOf(row.getLong(i))
+          case LongType | TimestampType | TimestampNTZType =>
+            java.lang.Long.valueOf(row.getLong(i))
           case DoubleType => java.lang.Double.valueOf(row.getDouble(i))
           case FloatType => java.lang.Float.valueOf(row.getFloat(i))
           case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
@@ -255,8 +260,8 @@ final case class AvroDecode(child: Expression, structType: StructType,
           if (v == null) null
           else structType(i).dataType match {
             case StringType => UTF8String.fromString(v.toString)
-            case IntegerType | LongType | TimestampType | DoubleType |
-                FloatType | BooleanType => v
+            case IntegerType | LongType | TimestampType | TimestampNTZType |
+                DoubleType | FloatType | BooleanType => v
             case BinaryType =>
               val bb = v.asInstanceOf[java.nio.ByteBuffer]
               val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a

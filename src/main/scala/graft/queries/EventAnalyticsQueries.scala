@@ -586,8 +586,9 @@ object EventAnalyticsQueries {
       org.apache.spark.sql.types.DoubleType, nullable = true),
     org.apache.spark.sql.types.StructField("props",
       org.apache.spark.sql.types.StringType, nullable = true),
+    // Tables.load's TIMESTAMP(NANOS) conversion yields NTZ
     org.apache.spark.sql.types.StructField("ts",
-      org.apache.spark.sql.types.TimestampType, nullable = true)))
+      org.apache.spark.sql.types.TimestampNTZType, nullable = true)))
 
   def q190AvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import graft.plans.AvroExpressions.{avro_decode, avro_encode}
