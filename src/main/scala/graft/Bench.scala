@@ -3,14 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Benchmark main — emits the full per-query JSON line, then a
-  * compact total-only JSON line LAST, on SPARK_GRAFT_SF_DIR (driver
-  * contract). Compact-last because the driver captures the TAIL of
-  * the log: at ~100 queries the per-query line outgrew the capture
-  * (BENCH_r05 `parsed:null`), and printing the compact line first
-  * put it exactly in the truncated region (BENCH_r06 `parsed:{}`).
-  * The full JSON is also written to `target/bench.json` so the
-  * driver (or a human) can always read the complete record.
+/** Benchmark main — emits, in order: a per-query CPU line, a
+  * per-query WALL line, and a compact total-only JSON line LAST, on
+  * SPARK_GRAFT_SF_DIR (driver contract). Compact-last because the
+  * driver captures the TAIL of the log: at ~100 queries the per-query
+  * line outgrew the capture (BENCH_r05 `parsed:null`), printing the
+  * compact line first put it in the truncated region (BENCH_r06
+  * `parsed:{}`), and a combined wall+cpu line let the tail land
+  * inside the cpu dict so CPU seconds read as wall (BENCH_r14) —
+  * hence the separately-labeled lines. The full record is also
+  * written to `target/bench.json` (every run) and to
+  * `$SPARK_GRAFT_BENCH_COPY` (round-stamped committed archive) so a
+  * later run can never destroy the evidence.
   *
   * A warmup pass (parquet footers + one full execution of a small
   * query) runs before timing so per-query numbers measure the query,
@@ -159,16 +163,35 @@ object Bench {
       s""""load1_before":${load1Before},"load1_after":${load1()},""" +
         s""""proc_cpu_sec":${r3(procCpuSec() - cpuBefore)},""" +
         s""""wall_sec":${r3(wallSec)},"ncpu":$ncpu"""
-    val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$loadFields,"queries":$qs,"query_cpu":$qcpu,"sf":"$sfDir"}"""
-    // Full record to a file the driver can always read whole.
-    try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => }
-    println(fullJson)
+    // Two SEPARATELY-LABELED per-query lines (r14 verdict item 2): the
+    // driver captures the log TAIL, and in BENCH_r14 that capture
+    // landed inside a combined line's query_cpu dict — CPU seconds
+    // read as wall regressions. CPU prints FIRST (sacrificial if
+    // truncation hits), the wall line after it, the compact summary
+    // LAST; every line carries its own metric/unit labels so any
+    // fragment is self-identifying.
+    val cpuJson =
+      s"""{"metric":"per_query_cpu","unit":"cpu_sec","note":"JVM CPU clock of the min-wall run; NOT wall time","query_cpu_sec":$qcpu,"sf":"$sfDir"}"""
+    val wallJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$loadFields,"queries":$qs,"sf":"$sfDir"}"""
+    // Full record to files the driver (or a human) can read whole.
+    // target/bench.json is clobbered by every run — the driver's
+    // post-close sweep destroyed r14's closing idle record — so
+    // SPARK_GRAFT_BENCH_COPY names an additional round-stamped,
+    // COMMITTED copy (bench/bench_rNN_idle.json) that survives it.
+    val record = cpuJson + "\n" + wallJson + "\n"
+    def writeRecord(path: java.nio.file.Path): Unit =
+      try {
+        if (path.getParent != null)
+          java.nio.file.Files.createDirectories(path.getParent)
+        java.nio.file.Files.write(path,
+          record.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: Throwable => }
+    writeRecord(java.nio.file.Paths.get("target", "bench.json"))
+    sys.env.get("SPARK_GRAFT_BENCH_COPY")
+      .foreach(p => writeRecord(java.nio.file.Paths.get(p)))
+    println(cpuJson)
+    println(wallJson)
     // Compact line LAST — the driver keeps the tail of the log, so
     // the summary must be the final line to survive truncation.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,$loadFields,"sf":"$sfDir"}""")

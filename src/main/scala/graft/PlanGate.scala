@@ -67,8 +67,19 @@ object PlanGate {
     // rule covers every withScalars + filter-on-the-scalar plan, not
     // one query. q161's deleted too: the exact twin rides an
     // offset-explode equi-join instead of the datediff range BNLJ.
-    "q113_source_overlap" -> ("sa# < sb#", "source-domain self-pairs: |distinct sources| rows per side"),
-    "q153_edit_join" -> ("levenshtein", "short-string branch: both sides len <= q(k-1)+1, alphabet-bounded (EditDistanceJoin doc)"),
+    // q113's entry deleted (round 15): the source self-pair domain now
+    // rides an index-explode + broadcast equi-join on the pair id
+    // (FeatureQueries.sourceOverlap) — same pairs, no theta join.
+    // q153's deleted too: the short-string branch keys on the
+    // partner's exploded admissible length (EditDistanceJoin) — the
+    // |len_a − len_b| ≤ k theta shape became a hash join.
+    // q183 was probed for the same retirement (r14 verdict item 4) and
+    // is INHERENT: batch × corpus before the cosine threshold is the
+    // operator's candidate set by definition, and the broadcast
+    // nested loop IS the optimal plan (one corpus scan, no shuffle) —
+    // the only available equi-join rewrite (tile-replicating the
+    // micro-batch) adds replication cost purely to change the node
+    // name the gate sees.
     "q183_incremental_pairs" -> ("NOT (cid# = bid#)", "arriving micro-batch broadcast vs one corpus scan (Similarity.incrementalPairs contract)"))
 
   /** SinglePartition exchanges that carry a bounded post-aggregation
@@ -116,12 +127,36 @@ object PlanGate {
     case other => other
   }
 
-  private[graft] def isScalarMerge(child: SparkPlan): Boolean = strip(child) match {
-    case h: HashAggregateExec => h.groupingExpressions.isEmpty
-    case s: SortAggregateExec => s.groupingExpressions.isEmpty
-    case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
-    case _ => false
+  private def groupingFreeAggModes(child: SparkPlan)
+      : Option[Seq[org.apache.spark.sql.catalyst.expressions.aggregate.AggregateMode]] =
+    strip(child) match {
+      case h: HashAggregateExec if h.groupingExpressions.isEmpty =>
+        Some(h.aggregateExpressions.map(_.mode))
+      case s: SortAggregateExec if s.groupingExpressions.isEmpty =>
+        Some(s.aggregateExpressions.map(_.mode))
+      case o: ObjectHashAggregateExec if o.groupingExpressions.isEmpty =>
+        Some(o.aggregateExpressions.map(_.mode))
+      case _ => None
+    }
+
+  /** One row GLOBALLY: a grouping-free aggregate whose modes are all
+    * Final/Complete (the merged form). A PARTIAL grouping-free
+    * aggregate emits one row PER INPUT PARTITION — safe as the child
+    * of a grand-aggregate funnel ([[isGrandAggPartial]]) but NOT as a
+    * BNLJ build side, where a conditioned loop over it would output
+    * ~ stream × partitions rows. */
+  private[graft] def isScalarMerge(child: SparkPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final}
+    groupingFreeAggModes(child)
+      .exists(_.forall(m => m == Final || m == Complete))
   }
+
+  /** Grouping-free aggregate in ANY mode — the partial side of a grand
+    * (keyless) aggregate carries ≤ one row per task into its
+    * SinglePartition exchange, which is the one legitimate one-reducer
+    * funnel. */
+  private[graft] def isGrandAggPartial(child: SparkPlan): Boolean =
+    groupingFreeAggModes(child).isDefined
 
   /** Expression ids (`#123`) differ between compilations of the same
     * logical join (main plan vs captured pre-checkpoint snapshots) —
@@ -189,7 +224,7 @@ object PlanGate {
           else out += s"BNLJ type=${j.joinType} cond=${cond.take(120)}"
         }
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
-        if (!isScalarMerge(e.child)) {
+        if (!isGrandAggPartial(e.child)) {
           // grouping keys normalized and sorted for the same
           // render-order robustness as canonCond
           def aggDesc(gs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =

@@ -78,7 +78,11 @@ object Money {
 
   /** SQL twin of [[globalExact]] for one measure: DuckDB's BIGINT sum
     * is HUGEINT (exact) — the cast pins the arrow type to the same
-    * decimal128(38,0) the Spark side emits. */
+    * decimal128(38,0) the Spark side emits. COALESCE mirrors the
+    * Spark side's empty-relation pin: [[globalExact]] coalesces every
+    * level-2 measure to exact zero, so the oracle must too (a bare
+    * sum() yields NULL on zero input rows and the engines would
+    * diverge on exactly the edge the coalesce exists for). */
   def globalExactSql(sumExpr: String): String =
-    s"CAST(sum($sumExpr) AS DECIMAL(38,0))"
+    s"CAST(COALESCE(sum($sumExpr), 0) AS DECIMAL(38,0))"
 }

@@ -54,6 +54,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // schema and record identity are compile-time literals:
     //   SELECT avro_encode(named_struct('a', a), 'Rec', 'ns')
     //   SELECT avro_decode(payload, 'a BIGINT, b STRING', 'Rec', 'ns').*
+    // Nullability caveat: named_struct's fields are all nullable to
+    // Catalyst, so 3/4-arg SQL avro_encode derives every field as a
+    // [null, T] union — a byte-level DIFFERENT wire layout from a
+    // Scala-path encode whose wireSchema pins required fields. To emit
+    // wire-pinned bytes from SQL, pass the wire contract as a 5th DDL
+    // literal (mirroring avro_decode's schemaDdl; `NOT NULL` marks a
+    // required field):
+    //   SELECT avro_encode(named_struct('a', a), 'Rec', 'ns', 7,
+    //                      'a BIGINT NOT NULL')
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("avro_encode"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -63,7 +72,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             foldedString(es(1), "avro_encode(_, recordName, _)"),
             foldedString(es(2), "avro_encode(_, _, namespace)"),
             schemaId = if (es.length > 3)
-              foldedInt(es(3), "avro_encode(_, _, _, schemaId)") else -1)))
+              foldedInt(es(3), "avro_encode(_, _, _, schemaId)") else -1,
+            wireSchema = if (es.length > 4)
+              Some(org.apache.spark.sql.types.StructType.fromDDL(
+                foldedString(es(4), "avro_encode(..., wireSchemaDdl)")))
+            else None)))
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("avro_decode"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -90,30 +90,45 @@ object RelationalQueries {
        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'""".stripMargin
   }
 
-  /** q189: decimal-output normalization probe — one column per decimal
-    * rendering class the driver might normalize differently (scale-0
-    * large, scale-2, negative-scale-2, small scale-0), plus an int64
-    * control. CORRECTNESS_r14's per-column verdict on this query pins
-    * empirically which decimal OUTPUT shapes the driver's hash accepts
-    * (the int-width note at tools/check.py:22-29 is the same pattern);
-    * q188 ships STRING regardless, so this probe is diagnosis-only. */
-  def q189DecimalProbe(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.load(spark, dir, "lineitem")
-    li.agg(
-      sum(priceCents).cast("decimal(38,0)").as("dec38_large"),
-      sum(priceCents).cast("decimal(38,0)").cast("decimal(38,2)").as("dec38s2"),
-      min(col("l_quantity")).cast("decimal(10,2)").as("dec10s2_small"),
-      count(lit(1)).cast("decimal(38,0)").as("dec38_count"),
-      count(lit(1)).as("int_control"))
-  }
+  /** q189a–e: decimal-output normalization probes — ONE column per
+    * decimal rendering class the driver might normalize differently
+    * (scale-0 large, scale-2, small scale-2, scale-0 count), plus an
+    * int64 control. RETIRED from the graded inventory (r14 verdict
+    * "What's wrong" #1): the driver's hash normalization diverges
+    * between its Spark-parquet and DuckDB readers on decimal128 OUTPUT
+    * columns even when values and arrow schemas are byte-identical
+    * (q188 with identical arithmetic but STRING outputs is green), and
+    * the original combined 5-column q189 could never localize WHICH
+    * class because the driver hashes per query. These live on as
+    * Verify-only probes (SPARK_GRAFT_PROBES=1) + RelationalSpec values
+    * so the divergence stays measurable without a standing red row;
+    * the per-class record is the calibration comment in
+    * tools/check.py. Engine output contract stays: decimal128 never
+    * crosses the driver boundary — STRING (exact) or DOUBLE instead. */
+  private def probe(c: org.apache.spark.sql.Column, name: String)
+      : (SparkSession, String) => DataFrame =
+    (spark, dir) => Tables.load(spark, dir, "lineitem").agg(c.as(name))
 
-  val q189Sql: String =
-    s"""SELECT CAST(sum($priceCentsSql) AS DECIMAL(38,0)) AS dec38_large,
-       |  CAST(CAST(sum($priceCentsSql) AS DECIMAL(38,0)) AS DECIMAL(38,2)) AS dec38s2,
-       |  CAST(min(l_quantity) AS DECIMAL(10,2)) AS dec10s2_small,
-       |  CAST(count(*) AS DECIMAL(38,0)) AS dec38_count,
-       |  CAST(count(*) AS BIGINT) AS int_control
-       |FROM lineitem""".stripMargin
+  val probeEntries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189a_dec38" -> probe(sum(priceCents).cast("decimal(38,0)"), "dec38_large"),
+    "q189b_dec38s2" -> probe(
+      sum(priceCents).cast("decimal(38,0)").cast("decimal(38,2)"), "dec38s2"),
+    "q189c_dec10s2" -> probe(
+      min(col("l_quantity")).cast("decimal(10,2)"), "dec10s2_small"),
+    "q189d_dec38count" -> probe(count(lit(1)).cast("decimal(38,0)"), "dec38_count"),
+    "q189e_int_control" -> probe(count(lit(1)), "int_control"))
+
+  val probeOracles: Map[String, String] = Map(
+    "q189a_dec38" ->
+      s"SELECT CAST(sum($priceCentsSql) AS DECIMAL(38,0)) AS dec38_large FROM lineitem",
+    "q189b_dec38s2" ->
+      s"SELECT CAST(CAST(sum($priceCentsSql) AS DECIMAL(38,0)) AS DECIMAL(38,2)) AS dec38s2 FROM lineitem",
+    "q189c_dec10s2" ->
+      "SELECT CAST(min(l_quantity) AS DECIMAL(10,2)) AS dec10s2_small FROM lineitem",
+    "q189d_dec38count" ->
+      "SELECT CAST(count(*) AS DECIMAL(38,0)) AS dec38_count FROM lineitem",
+    "q189e_int_control" ->
+      "SELECT CAST(count(*) AS BIGINT) AS int_control FROM lineitem")
 
   /** q2: row-level projection + derived columns + filter pushdown.
     * Reference ops: P1 select/rename, P2 derived col, P3 cast, P9
@@ -512,8 +527,7 @@ object RelationalQueries {
     "q11c_map_funcs" -> (q11cMapFuncs _),
     "q33_scalar_subquery" -> (q33ScalarSubquery _),
     "q34_pivot" -> (q34Pivot _),
-    "q188_global_money" -> (q188GlobalMoney _),
-    "q189_decimal_probe" -> (q189DecimalProbe _))
+    "q188_global_money" -> (q188GlobalMoney _))
 
   def oracles: Map[String, String] = Map(
     "q1_agg" -> q1Sql,
@@ -532,6 +546,5 @@ object RelationalQueries {
     "q11c_map_funcs" -> q11cSql,
     "q33_scalar_subquery" -> q33Sql,
     "q34_pivot" -> q34Sql,
-    "q188_global_money" -> q188Sql,
-    "q189_decimal_probe" -> q189Sql)
+    "q188_global_money" -> q188Sql)
 }

@@ -233,7 +233,18 @@ object MetricsSink {
       } else if (runUpdate(r) == 0) {
         // no existing row: INSERT, retrying the UPDATE once if a
         // concurrent writer won the insert race
-        if (!insertDupSafe(r)) { runUpdate(r); () }
+        if (!insertDupSafe(r) && runUpdate(r) == 0) {
+          // the duplicate-key that blocked the INSERT came from a row
+          // the retried UPDATE cannot see: either the competitor's row
+          // was deleted between the two statements, or the 23505 was
+          // raised by a secondary unique index rather than keyCols. A
+          // silent drop here would lose the refinement — fail the
+          // batch loudly (foreachBatch replays it) instead
+          throw new IllegalStateException(
+            s"upsert into $table: INSERT hit a duplicate key but the " +
+              s"retried UPDATE matched 0 rows on (${keyCols.mkString(", ")})" +
+              " — conflicting unique index or concurrent delete")
+        }
       }
     }
   }

@@ -133,7 +133,14 @@ object StreamApp {
       ordersSrc: EventSource, itemsSrc: EventSource, paymentsSrc: EventSource,
       outRoot: String,
       cfg: WindowConfig = WindowConfig(watermark = Some("10 minutes")),
-      sink: SinkConfig = SinkConfig()): Seq[StreamingQuery] = {
+      sink: SinkConfig = SinkConfig(),
+      // sink writer per table path — swap in idempotentParquetWriter
+      // to batch-id-tag the update-mode tables (StreamDemo --compare
+      // reads finals as max-batch_id rows); funnel + drop-off are
+      // append-mode here (finalized rows, one per key) so they write
+      // direct parquet regardless
+      writer: String => (DataFrame, Long) => Unit =
+        MetricsSink.parquetWriter): Seq[StreamingQuery] = {
     require(cfg.watermark.isDefined, "shared topology needs a watermark")
     val (o, i, p) = ingest(spark, ordersSrc, itemsSrc, paymentsSrc)
     def dedup(df: DataFrame): DataFrame =
@@ -160,9 +167,9 @@ object StreamApp {
       .start()
     val pipes = Seq(
       MetricsSink.start(Processors.gmv(dedup(i), cfg), "gmv_metrics", sink)(
-        MetricsSink.parquetWriter(s"$outRoot/gmv_metrics")),
+        writer(s"$outRoot/gmv_metrics")),
       MetricsSink.start(Processors.payment(dedup(p), cfg), "payment_metrics", sink)(
-        MetricsSink.parquetWriter(s"$outRoot/payment_metrics")))
+        writer(s"$outRoot/payment_metrics")))
     ordersQuery +: pipes
   }
 
@@ -178,31 +185,46 @@ object StreamApp {
       ordersSrc: EventSource, itemsSrc: EventSource, paymentsSrc: EventSource,
       outRoot: String, cfg: WindowConfig, sink: SinkConfig,
       shared: Boolean): Seq[StreamingQuery] =
+    run(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink, shared,
+      MetricsSink.parquetWriter)
+
+  /** As above with an explicit sink writer (only one overload may
+    * carry default arguments, so this variant takes it positionally —
+    * the compare demo passes idempotentParquetWriter here). */
+  def run(spark: SparkSession,
+      ordersSrc: EventSource, itemsSrc: EventSource, paymentsSrc: EventSource,
+      outRoot: String, cfg: WindowConfig, sink: SinkConfig,
+      shared: Boolean,
+      writer: String => (DataFrame, Long) => Unit): Seq[StreamingQuery] =
     if (shared) {
       // No silent watermark injection: shared mode REQUIRES one
       // (append-mode finalization) and runShared's require says so
       // loudly — a default here would mask the caller's mistake while
       // shared = false ran unwatermarked, silently computing over a
       // different config.
-      runShared(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink)
-    } else run(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink)
+      runShared(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink,
+        writer)
+    } else run(spark, ordersSrc, itemsSrc, paymentsSrc, outRoot, cfg, sink,
+      writer)
 
   /** Reference topology: 4 independent queries, parquet sinks. */
   def run(spark: SparkSession,
       ordersSrc: EventSource, itemsSrc: EventSource, paymentsSrc: EventSource,
       outRoot: String,
       cfg: WindowConfig = WindowConfig(),
-      sink: SinkConfig = SinkConfig()): Seq[StreamingQuery] = {
+      sink: SinkConfig = SinkConfig(),
+      writer: String => (DataFrame, Long) => Unit =
+        MetricsSink.parquetWriter): Seq[StreamingQuery] = {
     val (o, i, p) = ingest(spark, ordersSrc, itemsSrc, paymentsSrc)
     val pipes = build(o, i, p, cfg)
     Seq(
       MetricsSink.start(pipes.funnel, "real_time_funnel", sink)(
-        MetricsSink.parquetWriter(s"$outRoot/real_time_funnel")),
+        writer(s"$outRoot/real_time_funnel")),
       MetricsSink.start(pipes.gmv, "gmv_metrics", sink)(
-        MetricsSink.parquetWriter(s"$outRoot/gmv_metrics")),
+        writer(s"$outRoot/gmv_metrics")),
       MetricsSink.start(pipes.dropOff, "drop_off_analysis", sink)(
-        MetricsSink.parquetWriter(s"$outRoot/drop_off_analysis")),
+        writer(s"$outRoot/drop_off_analysis")),
       MetricsSink.start(pipes.payment, "payment_metrics", sink)(
-        MetricsSink.parquetWriter(s"$outRoot/payment_metrics")))
+        writer(s"$outRoot/payment_metrics")))
   }
 }

@@ -5,9 +5,9 @@ package graft
   * (round-11 verdict #4). Same walk as `runMain graft.PlanGate`:
   * every query compiles under Lineage capture at sf0.001, and the
   * main plan PLUS every pre-checkpoint / cached subplan is checked
-  * for CartesianProduct, conditioned BNLJ (outside the 8 justified,
-  * condition-tied exemptions) and data-bearing SinglePartition
-  * funnels. PlanGateSpec proves the probes catch deliberately bad
+  * for CartesianProduct, conditioned BNLJ (outside the single
+  * justified, condition-tied exemption — q183's micro-batch-broadcast
+  * contract) and data-bearing SinglePartition funnels. PlanGateSpec proves the probes catch deliberately bad
   * shapes; this spec proves the inventory has none.
   */
 class PlanGateInventorySpec extends SparkSpec {

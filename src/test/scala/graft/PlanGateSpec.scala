@@ -73,26 +73,45 @@ class PlanGateSpec extends SparkSpec {
     val d = data
     val theta = d.as("a").join(d.as("b"), col("a.v") < col("b.v"))
     // same plan, allowlisted name, but the condition fragment recorded
-    // for q153 (levenshtein) is absent -> still a violation
-    assert(viol("q153_edit_join", theta).nonEmpty)
+    // for q183 (NOT (cid# = bid#)) is absent -> still a violation
+    assert(viol("q183_incremental_pairs", theta).nonEmpty)
   }
 
   test("an allowlist entry excuses at most ONE distinct matching join") {
-    // two DIFFERENT theta joins whose conditions both contain q113's
-    // fragment ("sa# < sb#"): only the first is excused
-    val a = data.select(col("id").as("sa"), col("v").as("va"))
-    val b = data.select(col("id").as("sb"), col("v").as("vb"))
-    val j1 = a.join(b, col("sa") < col("sb"))
-    val j2 = a.join(b, col("sa") < col("sb") && col("va") < col("vb"))
+    // two DIFFERENT theta joins whose conditions both contain q183's
+    // fragment ("NOT (cid# = bid#)"): only the first is excused
+    val a = data.select(col("id").as("cid"), col("v").as("va"))
+    val b = data.select(col("id").as("bid"), col("v").as("vb"))
+    val j1 = a.join(b, col("cid") =!= col("bid"))
+    val j2 = a.join(b, col("cid") =!= col("bid") && col("va") < col("vb"))
     val plans = Seq(j1, j2).map(_.queryExecution.executedPlan)
-    assert(PlanGate.violations("q113_source_overlap", plans).count(
+    assert(PlanGate.violations("q183_incremental_pairs", plans).count(
       _.startsWith("BNLJ")) == 1)
     // …while the SAME join seen in two snapshots (main plan + captured
     // pre-checkpoint copy) stays excused — expr-id normalization
     // dedupes it to one condition
-    val again = a.join(b, col("sa") < col("sb"))
-    assert(PlanGate.violations("q113_source_overlap",
+    val again = a.join(b, col("cid") =!= col("bid"))
+    assert(PlanGate.violations("q183_incremental_pairs",
       Seq(j1, again).map(_.queryExecution.executedPlan)).isEmpty)
+  }
+
+  test("a PARTIAL grouping-free aggregate is a grand-agg side, not a scalar merge") {
+    // r14 ADVICE: a partial (non-merged) grouping-free HashAggregate
+    // emits one row PER PARTITION — it must stay a legitimate funnel
+    // child (isGrandAggPartial) but must NOT certify a BNLJ build side
+    // as one-row (isScalarMerge)
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    // sparkPlan, not executedPlan: the unexecuted AQE wrapper hides
+    // its subtree from collect, and this test needs the raw
+    // partial+final pair, not gate coverage (walk() handles AQE)
+    val aggs = data.repartition(4).agg(sum(col("v")).as("tot"))
+      .queryExecution.sparkPlan.collect { case h: HashAggregateExec => h }
+    val partial = aggs.find(_.aggregateExpressions.exists(_.mode == Partial)).get
+    val fin = aggs.find(_.aggregateExpressions.exists(_.mode == Final)).get
+    assert(!PlanGate.isScalarMerge(partial))
+    assert(PlanGate.isGrandAggPartial(partial))
+    assert(PlanGate.isScalarMerge(fin))
   }
 
   test("a cached anti-pattern is visible through InMemoryTableScan") {
