@@ -104,7 +104,7 @@ object StreamDemo {
       val perTable = verdicts.map { v =>
         s""""${v.table}":{"match":${v.matches},"ref_keys":${v.refKeys},""" +
           s""""shared_final_windows":${v.sharedFp.n},""" +
-          s""""fp_sum":[${v.refFp.sum},${v.sharedFp.sum}],""" +
+          s""""fp_sum":["${v.refFp.sum}","${v.sharedFp.sum}"],""" +
           s""""fp_xor":[${v.refFp.xor},${v.sharedFp.xor}]}"""
       }.mkString(",")
       val allMatch = verdicts.forall(_.matches)

@@ -231,10 +231,23 @@ final case class AvroDecode(child: Expression, structType: StructType,
   @transient private lazy val schema = avroSchemaFor(structType, recordName, namespace)
   // writer != reader => Avro schema resolution (GenericDatumReader's
   // two-schema constructor): reader-added nullable fields take their
-  // null default, writer-only fields are skipped
+  // null default, writer-only fields are skipped. Compatibility is
+  // checked EAGERLY here: Avro itself only fails resolution inside
+  // read() — which sits in nullSafeEval's permissive try, so with
+  // failOnError=false an unresolvable PAIR (a configuration error,
+  // e.g. reader adds a required field) would silently decode every
+  // row to NULL instead of failing loudly.
   @transient private lazy val reader = writerSchema match {
-    case Some(w) => new GenericDatumReader[GenericRecord](
-      avroSchemaFor(w, recordName, namespace), schema)
+    case Some(w) =>
+      val ws = avroSchemaFor(w, recordName, namespace)
+      val compat = org.apache.avro.SchemaCompatibility
+        .checkReaderWriterCompatibility(schema, ws)
+      if (compat.getType !=
+          org.apache.avro.SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE)
+        throw new IllegalArgumentException(
+          s"avro_decode: reader schema cannot resolve writer schema — " +
+            compat.getDescription)
+      new GenericDatumReader[GenericRecord](ws, schema)
     case None => new GenericDatumReader[GenericRecord](schema)
   }
   @transient private var decoder: BinaryDecoder = _

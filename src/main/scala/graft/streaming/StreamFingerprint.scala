@@ -63,12 +63,14 @@ object StreamFingerprint {
       .select((spec.keys ++ spec.values).map(col): _*)
   }
 
-  final case class Fp(sum: Long, xor: Long, n: Long)
+  final case class Fp(sum: String, xor: Long, n: Long)
 
   /** Order-independent content hash: per-row xxhash64 over the
     * canonicalized key+value columns, folded by sum AND xor (either
     * alone can collide under crafted multisets; together with the
-    * count they pin the multiset for any honest divergence). */
+    * count they pin the multiset for any honest divergence). The sum
+    * rides decimal(38,0) like CrossPlan's — an int64 Σ of xxhash64
+    * values overflows, which ANSI mode makes a task error. */
   private[streaming] def fingerprint(df: DataFrame, spec: TableSpec): Fp = {
     val canon = (spec.keys ++ spec.values).map { c =>
       df.schema(c).dataType match {
@@ -77,11 +79,13 @@ object StreamFingerprint {
       }
     }
     val r = df.select(xxhash64(canon: _*).as("h"))
-      .agg(coalesce(sum(col("h")), lit(0L)).as("s"),
-        coalesce(expr("bit_xor(h)"), lit(0L)).as("x"),
+      .agg(sum(col("h").cast("decimal(38,0)")).as("s"),
+        expr("bit_xor(h)").as("x"),
         count(lit(1)).as("n"))
       .head()
-    Fp(r.getLong(0), r.getLong(1), r.getLong(2))
+    Fp(Option(r.getDecimal(0)).map(_.toBigInteger.toString).getOrElse("0"),
+      if (r.isNullAt(1)) 0L else r.getLong(1),
+      r.getLong(2))
   }
 
   final case class TableVerdict(table: String, refKeys: Long, sharedKeys: Long,
