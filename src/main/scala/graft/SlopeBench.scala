@@ -58,6 +58,8 @@ object SlopeBench {
       "shingle-space saturation (31^3 ceiling; colliding pairs 92x for 10x data) - generator vocabulary, not operator",
     "q29b_ann_ivf" ->
       "inherent n^1.5: query set grows with n AND per-query probe cost grows as n/nlist = sqrt(n) - expected ratio 10^0.5 ~ 3.2x per decade at fixed recall",
+    "q97b_hard_neg_ivf" ->
+      "inherent n^1.5 (the q29b class: query set grows with n, per-query probe cost nprobe*n/nlist = sqrt(n)) - this IS q97's documented web-scale path",
     "q97_hard_negatives" ->
       "exact band-scan anchor: query set (vec_id % 50) and corpus both grow 10x - inherent n^2/50 like q27 (measured sf1->sf10 21.6x, sub-floor below sf1 which is why the 3-decade gate never saw it); web-scale path composes ivfTopK's cell probe or a hash-sampled candidate pool (Similarity.hardNegatives doc)",
     "q68_pq_adc" ->

@@ -118,6 +118,43 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** The web-scale path the [[hardNegatives]] doc reserves, as a
+    * first-class operator: band-filtered top-k over the IVF cell
+    * probe instead of the full corpus scan. Candidate generation is
+    * [[ivfTopK]]'s shape — √n-derived nlist, nprobe nearest cells per
+    * query, cell-keyed equi-join — so total work is O(q · nprobe ·
+    * n/nlist) = O(n^1.5) when queries ∝ n, vs the exact anchor's
+    * n²/50. The band filter is exact WITHIN the probed cells;
+    * negatives need coverage, not exhaustiveness, so cell-bounded
+    * recall is the documented semantics (property-tested: results ⊆
+    * the exact band set, band respected, ranks well-formed).
+    * `nprobe` defaults higher than top-k's (band members sit farther
+    * from the query's own centroid than nearest neighbors do). */
+  def hardNegativesIvf(emb: DataFrame, queryPred: Column, k: Int,
+      lo: Double, hi: Double, nlist: Int = 0, nprobe: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastQueries: Boolean = true): DataFrame = {
+    val nl = if (nlist > 0) nlist else deriveNlist(emb.count())
+    val centroids = ivfCentroids(emb, nl, idCol, vecCol)
+    def cellArr(v: Column): Column = ivfCellArr(centroids)(v)
+    val indexed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array_max(cellArr(col(vecCol))).getField("cell").as("cell"))
+    val probes = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(slice(sort_array(cellArr(col(vecCol)), asc = false), 1, nprobe)
+          .getField("cell")).as("cell"))
+    val probeSide = if (broadcastQueries) broadcast(probes) else probes
+    indexed.join(probeSide, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cos", Num.r4(cosine(col("qv"), col("v"))))
+      .filter(col("cos") >= lo && col("cos") < hi)
+      .groupBy(col("query_id"))
+      .agg(Sampling.topKByScore(col("id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("nbr_id"), col("s.score").as("cos"))
+  }
+
   /** Diversity-aware top-k retrieval by maximal marginal relevance
     * (MMR, Carbonell & Goldstein '98): greedily pick k of the top-m
     * candidates, each round maximizing λ·rel(q,d) − (1−λ)·max_{s∈S}

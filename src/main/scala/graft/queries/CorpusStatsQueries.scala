@@ -906,6 +906,64 @@ object CorpusStatsQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // ---- q97b: the web-scale hard-negative path as a first-class
+  // graded query — band-filtered top-k over the IVF cell probe
+  // (Similarity.hardNegativesIvf) instead of q97's exact corpus scan.
+  // q97 stays the exact anchor (annotated n²/50 in SlopeBench); this
+  // is what a 100 TB mining run actually executes: O(n^1.5) like
+  // q29b. The oracle re-derives the SAME deterministic quantizer,
+  // probe selection, and band filter (the q29b contract), so the hash
+  // match pins cell assignment + probe + band + rank end-to-end. ----
+
+  private val NegNprobe = 8
+
+  def q97bHardNegativesIvf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegativesIvf(embs(spark, dir),
+      col("vec_id") % NegMod === 0, NegK, NegLo, NegHi, nprobe = NegNprobe)
+      .orderBy(col("query_id"), col("rank"))
+
+  val q97bSql: String = {
+    val nlistSql = Similarity.deriveNlistSql("embeddings")
+    def cosOf(a: String, b: String): String = Num.sqlR4(
+      s"list_sum(list_transform(list_zip($a.e, $b.e), x -> x[1] * x[2]))" +
+        s" / (sqrt(list_sum(list_transform($a.e, x -> x * x)))" +
+        s" * sqrt(list_sum(list_transform($b.e, x -> x * x))))")
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+       |           FROM embeddings),
+       |cent AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+       |  FROM v ORDER BY vec_id LIMIT $nlistSql),
+       |cellcos AS (
+       |  SELECT v.vec_id, cent.cell, ${cosOf("v", "cent")} AS cos
+       |  FROM v, cent),
+       |idx AS (
+       |  SELECT vec_id, cell FROM cellcos
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos DESC, cell DESC) = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM cellcos
+       |  WHERE vec_id % $NegMod = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id
+       |                             ORDER BY cos DESC, cell DESC) <= $NegNprobe),
+       |cand AS (
+       |  SELECT p.query_id, i.vec_id AS nbr_id
+       |  FROM probes p JOIN idx i ON i.cell = p.cell
+       |    AND i.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.nbr_id, ${cosOf("q", "n")} AS cos
+       |  FROM cand c JOIN v q ON q.vec_id = c.query_id
+       |              JOIN v n ON n.vec_id = c.nbr_id),
+       |banded AS (SELECT * FROM scored WHERE cos >= $NegLo AND cos < $NegHi),
+       |ranked AS (
+       |  SELECT query_id, nbr_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, nbr_id) AS rank
+       |  FROM banded)
+       |SELECT query_id, rank, nbr_id, cos
+       |FROM ranked WHERE rank <= $NegK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // ---- q98: canonical-document selection — APPLY the dedup: from
   // near-dup clusters (connected components over the prefix-Jaccard
   // pair list), keep exactly one document per cluster — the highest
@@ -1528,6 +1586,7 @@ object CorpusStatsQueries {
     "q95_kmv_setops" -> (q95KmvSetOps _),
     "q96_mode" -> (q96Mode _),
     "q97_hard_negatives" -> (q97HardNegatives _),
+    "q97b_hard_neg_ivf" -> (q97bHardNegativesIvf _),
     "q98_canonical_docs" -> (q98CanonicalDocs _),
     "q99_mix_plan" -> (q99MixPlan _),
     "q100_mmr_topk" -> (q100MmrTopK _),
@@ -1556,6 +1615,7 @@ object CorpusStatsQueries {
     "q95_kmv_setops" -> q95Sql,
     "q96_mode" -> q96Sql,
     "q97_hard_negatives" -> q97Sql,
+    "q97b_hard_neg_ivf" -> q97bSql,
     "q98_canonical_docs" -> q98Sql,
     "q99_mix_plan" -> q99Sql,
     "q100_mmr_topk" -> q100Sql,

@@ -346,6 +346,47 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.forall(r => r._4 >= 0.15 && r._4 < 0.35))
   }
 
+  // ---- q97b IVF-probed hard negatives (the web-scale path) ----
+
+  test("IVF hard negatives: results are a subset of the exact band set, " +
+    "band respected, ranks well-formed; high nprobe converges to exact") {
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    val pred = col("vec_id") % 50 === 0
+    val exact = Similarity.hardNegatives(emb, pred, k = 1000,
+        lo = 0.15, hi = 0.35)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.hardNegativesIvf(emb, pred, k = 5,
+        lo = 0.15, hi = 0.35, nprobe = 8)
+      .select("query_id", "rank", "nbr_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(ivf.nonEmpty)
+    // every returned pair is genuinely in the exact band set (the cell
+    // probe can only LOSE candidates, never invent or mis-score one)
+    ivf.foreach { r =>
+      assert(exact.contains((r._1, r._3)), s"pair ${(r._1, r._3)} not in band")
+      assert(r._4 >= 0.15 && r._4 < 0.35)
+    }
+    // ranks are 1..m contiguous per query, scores nonincreasing
+    ivf.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2) == (1 to sorted.size), s"ranks for $q")
+      assert(sorted.sliding(2).forall {
+        case Seq(a, b) => a._4 >= b._4; case _ => true
+      }, s"scores for $q")
+    }
+    // probing EVERY cell is the exact scan: verdicts equal q97's
+    val nl = 16 // deriveNlist at sf0.001 corpus size floors at 16
+    val all = Similarity.hardNegativesIvf(emb, pred, k = 5,
+        lo = 0.15, hi = 0.35, nlist = nl, nprobe = nl)
+      .select("query_id", "rank", "nbr_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val exactTop = Similarity.hardNegatives(emb, pred, k = 5,
+        lo = 0.15, hi = 0.35)
+      .select("query_id", "rank", "nbr_id", "cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(all == exactTop)
+  }
+
   // ---- q98 canonical-document selection ----
 
   test("canonical docs: exactly one kept per cluster, the max-quality one; " +
