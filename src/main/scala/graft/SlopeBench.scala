@@ -120,11 +120,20 @@ object SlopeBench {
     }.mkString("{", ",", "}")
     val annotatedJson = annotated.map(q =>
       s""""$q":"${Annotated(q)}"""").mkString("{", ",", "}")
+    // the FULL annotation map rides every record (not just
+    // annotated∩flagged of THIS run): a query whose flag first
+    // appears in a different decade's record still finds its evidence
+    // when tools/slope_merge.py consolidates — no hand-copied
+    // annotation duplicate to drift out of sync
+    val annotatedAllJson = Annotated.toSeq.sortBy(_._1).map { case (q, why) =>
+      s""""$q":"${why.replace("\"", "\\\"")}""""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"slope","data_ratio":$dataRatio,"mid":"$midDir","big":"$bigDir",""" +
         s""""time_floor_sec":$TimeFloor,"slack":$SlopeSlack,""" +
         s""""superlinear":[${superlinear.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""annotated":$annotatedJson,""" +
+        s""""annotated_all":$annotatedAllJson,""" +
         s""""queries":$perQuery}"""
     try {
       // a restricted sweep (SPARK_GRAFT_ONLY) must not clobber the

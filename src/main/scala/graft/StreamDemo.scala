@@ -36,7 +36,7 @@ object StreamDemo {
     * the batch-id-tagged idempotent writer so finals are recoverable. */
   private def runTopology(spark: SparkSession, eventsRoot: String,
       outRoot: String, ckRoot: String, shared: Boolean,
-      tagBatches: Boolean): (Double, Seq[(String, Long)]) = {
+      tagBatches: Boolean): (Double, Int, Seq[(String, Long)]) = {
     val t0 = System.nanoTime()
     val queries = StreamApp.run(spark,
       FileEventSource(s"$eventsRoot/orders"),
@@ -58,7 +58,11 @@ object StreamDemo {
           catch { case _: Throwable => 0L }
         t -> n
       }
-    (elapsed, sinkRows)
+    // queries.size travels with the result so the demo JSON line's
+    // "queries" field always reports the topology's REAL query count
+    // (a hardcoded 4/3 literal would silently go stale if StreamApp's
+    // topology gained or lost a query)
+    (elapsed, queries.size, sinkRows)
   }
 
   private def demoLine(topology: String, nEvents: Long, elapsed: Double,
@@ -92,13 +96,13 @@ object StreamDemo {
     if (compare) {
       // both topologies over the SAME event files, batch-id-tagged
       // sinks, then the finals fingerprint
-      val (refSec, refRows) = runTopology(spark, s"$outRoot/events",
+      val (refSec, refN, refRows) = runTopology(spark, s"$outRoot/events",
         s"$outRoot/ref", s"$outRoot/ck_ref", shared = false, tagBatches = true)
-      println(demoLine("reference", nEvents, refSec, 4, refRows))
-      val (shSec, shRows) = runTopology(spark, s"$outRoot/events",
+      println(demoLine("reference", nEvents, refSec, refN, refRows))
+      val (shSec, shN, shRows) = runTopology(spark, s"$outRoot/events",
         s"$outRoot/shared", s"$outRoot/ck_shared", shared = true,
         tagBatches = true)
-      println(demoLine("shared", nEvents, shSec, 3, shRows))
+      println(demoLine("shared", nEvents, shSec, shN, shRows))
       val verdicts = StreamFingerprint.compare(spark,
         s"$outRoot/ref", s"$outRoot/shared")
       val perTable = verdicts.map { v =>
@@ -116,9 +120,9 @@ object StreamDemo {
     } else {
       val shared = args.contains("--shared")
       val topology = if (shared) "shared" else "reference"
-      val (elapsed, sinkRows) = runTopology(spark, s"$outRoot/events",
-        s"$outRoot/metrics", s"$outRoot/checkpoints", shared,
-        tagBatches = false)
+      val (elapsed, nQueries, sinkRows) = runTopology(spark,
+        s"$outRoot/events", s"$outRoot/metrics", s"$outRoot/checkpoints",
+        shared, tagBatches = false)
       println(f"[demo] topology=$topology events=$nEvents drained in " +
         f"$elapsed%.1f s (${nEvents / elapsed}%.0f events/s)")
       sinkRows.foreach { case (t, n) => println(s"[demo] $t rows=$n") }
@@ -126,8 +130,7 @@ object StreamDemo {
       // Machine-checkable throughput record (the Bench JSON-line
       // contract): one line per topology per run so the streaming
       // claim in BASELINE.md is re-measurable by grep instead of prose.
-      println(demoLine(topology, nEvents, elapsed, if (shared) 3 else 4,
-        sinkRows))
+      println(demoLine(topology, nEvents, elapsed, nQueries, sinkRows))
       spark.stop()
     }
   }

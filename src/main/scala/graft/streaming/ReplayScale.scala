@@ -31,6 +31,13 @@ object ReplayScale {
       .appName("graft-replay-scale")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // micro_batches and state_rows_max below are read from
+      // recentProgress, which retains only the LAST N progress events
+      // (default 100) — a run with more triggers than that would
+      // under-count batches and could miss an early nonzero
+      // stateOperators row count, passing state_rows_max == 0 falsely.
+      // Retain far more events than any slices argument produces.
+      .config("spark.sql.streaming.numRecentProgressUpdates", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -65,27 +65,22 @@ object StreamFingerprint {
 
   final case class Fp(sum: String, xor: Long, n: Long)
 
-  /** Order-independent content hash: per-row xxhash64 over the
-    * canonicalized key+value columns, folded by sum AND xor (either
-    * alone can collide under crafted multisets; together with the
-    * count they pin the multiset for any honest divergence). The sum
-    * rides decimal(38,0) like CrossPlan's — an int64 Σ of xxhash64
-    * values overflows, which ANSI mode makes a task error. */
+  /** Order-independent content hash of the canonicalized key+value
+    * columns: doubles rounded to 6 dp and everything cast to string
+    * here, then folded by [[graft.CrossPlan.fingerprint]] — ONE
+    * implementation of the sum/xor/count xxhash64 fold across the
+    * repo (decimal(38,0) sum against int64 overflow, null-safe empty
+    * input), so a fix to the fold can never fork between the
+    * cross-plan and stream-equivalence gates. */
   private[streaming] def fingerprint(df: DataFrame, spec: TableSpec): Fp = {
     val canon = (spec.keys ++ spec.values).map { c =>
-      df.schema(c).dataType match {
+      (df.schema(c).dataType match {
         case DoubleType => round(col(c), 6).cast("string")
         case _ => col(c).cast("string")
-      }
+      }).as(c)
     }
-    val r = df.select(xxhash64(canon: _*).as("h"))
-      .agg(sum(col("h").cast("decimal(38,0)")).as("s"),
-        expr("bit_xor(h)").as("x"),
-        count(lit(1)).as("n"))
-      .head()
-    Fp(Option(r.getDecimal(0)).map(_.toBigInteger.toString).getOrElse("0"),
-      if (r.isNullAt(1)) 0L else r.getLong(1),
-      r.getLong(2))
+    val f = graft.CrossPlan.fingerprint(df.select(canon: _*))
+    Fp(f.sum, f.xor, f.rows)
   }
 
   final case class TableVerdict(table: String, refKeys: Long, sharedKeys: Long,

@@ -16,10 +16,18 @@ ratio of the LARGEST decade whose big-side time clears the 1 s floor
   subfloor_at_max  no measured scale pushes the query over the floor --
                    overhead-dominated even at its largest measured SF
                    (itself a scaling verdict: 10-100x data, still <1 s)
-Exits 1 if any query is superlinear-above-floor and unannotated, or if
-any query has no record at all.
+  no_evidence      the query appears in the records but every run
+                   FAILED (negative time) -- no measurement at all
+Exits 1 if any query is superlinear-above-floor and unannotated, or
+has a no_evidence verdict, or (with --inventory) is expected but
+absent from every input record.
 
 Usage: python3 tools/slope_merge.py OUT [extra_partial.json ...]
+                [--inventory FILE.json]
+--inventory names the expected query set (any JSON object whose
+"queries" field -- dict or list -- lists the graded inventory, e.g. a
+Bench record or a SlopeBench record from a full sweep); queries in it
+but in NO input record fail the gate instead of silently vanishing.
 """
 import json, sys
 
@@ -28,9 +36,11 @@ FLOOR, SLACK, DATA_RATIO = 1.0, 1.5, 10.0
 # Retired from the graded inventory (r15) — historical records only.
 RETIRED = {"q189_decimal_probe"}
 
-# A record's "annotated" field carries only annotated∩flagged entries of
-# THAT run; entries whose flag first appears in a later decade must be
-# seeded here (source of truth: SlopeBench.Annotated — keep in sync).
+# Records written before r15's `annotated_all` field carry only the
+# annotated∩flagged entries of THAT run; flags first appearing in a
+# different decade need their evidence seeded here. Newer records ship
+# the full SlopeBench.Annotated map as `annotated_all`, which
+# supersedes this fallback (and wins on key collisions below).
 ANNOTATED_EXTRA = {
     "q97_hard_negatives":
         "exact band-scan anchor: query set (vec_id % 50) and corpus both "
@@ -39,27 +49,52 @@ ANNOTATED_EXTRA = {
         "probe or a hash-sampled pool (Similarity.hardNegatives doc)",
 }
 
-out_path = sys.argv[1]
-paths = ["target/slope.json", "target/slope_decade4.json"] + sys.argv[2:]
+args = sys.argv[1:]
+inventory_path = None
+if "--inventory" in args:
+    i = args.index("--inventory")
+    inventory_path = args[i + 1]
+    args = args[:i] + args[i + 2:]
+out_path = args[0]
+paths = ["target/slope.json", "target/slope_decade4.json"] + args[1:]
 
-# per query: {sf_label: seconds}; later files win on duplicate labels
-times = {}
+# per query: {sf_label: seconds}; later files win on duplicate labels.
+# `seen` also tracks queries whose every run failed (negative time) —
+# those must surface as no_evidence, not silently classify as
+# subfloor_at_max (a failed query is the OPPOSITE of a fast one).
+times, seen = {}, set()
 annotated = dict(ANNOTATED_EXTRA)
 for p in paths:
     rec = json.load(open(p))
     annotated.update(rec.get("annotated", {}))
+    annotated.update(rec.get("annotated_all", {}))
     for q, row in rec["queries"].items():
         if q in RETIRED:
             continue
+        seen.add(q)
         times.setdefault(q, {}).update(
             {k: v for k, v in row.items() if k.startswith("sf") and v is not None and v >= 0})
+
+missing = []
+if inventory_path:
+    obj = json.load(open(inventory_path))
+    # accept a record with a "queries" field (Bench/SlopeBench line) or
+    # a flat name->anything object (Verify's oracle_sql.json)
+    inv = obj.get("queries", obj)
+    expected = set(inv if isinstance(inv, list) else inv.keys()) - RETIRED
+    missing = sorted(expected - seen)
 
 def sf_of(label):
     return float(label[2:])
 
-queries, bad, subfloor = {}, [], []
-for q, row in sorted(times.items()):
+queries, bad, subfloor, no_evidence = {}, [], [], []
+for q in sorted(seen):
+    row = times.get(q, {})
     pts = sorted(((sf_of(k), v) for k, v in row.items()))
+    if not pts:
+        queries[q] = {"verdict": "no_evidence"}
+        no_evidence.append(q)
+        continue
     # largest decade (consecutive measured scales, ratio of sfs ~10)
     # whose big time clears the floor
     best = None
@@ -81,7 +116,7 @@ for q, row in sorted(times.items()):
             entry["verdict"] = "linear_ok"
     else:
         entry["verdict"] = "subfloor_at_max"
-        entry["max_sf_time"] = pts[-1][1] if pts else None
+        entry["max_sf_time"] = pts[-1][1]
         subfloor.append(q)
     queries[q] = entry
 
@@ -93,10 +128,13 @@ summary = {
     "annotated": sorted(q for q in annotated if q in queries
                         and queries[q]["verdict"] == "annotated"),
     "subfloor_at_max": subfloor,
+    "no_evidence": no_evidence,
+    "missing_from_inventory": missing,
     "queries": queries,
 }
 with open(out_path, "w") as f:
     json.dump(summary, f, indent=1, sort_keys=False)
 print(f"{len(queries)} queries; superlinear={bad}; "
-      f"annotated={len(summary['annotated'])}; subfloor_at_max={subfloor}")
-sys.exit(1 if bad else 0)
+      f"annotated={len(summary['annotated'])}; subfloor_at_max={subfloor}; "
+      f"no_evidence={no_evidence}; missing={missing}")
+sys.exit(1 if (bad or no_evidence or missing) else 0)
