@@ -124,11 +124,24 @@ object GenData {
     if (name == "region" || name == "nation") base
     else {
       val ids = IdCols(name)
+      // Per-copy offset = the input's real key span rounded UP to a
+      // multiple of KeyOffsetUnit. For fresh testdata (max id < M)
+      // this is exactly M — byte-identical to the fixed-unit scheme —
+      // but it stays collision-free for ANY input: expanding an
+      // ALREADY-expanded dir with the fixed unit reused the same
+      // offsets and silently collided keys (measured r15: sf1 × 10
+      // produced 500k document rows with only 95k distinct doc_ids,
+      // which broke every dedup/pair operator downstream). Offsets
+      // stay ≡ 0 (mod every m), so mod-derived selectivities are
+      // still exact per copy.
+      val maxId = ids.map(c =>
+        base.agg(max(col(c).cast("long"))).head().getLong(0)).max
+      val unit = (maxId / KeyOffsetUnit + 1) * KeyOffsetUnit
       val dim = if (name == "embeddings")
         base.select(size(col("embedding"))).head().getInt(0)
       else 0
       (0 until copies).map { k =>
-        val off = k.toLong * KeyOffsetUnit
+        val off = k.toLong * unit
         val perturbed = name match {
           case "documents" if k > 0 => substituteDocs(base, k)
           case "embeddings" if k > 0 =>
@@ -156,6 +169,21 @@ object GenData {
     Tables.names.foreach { name =>
       val df = expand(spark, srcDir, name, copies)
       df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+      // Loud key-collision gate: disjoint copy offsets multiply every
+      // id column's distinct count by exactly `copies` (holds for
+      // non-unique fks too). A silent collision here corrupts every
+      // downstream dedup/join result (the r15 double-expansion bug).
+      if (name != "region" && name != "nation") {
+        val out = spark.read.parquet(s"$dstDir/$name.parquet")
+        IdCols(name).foreach { c =>
+          val baseD = Tables.load(spark, srcDir, name)
+            .select(col(c)).distinct().count()
+          val expD = out.select(col(c)).distinct().count()
+          require(expD == baseD * copies,
+            s"$name.$c key collision: expected ${baseD * copies} " +
+              s"distinct ids after ${copies}x expansion, got $expD")
+        }
+      }
       println(s"[gendata] $name -> $dstDir/$name.parquet")
     }
     spark.stop()
