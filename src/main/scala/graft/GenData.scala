@@ -55,7 +55,7 @@ object GenData {
     * offset is ≡ 0 mod each of these (see scheme note above). */
   val KeyOffsetUnit: Long = 233100021000L
 
-  private val IdCols: Map[String, Seq[String]] = Map(
+  private[graft] val IdCols: Map[String, Seq[String]] = Map(
     "customer" -> Seq("c_custkey"),
     "supplier" -> Seq("s_suppkey"),
     "part" -> Seq("p_partkey"),
@@ -64,6 +64,49 @@ object GenData {
     "events" -> Seq("event_id", "user_id"),
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
+
+  /** Tables with id columns, in Tables.names order (stable gate output;
+    * `globalUnit` relies on this order to fail on the FIRST empty
+    * table it meets). */
+  private[graft] val IdTables: Seq[String] =
+    Tables.names.filter(IdCols.contains)
+
+  /** Cross-table FK edges (child, childCol, parent, parentCol) whose
+    * join coverage must survive expansion — verified by the gate as
+    * "dangling-FK count multiplies by exactly `copies`" (robust even
+    * if an input ever carries dangling keys; the driver testdata has
+    * zero on every edge). */
+  private[graft] val FkEdges: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+    ("embeddings", "vec_id", "documents", "doc_id"))
+
+  /** ONE per-copy offset unit for the whole directory: the max over ALL
+    * tables' id columns, rounded UP to a multiple of KeyOffsetUnit.
+    * Cross-table referential integrity requires the SAME offset on FK
+    * and PK columns (orders.o_custkey vs customer.c_custkey) — a
+    * per-table unit silently dangles copy-k foreign keys whenever two
+    * tables' key spans round to different multiples (r15 advice). For
+    * fresh driver testdata (every max id < M) the unit is exactly M,
+    * byte-identical to the historical fixed-unit outputs. One agg per
+    * table (all id maxima in a single pass); fails loudly on an empty
+    * table, where max-of-no-rows is null. */
+  private[graft] def globalUnit(spark: SparkSession, srcDir: String): Long = {
+    val maxId = IdTables.map { name =>
+      val ids = IdCols(name)
+      val aggs = ids.map(c => max(col(c).cast("long")))
+      val row = Tables.load(spark, srcDir, name).agg(aggs.head, aggs.tail: _*).head()
+      ids.indices.map { i =>
+        require(!row.isNullAt(i),
+          s"$srcDir/$name is empty — cannot derive a key-offset unit")
+        row.getLong(i)
+      }.max
+    }.max
+    (maxId / KeyOffsetUnit + 1) * KeyOffsetUnit
+  }
 
   /** Copy-k documents by per-copy VOCABULARY SUBSTITUTION: every
     * non-stopword word maps through a length-preserving bijection of
@@ -118,25 +161,21 @@ object GenData {
   private def permuteEmbedding(emb: Column, dim: Int, k: Int): Column =
     transform(typedLit(coordPerm(dim, k)), i => element_at(emb, i + 1))
 
+  /** Expand one table by `copies` with the directory-wide per-copy
+    * offset `unit` (from [[globalUnit]]). The span-derived unit keeps
+    * expansion collision-free for ANY input: expanding an
+    * ALREADY-expanded dir with the fixed unit reused the same
+    * offsets and silently collided keys (measured r15: sf1 × 10
+    * produced 500k document rows with only 95k distinct doc_ids,
+    * which broke every dedup/pair operator downstream). Offsets
+    * stay ≡ 0 (mod every m), so mod-derived selectivities are
+    * still exact per copy. */
   private[graft] def expand(spark: SparkSession, srcDir: String,
-      name: String, copies: Int): DataFrame = {
+      name: String, copies: Int, unit: Long): DataFrame = {
     val base = Tables.load(spark, srcDir, name)
     if (name == "region" || name == "nation") base
     else {
       val ids = IdCols(name)
-      // Per-copy offset = the input's real key span rounded UP to a
-      // multiple of KeyOffsetUnit. For fresh testdata (max id < M)
-      // this is exactly M — byte-identical to the fixed-unit scheme —
-      // but it stays collision-free for ANY input: expanding an
-      // ALREADY-expanded dir with the fixed unit reused the same
-      // offsets and silently collided keys (measured r15: sf1 × 10
-      // produced 500k document rows with only 95k distinct doc_ids,
-      // which broke every dedup/pair operator downstream). Offsets
-      // stay ≡ 0 (mod every m), so mod-derived selectivities are
-      // still exact per copy.
-      val maxId = ids.map(c =>
-        base.agg(max(col(c).cast("long"))).head().getLong(0)).max
-      val unit = (maxId / KeyOffsetUnit + 1) * KeyOffsetUnit
       val dim = if (name == "embeddings")
         base.select(size(col("embedding"))).head().getInt(0)
       else 0
@@ -155,10 +194,68 @@ object GenData {
     }
   }
 
+  /** Loud post-write gate over an expanded directory. Two checks, both
+    * of which a silent failure would turn into corrupted downstream
+    * dedup/join results (the r15 double-expansion bug):
+    *
+    *  1. Key collisions: disjoint copy offsets multiply every id
+    *     column's distinct count by exactly `copies` (holds for
+    *     non-unique fks too). One two-sided agg per table.
+    *  2. Cross-table FK coverage: every [[FkEdges]] dangling-FK count
+    *     must also multiply by exactly `copies` — this is the check a
+    *     per-table offset unit would fail (FK and PK shifted by
+    *     different offsets keep their per-column distinct counts while
+    *     every copy-k join silently loses its matches).
+    *
+    * Throws on the first violation; returns a one-line JSON evidence
+    * record (base/expanded counts per check) for durable archiving. */
+  private[graft] def gate(spark: SparkSession, srcDir: String,
+      dstDir: String, copies: Int): String = {
+    def out(name: String): DataFrame =
+      spark.read.parquet(s"$dstDir/$name.parquet")
+    val fields = scala.collection.mutable.ArrayBuffer[String]()
+    IdTables.foreach { name =>
+      val ids = IdCols(name)
+      def distincts(df: DataFrame): Seq[Long] = {
+        val aggs = ids.map(c => countDistinct(col(c)))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        ids.indices.map(row.getLong)
+      }
+      val b = distincts(Tables.load(spark, srcDir, name))
+      val o = distincts(out(name))
+      ids.indices.foreach { i =>
+        require(o(i) == b(i) * copies,
+          s"$name.${ids(i)} key collision: expected ${b(i) * copies} " +
+            s"distinct ids after ${copies}x expansion, got ${o(i)}")
+        fields += s""""${name}.${ids(i)}":{"base":${b(i)},"expanded":${o(i)}}"""
+      }
+    }
+    FkEdges.foreach { case (ct, cc, pt, pc) =>
+      def dangling(c: DataFrame, p: DataFrame): Long =
+        c.select(col(cc)).join(p.select(col(pc)), col(cc) === col(pc),
+          "left_anti").count()
+      val b = dangling(Tables.load(spark, srcDir, ct),
+        Tables.load(spark, srcDir, pt))
+      val o = dangling(out(ct), out(pt))
+      require(o == b * copies,
+        s"FK $ct.$cc -> $pt.$pc broken by expansion: $b dangling rows " +
+          s"in base, $o after ${copies}x (expected ${b * copies}) — " +
+          "copy offsets disagree across tables")
+      fields += s""""$ct.$cc->$pt.$pc":{"base_dangling":$b,"expanded_dangling":$o}"""
+    }
+    s"""{"gate":"gendata","src":"$srcDir","dst":"$dstDir","copies":$copies,""" +
+      fields.mkString(",") + ""","ok":true}"""
+  }
+
+  /** `runMain graft.GenData [srcDir] [dstDir] [copies]` expands and
+    * gates; `--gate-only srcDir dstDir copies` re-runs just the gate
+    * over an already-expanded directory (evidence re-derivation). */
   def main(args: Array[String]): Unit = {
-    val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val dstDir = args.lift(1).getOrElse("localdata/sf1")
-    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val gateOnly = args.headOption.contains("--gate-only")
+    val rest = if (gateOnly) args.drop(1) else args
+    val srcDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val dstDir = rest.lift(1).getOrElse("localdata/sf1")
+    val copies = rest.lift(2).map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -166,26 +263,16 @@ object GenData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.names.foreach { name =>
-      val df = expand(spark, srcDir, name, copies)
-      df.write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
-      // Loud key-collision gate: disjoint copy offsets multiply every
-      // id column's distinct count by exactly `copies` (holds for
-      // non-unique fks too). A silent collision here corrupts every
-      // downstream dedup/join result (the r15 double-expansion bug).
-      if (name != "region" && name != "nation") {
-        val out = spark.read.parquet(s"$dstDir/$name.parquet")
-        IdCols(name).foreach { c =>
-          val baseD = Tables.load(spark, srcDir, name)
-            .select(col(c)).distinct().count()
-          val expD = out.select(col(c)).distinct().count()
-          require(expD == baseD * copies,
-            s"$name.$c key collision: expected ${baseD * copies} " +
-              s"distinct ids after ${copies}x expansion, got $expD")
-        }
+    if (!gateOnly) {
+      val unit = globalUnit(spark, srcDir)
+      println(s"[gendata] global key-offset unit = $unit")
+      Tables.names.foreach { name =>
+        expand(spark, srcDir, name, copies, unit)
+          .write.mode("overwrite").parquet(s"$dstDir/$name.parquet")
+        println(s"[gendata] $name -> $dstDir/$name.parquet")
       }
-      println(s"[gendata] $name -> $dstDir/$name.parquet")
     }
+    println(gate(spark, srcDir, dstDir, copies))
     spark.stop()
   }
 }

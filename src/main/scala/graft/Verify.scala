@@ -27,9 +27,15 @@ object Verify {
     val queries =
       if (probes) SparkEntry.queries ++ SparkEntry.probeQueries
       else SparkEntry.queries
+    // SPARK_GRAFT_SKIP: comma-separated exact names to NOT dump (local
+    // large-SF sweeps exclude the known-DuckDB-infeasible tail, which
+    // tools/sweep.py then records as SKIP via --skip). The driver never
+    // sets it, so driver runs always dump the full inventory.
+    val skip: Set[String] =
+      sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
     queries
       .filter { case (name, _) =>
-        only.forall(_.exists(name.startsWith))
+        only.forall(_.exists(name.startsWith)) && !skip.contains(name)
       }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -63,17 +63,23 @@ paths = ["target/slope.json", "target/slope_decade4.json"] + args[1:]
 # those must surface as no_evidence, not silently classify as
 # subfloor_at_max (a failed query is the OPPOSITE of a fast one).
 times, seen = {}, set()
-annotated = dict(ANNOTATED_EXTRA)
+legacy_annotated, all_annotated_all = {}, {}
 for p in paths:
     rec = json.load(open(p))
-    annotated.update(rec.get("annotated", {}))
-    annotated.update(rec.get("annotated_all", {}))
+    legacy_annotated.update(rec.get("annotated", {}))
+    all_annotated_all.update(rec.get("annotated_all", {}))
     for q, row in rec["queries"].items():
         if q in RETIRED:
             continue
         seen.add(q)
         times.setdefault(q, {}).update(
             {k: v for k, v in row.items() if k.startswith("sf") and v is not None and v >= 0})
+
+# Precedence: any record's full `annotated_all` map beats any old-format
+# record's `annotated` subset, regardless of input order (r15 advice: a
+# later old-format record must not resurrect stale annotation text over
+# an earlier record's full map), and both beat the seeded fallback.
+annotated = {**ANNOTATED_EXTRA, **legacy_annotated, **all_annotated_all}
 
 missing = []
 if inventory_path:
