@@ -87,6 +87,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos"))
   }
 
+  /** Aggregator-ranked twin of [[bruteForceTopK]]: identical exact
+    * semantics (same scan, same r4-snapped cosine, same (cos desc,
+    * nbr_id asc) order), but per-query ranking rides the bounded
+    * O(k)-state TopKByScore aggregation — map-side prune to k before
+    * the shuffle — instead of a window row_number, which buffers and
+    * sorts every candidate of a partition. This is the shape to
+    * prefer when k ≪ candidates; kept alongside the window form as
+    * the q27 cross-plan twin, so the two ranking paths verify each
+    * other at the SFs where no DuckDB oracle fits (the q27 oracle is
+    * a measured >900 s timeout at sf10). */
+  def bruteForceTopKAgg(emb: DataFrame, queryPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nBlocks: Int = 0): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    queryCorpusScan(queries, corpus, nBlocks)
+      .withColumn("cos", Num.r4(cosine(col("qv"), col("cv"))))
+      .groupBy(col("query_id"))
+      .agg(Sampling.topKByScore(col("nbr_id"), col("cos"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("s.id").as("nbr_id"), col("s.score").as("cos"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for
     * each query vector, the top-k corpus vectors whose cosine lies in
     * [lo, hi) — similar enough to be informative negatives, below the
@@ -376,6 +401,32 @@ object Similarity {
         col("id").as("ib"), col("v").as("vb"))
     lhs.join(rhs, col("ba") === col("rba") && col("bb") === col("rbb"))
       .filter(col("ba") =!= col("bb") || col("ia") < col("ib"))
+      .withColumn("cos", Num.r4(cosine(col("va"), col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos"))
+  }
+
+  /** Exact threshold pairs BETWEEN two disjoint-id vector sets — the
+    * bipartite counterpart of [[cosinePairsBlocked]]: both sides hash
+    * into b blocks, one side replicates across the other's block ids,
+    * and the pair join is keyed on the full (left-block, right-block)
+    * tile so all b² tiles are independent tasks. Output matches
+    * [[cosinePairsBlocked]] ((id_a < id_b, cos)); used by the q28
+    * cross-plan twin's split-and-merge decomposition (the q28 DuckDB
+    * oracle is a measured >900 s timeout at sf10). */
+  def cosinePairsAcross(l: DataFrame, r: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      nBlocks: Int = 0): DataFrame = {
+    val b = if (nBlocks > 0) nBlocks else deriveBlocks(l)
+    val blks = array((0 until b).map(lit): _*)
+    val lhs = l.select(col(idCol).as("ia"), col(vecCol).as("va"),
+      pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("ba"))
+      .withColumn("bb", explode(blks))
+    val rhs = r.select(col(idCol).as("ib"), col(vecCol).as("vb"),
+      pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("rbb"))
+      .withColumn("rba", explode(blks))
+    lhs.join(rhs, col("ba") === col("rba") && col("bb") === col("rbb"))
       .withColumn("cos", Num.r4(cosine(col("va"), col("vb"))))
       .filter(col("cos") >= threshold)
       .select(least(col("ia"), col("ib")).as("id_a"),

@@ -561,7 +561,37 @@ object ExtensionQueries {
         TextDedup.jaccardPairs(docs(s, dir), n = 3, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b"))),
       "q26_simhash" -> (q26SimhashAlt _),
+      "q27_cosine_topk" -> (q27Alt _),
+      "q28_cosine_pairs" -> (q28Alt _),
       "q29_ann_lsh" -> (q29Alt _))
+
+  /** q27 twin (r16: its DuckDB oracle is a measured >900 s timeout at
+    * sf10): same exact brute-force semantics, ranked by the bounded
+    * TopKByScore aggregator (map-side prune to k) with an explicitly
+    * fixed block replication — versus the primary's window row_number
+    * over the derived-block scan. Different ranking operator, shuffle
+    * content, and block topology; identical value contract. */
+  private def q27Alt(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopKAgg(embs(spark, dir),
+      col("vec_id") % QueryMod === 0, TopK, nBlocks = 4)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** q28 twin (r16, same sf10-oracle-timeout class): split-and-merge —
+    * the corpus is hash-split into two disjoint halves (seeded hash,
+    * independent of the tile hash), exact pairs are the union of each
+    * half's triangular tiling plus the bipartite cross tiling
+    * ([[Similarity.cosinePairsAcross]]) — a structurally different
+    * decomposition of the identical exact pair set. */
+  private def q28Alt(spark: SparkSession, dir: String): DataFrame = {
+    val e = embs(spark, dir)
+    val half = pmod(xxhash64(col("vec_id"), lit(1)), lit(2))
+    val a = e.filter(half === 0)
+    val b = e.filter(half === 1)
+    Similarity.cosinePairsBlocked(a, 0.35)
+      .unionByName(Similarity.cosinePairsBlocked(b, 0.35))
+      .unionByName(Similarity.cosinePairsAcross(a, b, 0.35))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** q29 twin (sf10 cross-plan): eight independent per-table bucket
     * equi-joins over per-table key columns (the q26-twin

@@ -19,7 +19,10 @@ class CrossPlanSpec extends SparkSpec {
       "q105_corpus_pipeline", "q118_label_prop", "q181_degree_mle",
       // round 14: the seven sf10-infeasible additions
       "q29_ann_lsh", "q68_pq_adc", "q76_semdedup", "q81_kmeans_train",
-      "q100_mmr_topk", "q148_winnow_pairs", "q183_incremental_pairs")
+      "q100_mmr_topk", "q148_winnow_pairs", "q183_incremental_pairs",
+      // round 16: DuckDB oracles measured >900 s at sf10 (exact
+      // embedding-similarity class; hash-green through sf1)
+      "q27_cosine_topk", "q28_cosine_pairs")
     assert(CrossPlan.alternates.keySet == expected)
     assert(expected.subsetOf(SparkEntry.queries.keySet))
   }
