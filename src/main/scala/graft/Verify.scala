@@ -32,7 +32,9 @@ object Verify {
     // tools/sweep.py then records as SKIP via --skip). The driver never
     // sets it, so driver runs always dump the full inventory.
     val skip: Set[String] =
-      sys.env.get("SPARK_GRAFT_SKIP").map(_.split(",").toSet).getOrElse(Set.empty)
+      sys.env.get("SPARK_GRAFT_SKIP")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
     queries
       .filter { case (name, _) =>
         only.forall(_.exists(name.startsWith)) && !skip.contains(name)

@@ -409,16 +409,21 @@ object Similarity {
 
   /** Exact threshold pairs BETWEEN two disjoint-id vector sets — the
     * bipartite counterpart of [[cosinePairsBlocked]]: both sides hash
-    * into b blocks, one side replicates across the other's block ids,
-    * and the pair join is keyed on the full (left-block, right-block)
-    * tile so all b² tiles are independent tasks. Output matches
+    * into b blocks, EACH side replicates across the other's block ids
+    * (b copies per row), and the pair join is keyed on the full
+    * (left-block, right-block) tile so all b² tiles are independent
+    * tasks and every cross pair meets exactly once. Output matches
     * [[cosinePairsBlocked]] ((id_a < id_b, cos)); used by the q28
     * cross-plan twin's split-and-merge decomposition (the q28 DuckDB
-    * oracle is a measured >900 s timeout at sf10). */
+    * oracle is a measured >900 s timeout at sf10). The derived block
+    * count follows the LARGER side — deriving from one side would
+    * under-block an asymmetric (small l, huge r) call and collapse the
+    * tile parallelism. */
   def cosinePairsAcross(l: DataFrame, r: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       nBlocks: Int = 0): DataFrame = {
-    val b = if (nBlocks > 0) nBlocks else deriveBlocks(l)
+    val b = if (nBlocks > 0) nBlocks
+            else deriveBlocks(l).max(deriveBlocks(r))
     val blks = array((0 until b).map(lit): _*)
     val lhs = l.select(col(idCol).as("ia"), col(vecCol).as("va"),
       pmod(xxhash64(col(idCol)), lit(b)).cast("int").as("ba"))

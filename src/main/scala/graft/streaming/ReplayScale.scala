@@ -105,9 +105,11 @@ object ReplayScale {
           corpus, n = 3, threshold = 0.5, maxBucket = 1000)
       case "emb_pairs" =>
         // same one-file slices the maxFilesPerTrigger=1 stream consumed
-        new java.io.File(s"$out/stream").listFiles()
+        val files = new java.io.File(s"$out/stream").listFiles()
           .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-          .map(f => Similarity.incrementalPairs(
+        require(files.nonEmpty,
+          s"$sfDir produced an empty stream subset — nothing to replay")
+        files.map(f => Similarity.incrementalPairs(
             spark.read.parquet(f.getPath), corpus, 0.35, nBlocks = 8))
           .reduce(_ unionByName _)
     }
