@@ -1059,10 +1059,69 @@ object CorpusStatsQueries {
   private val MixEpochCap = 1.2
   private val MixRounds = 4
 
+  /** Hard ceiling on the mix-plan's driver-side state: the plan table
+    * is one row per language, and no corpus has more than a few
+    * hundred — certify that before collecting, never assume it. */
+  private val MixMaxLangs = 100000
+
   /** The converged water-filling table — (lang, n_tokens, w, cap,
     * alloc, frozen) with r8-snapped model state — shared by q99 (the
-    * plan report) and q103 (applying the plan as per-doc replication). */
-  private[queries] def mixPlanRaw(d: DataFrame): DataFrame = {
+    * plan report) and q103 (applying the plan as per-doc replication).
+    *
+    * Altitude: the heavy half (per-lang token sums — one corpus scan,
+    * map-side partial agg) stays distributed; the water-filling rounds
+    * run driver-side over the collected per-lang table, the same
+    * bounded-model-fit pattern as k-means centroids and BPE merges.
+    * The rounds were previously a distributed fold over the |langs|-row
+    * frame (kept as [[mixPlanDistributed]], spec-pinned equal) — four
+    * scalar-agg + lineage-cut barriers on a table of a few dozen rows,
+    * ~1.3 s of pure job latency per query at any SF. The collect is
+    * cap-certified (MixMaxLangs) and the arithmetic is [[Num.j]], the
+    * JVM twin of the r8 column snap, so the emitted plan is bit-equal
+    * to the fold's. */
+  private[graft] def mixPlanRaw(d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    import spark.implicits._
+    val perLang = d
+      .groupBy(col("lang"))
+      .agg(sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
+      .orderBy(col("lang"))
+      .limit(MixMaxLangs + 1)
+      .collect()
+    require(perLang.length <= MixMaxLangs,
+      s"mix plan: more than $MixMaxLangs languages — raise MixMaxLangs " +
+        "deliberately or pre-aggregate the long tail")
+    val langs = perLang.map(_.getString(0))
+    val toks = perLang.map(_.getLong(1))
+    val m = langs.length
+    val b = toks.sum.toDouble
+    val pa = toks.map(t => math.pow(t / b, MixAlpha))
+    val totPa = pa.sum
+    val w = pa.map(p => Num.j(p / totPa, 8))
+    val cap = toks.map(t => Num.j(t * MixEpochCap, 8))
+    var frozen = Array.fill(m)(false)
+    var alloc = Array.fill(m)(0.0)
+    for (_ <- 1 to MixRounds) {
+      // frozenCap/den read the PREVIOUS round's frozen set; alloc then
+      // freezes anyone pushed past their cap for the next round
+      val frozenCap = (0 until m).map(i => if (frozen(i)) cap(i) else 0.0).sum
+      val den = (0 until m).map(i => if (frozen(i)) 0.0 else w(i)).sum
+      val rem = b - frozenCap
+      alloc = Array.tabulate(m)(i =>
+        if (frozen(i)) cap(i)
+        else if (den > 0) Num.j(w(i) * rem / den, 8)
+        else 0.0)
+      frozen = Array.tabulate(m)(i => frozen(i) || alloc(i) > cap(i))
+    }
+    (0 until m).map(i => (langs(i), toks(i), b, w(i), cap(i), alloc(i), frozen(i)))
+      .toDF("lang", "n_tokens", "b", "w", "cap", "alloc", "frozen")
+  }
+
+  /** The pre-r16 distributed form of [[mixPlanRaw]]: the same rounds as
+    * a fold over the per-lang frame (scalar-agg broadcasts + per-round
+    * lineage cuts). Retained as the structurally-different twin the
+    * spec pins the driver-side fit against. */
+  private[graft] def mixPlanDistributed(d: DataFrame): DataFrame = {
     import graft.operators.Scalars.withScalars
     def s8(c: org.apache.spark.sql.Column) = Num.r(c, 8)
     // Global sums ride scalar-agg + one-row broadcast cross joins

@@ -436,6 +436,22 @@ class CorpusStatsSpec extends SparkSpec {
     levels.foreach(l => assert(math.abs(l - levels.head) / levels.head < 1e-3))
   }
 
+  test("mix plan: driver-side bounded fit is bit-equal to the distributed fold") {
+    // the r16 altitude change (rounds on the collected |langs|-row
+    // table) must emit the exact plan the pre-r16 fold did — Num.j is
+    // the JVM twin of the r8 column snap, so every w/cap/alloc value
+    // and every frozen flag is compared with ==, not a tolerance
+    val d = graft.Tables.load(spark, sf001, "documents")
+    val cols = Seq("lang", "n_tokens", "b", "w", "cap", "alloc", "frozen")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(col): _*).orderBy(col("lang"))
+        .as[(String, Long, Double, Double, Double, Double, Boolean)]
+        .collect().toSeq
+    val fit = dump(CorpusStatsQueries.mixPlanRaw(d))
+    val fold = dump(CorpusStatsQueries.mixPlanDistributed(d))
+    assert(fit.nonEmpty && fit == fold)
+  }
+
   // ---- q103 epoch expansion ----
 
   test("epoch expand: copy_idx contiguous per doc, subsample and upsample " +
