@@ -265,6 +265,42 @@ object Similarity {
     }
   }
 
+  /** [[mmrTopK]] with the greedy tail fused into one typed aggregation
+    * ([[Mmr.MmrGreedy]]): identical output (spec-pinned), but the k
+    * rounds, the m×m sims table, and the per-round lineage cuts
+    * collapse into a single m-bounded per-group loop — candidate
+    * generation (the only corpus-scale stage) is unchanged, and
+    * everything after it is one small shuffle instead of ~4k plan
+    * stages of job latency. The unrolled form stays as the
+    * structurally-different twin (and the shape whose greedy rounds
+    * an external SQL oracle can replicate). */
+  def mmrTopKFused(emb: DataFrame, queryPred: Column, m: Int, k: Int,
+      lam: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && m >= k)
+    val queries = emb.filter(queryPred)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
+    // same bounded top-m candidate cut as mmrTopK — (id, rel) only
+    // rides the corpus-scale shuffle, vectors are re-joined for the
+    // m·q survivors
+    val topM = queryCorpusScan(queries, corpus)
+      .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
+      .groupBy(col("query_id"))
+      .agg(Sampling.topKByScore(col("nbr_id"), col("rel"), m).as("topm"))
+      .select(col("query_id"), explode(col("topm")).as("s"))
+      .select(col("query_id"), col("s.id").as("nbr_id"),
+        col("s.score").as("rel"))
+    corpus.join(broadcast(topM), Seq("nbr_id"))
+      .select(col("query_id"), col("nbr_id"), col("rel"), col("cv"))
+      .groupBy(col("query_id"))
+      .agg(Mmr.mmrGreedy(col("nbr_id"), col("rel"), col("cv"), m, k, lam)
+        .as("picks"))
+      .select(col("query_id"), explode(col("picks")).as("p"))
+      .select(col("query_id"), col("p.pick").as("pick"),
+        col("p.nbr_id").as("nbr_id"), col("p.score").as("score"))
+  }
+
   /** All pairs above a cosine threshold (near-duplicate detection by
     * embedding). Quadratic — verification tool; LSH is the scale path. */
   def cosinePairs(emb: DataFrame, threshold: Double,

@@ -1294,7 +1294,7 @@ object CorpusStatsQueries {
   private val MmrLam = 0.75
 
   def q100MmrTopK(spark: SparkSession, dir: String): DataFrame =
-    Similarity.mmrTopK(embs(spark, dir), col("vec_id") % MmrMod === 0,
+    Similarity.mmrTopKFused(embs(spark, dir), col("vec_id") % MmrMod === 0,
       MmrM, MmrK, MmrLam)
       .orderBy(col("query_id"), col("pick"))
 

@@ -487,9 +487,14 @@ class CorpusStatsSpec extends SparkSpec {
       (3L, Seq(0.85f, -0.527f, 0f)), // B   rel≈0.85, sim(A,B)≈0.53
       (4L, Seq(0.2f, 0f, 0.98f)) // C   rel≈0.20
     ).toDF("vec_id", "embedding")
-    val got = Similarity.mmrTopK(emb, col("vec_id") === 0, m = 4, k = 3, lam = 0.75)
-      .select("pick", "nbr_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
-    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)))
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "unrolled" -> Similarity.mmrTopK(emb, col("vec_id") === 0, m = 4, k = 3, lam = 0.75),
+      "fused" -> Similarity.mmrTopKFused(emb, col("vec_id") === 0, m = 4, k = 3, lam = 0.75)
+    ).foreach { case (name, df) =>
+      val got = df.select("pick", "nbr_id")
+        .as[(Int, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), name)
+    }
   }
 
   test("mmr: matches a plain-Scala greedy reference on seeded random vectors") {
@@ -527,11 +532,28 @@ class CorpusStatsSpec extends SparkSpec {
     val df = vecs.toSeq.sortBy(_._1)
       .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
     val queries = Seq(0L, 7L, 13L)
-    val got = Similarity.mmrTopK(df, col("vec_id").isin(queries: _*), m, k, lam)
-      .select("query_id", "pick", "nbr_id")
-      .as[(Long, Int, Long)].collect().toSeq
-      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)).toMap
-    queries.foreach(q => assert(got(q) == refMmr(q), s"query $q diverged"))
+    Seq[(String, org.apache.spark.sql.DataFrame)](
+      "unrolled" -> Similarity.mmrTopK(df, col("vec_id").isin(queries: _*), m, k, lam),
+      "fused" -> Similarity.mmrTopKFused(df, col("vec_id").isin(queries: _*), m, k, lam)
+    ).foreach { case (name, out) =>
+      val got = out.select("query_id", "pick", "nbr_id")
+        .as[(Long, Int, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).sortBy(_._1)).toMap
+      queries.foreach(q => assert(got(q) == refMmr(q), s"query $q diverged ($name)"))
+    }
+  }
+
+  test("mmr: fused aggregator is bit-equal to the unrolled rounds on real embeddings") {
+    // the q100 primary moved to the fused form in r16 — every
+    // (query_id, pick, nbr_id, SCORE) row must match the unrolled
+    // plan exactly, doubles compared with ==, on the graded inputs
+    val emb = graft.Tables.load(spark, sf001, "embeddings")
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "pick", "nbr_id", "score")
+        .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val fused = dump(Similarity.mmrTopKFused(emb, col("vec_id") % 50 === 0, 8, 3, 0.75))
+    val unrolled = dump(Similarity.mmrTopK(emb, col("vec_id") % 50 === 0, 8, 3, 0.75))
+    assert(fused.nonEmpty && fused == unrolled)
   }
 
   // ---- q105 end-to-end corpus pipeline ----
