@@ -33,15 +33,25 @@ import org.apache.spark.sql.execution.SparkPlan
 object Lineage {
   private val buf = new ThreadLocal[mutable.Buffer[SparkPlan]]
 
-  /** Truncate lineage (`localCheckpoint`), recording the
-    * pre-checkpoint physical plan when a [[capturing]] walk is active
-    * on this thread. */
-  def cut(df: DataFrame): DataFrame = {
+  /** Record `df`'s physical plan into an active [[capturing]] walk
+    * WITHOUT materializing — for construction-time bounded collects
+    * (the mix-plan fit, model training) whose upstream corpus-scale
+    * stage would otherwise vanish from every downstream
+    * `executedPlan` and escape the gate entirely. */
+  def record(df: DataFrame): DataFrame = {
     val b = buf.get()
     if (b != null) {
       try b += df.queryExecution.executedPlan
       catch { case _: Throwable => () } // capture must never fail a run
     }
+    df
+  }
+
+  /** Truncate lineage (`localCheckpoint`), recording the
+    * pre-checkpoint physical plan when a [[capturing]] walk is active
+    * on this thread. */
+  def cut(df: DataFrame): DataFrame = {
+    record(df)
     df.localCheckpoint()
   }
 

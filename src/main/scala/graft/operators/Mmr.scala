@@ -36,13 +36,10 @@ object Mmr {
   case class Cand(id: Long, rel: Double, vec: Array[Float])
   case class Pick(pick: Int, nbr_id: Long, score: Double)
 
-  /** TopKByScore.better's semantics on (score, id) pairs. */
+  /** [[Sampling.betterByScore]] — the single-sourced comparator the
+    * candidate cut must share with TopKByScore. */
   private def better(as: Double, ai: Long, bs: Double, bi: Long): Boolean =
-    if (as == bs) ai < bi
-    else {
-      val c = java.lang.Double.compare(as, bs)
-      c > 0 || (c == 0 && ai < bi)
-    }
+    Sampling.betterByScore(as, ai, bs, bi)
 
   /** Bit-twin of VecCosine.nullSafeEval: one pass over the min-length
     * prefix, double accumulation, cos = dot/(√na·√nb). */
@@ -80,8 +77,9 @@ object Mmr {
       // max sim to the selected set so far; unused at pick 1
       val ms = new Array[Double](n)
       val out = Seq.newBuilder[Pick]
+      val kEff = math.min(k, n)
       var j = 1
-      while (j <= math.min(k, n)) {
+      while (j <= kEff) {
         var bi = -1; var bScore = 0.0
         var i = 0
         while (i < n) {
@@ -99,14 +97,17 @@ object Mmr {
         out += Pick(j, cands(bi).id, bScore)
         // fold the new pick into every survivor's running max-sim
         // (incremental max over a growing set ≡ the per-round
-        // recomputed max(sim) aggregate)
-        i = 0
-        while (i < n) {
-          if (!picked(i)) {
-            val sim = Num.j(cosine(cands(i).vec, cands(bi).vec), 4)
-            if (j == 1 || java.lang.Double.compare(sim, ms(i)) > 0) ms(i) = sim
+        // recomputed max(sim) aggregate); skipped after the final
+        // pick — no round reads it
+        if (j < kEff) {
+          i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val sim = Num.j(cosine(cands(i).vec, cands(bi).vec), 4)
+              if (j == 1 || java.lang.Double.compare(sim, ms(i)) > 0) ms(i) = sim
+            }
+            i += 1
           }
-          i += 1
         }
         j += 1
       }

@@ -46,6 +46,20 @@ object Sampling {
 
   final case class Scored(id: Long, score: Double)
 
+  /** The (score desc, id asc) strict-weak ordering shared by
+    * [[TopKByScore]] and [[Mmr.MmrGreedy]] — single-sourced so the
+    * fused MMR's candidate cut can never drift from the top-m window
+    * rank it must bit-match. Primitive `==` first (±0.0 tie-break by
+    * id, matching Spark's compareDoubles), then `Double.compare`
+    * (NaN orders greatest; NaN-vs-NaN falls to the id tie-break). */
+  private[operators] def betterByScore(as: Double, ai: Long,
+      bs: Double, bi: Long): Boolean =
+    if (as == bs) ai < bi
+    else {
+      val c = java.lang.Double.compare(as, bs)
+      c > 0 || (c == 0 && ai < bi)
+    }
+
   /** Per-key top-k by (score desc, id asc) with O(k) state — the
     * bounded-aggregation alternative to `row_number().over(window)`,
     * which buffers and sorts EVERY row of a partition. Map-side partial
@@ -62,11 +76,7 @@ object Sampling {
     // through to the id tie-break. Equivalence classes {−0.0, 0.0}
     // and {NaN} keep the ordering strict-weak for sortWith.
     private def better(a: Scored, b: Scored): Boolean =
-      if (a.score == b.score) a.id < b.id
-      else {
-        val c = java.lang.Double.compare(a.score, b.score)
-        c > 0 || (c == 0 && a.id < b.id)
-      }
+      Sampling.betterByScore(a.score, a.id, b.score, b.id)
 
     override def zero: Seq[Scored] = Seq.empty
 

@@ -215,13 +215,7 @@ object Similarity {
     // query before the shuffle; `cv` is re-joined for the m·q
     // survivors only. Ordering (score desc, id asc) matches the
     // window-rank tie-break exactly.
-    val topM = queryCorpusScan(queries, corpus)
-      .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
-      .groupBy(col("query_id"))
-      .agg(Sampling.topKByScore(col("nbr_id"), col("rel"), m).as("topm"))
-      .select(col("query_id"), explode(col("topm")).as("s"))
-      .select(col("query_id"), col("s.id").as("nbr_id"),
-        col("s.score").as("rel"))
+    val topM = topMCandidates(queries, corpus, m)
     // cache: every greedy round references the candidate table (and
     // sims) again — uncached, Spark would repeat the full corpus scan
     // once per reference. Post-top-m state is m rows per query —
@@ -265,6 +259,21 @@ object Similarity {
     }
   }
 
+  /** The MMR top-m candidate cut shared by [[mmrTopK]] and
+    * [[mmrTopKFused]] — single-sourced because the fused≡unrolled
+    * bit-equality pin depends on both forms drawing the IDENTICAL
+    * candidate set: bounded aggregation (O(m) state, map-side
+    * pruning), (id, rel) only riding the corpus-scale shuffle. */
+  private def topMCandidates(queries: DataFrame, corpus: DataFrame,
+      m: Int): DataFrame =
+    queryCorpusScan(queries, corpus)
+      .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
+      .groupBy(col("query_id"))
+      .agg(Sampling.topKByScore(col("nbr_id"), col("rel"), m).as("topm"))
+      .select(col("query_id"), explode(col("topm")).as("s"))
+      .select(col("query_id"), col("s.id").as("nbr_id"),
+        col("s.score").as("rel"))
+
   /** [[mmrTopK]] with the greedy tail fused into one typed aggregation
     * ([[Mmr.MmrGreedy]]): identical output (spec-pinned), but the k
     * rounds, the m×m sims table, and the per-round lineage cuts
@@ -281,17 +290,7 @@ object Similarity {
     val queries = emb.filter(queryPred)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val corpus = emb.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
-    // same bounded top-m candidate cut as mmrTopK — (id, rel) only
-    // rides the corpus-scale shuffle, vectors are re-joined for the
-    // m·q survivors
-    val topM = queryCorpusScan(queries, corpus)
-      .withColumn("rel", Num.r4(cosine(col("qv"), col("cv"))))
-      .groupBy(col("query_id"))
-      .agg(Sampling.topKByScore(col("nbr_id"), col("rel"), m).as("topm"))
-      .select(col("query_id"), explode(col("topm")).as("s"))
-      .select(col("query_id"), col("s.id").as("nbr_id"),
-        col("s.score").as("rel"))
-    corpus.join(broadcast(topM), Seq("nbr_id"))
+    corpus.join(broadcast(topMCandidates(queries, corpus, m)), Seq("nbr_id"))
       .select(col("query_id"), col("nbr_id"), col("rel"), col("cv"))
       .groupBy(col("query_id"))
       .agg(Mmr.mmrGreedy(col("nbr_id"), col("rel"), col("cv"), m, k, lam)

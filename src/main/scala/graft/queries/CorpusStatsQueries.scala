@@ -1082,11 +1082,14 @@ object CorpusStatsQueries {
   private[graft] def mixPlanRaw(d: DataFrame): DataFrame = {
     val spark = d.sparkSession
     import spark.implicits._
-    val perLang = d
+    // Lineage.record: the collect hides this corpus-scale aggregation
+    // from every downstream executedPlan — register it with an active
+    // plan-gate walk so the gate still inspects the heavy stage
+    val perLang = graft.operators.Lineage.record(d
       .groupBy(col("lang"))
       .agg(sum(TF.tokenCount(col("text"))).cast("long").as("n_tokens"))
       .orderBy(col("lang"))
-      .limit(MixMaxLangs + 1)
+      .limit(MixMaxLangs + 1))
       .collect()
     require(perLang.length <= MixMaxLangs,
       s"mix plan: more than $MixMaxLangs languages — raise MixMaxLangs " +

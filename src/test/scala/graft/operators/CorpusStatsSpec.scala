@@ -452,6 +452,18 @@ class CorpusStatsSpec extends SparkSpec {
     assert(fit.nonEmpty && fit == fold)
   }
 
+  test("mix plan: the collected per-lang aggregation registers with the plan-gate walk") {
+    // the driver-side fit hides the corpus-scale groupBy behind a
+    // collect — Lineage.record must surface its physical plan to an
+    // active capture so PlanGate keeps inspecting the heavy stage
+    val d = graft.Tables.load(spark, sf001, "documents")
+    val (_, recorded) = graft.operators.Lineage.capturing {
+      CorpusStatsQueries.mixPlanRaw(d)
+    }
+    assert(recorded.exists(_.toString.contains("n_tokens")),
+      "per-lang aggregation plan not captured")
+  }
+
   // ---- q103 epoch expansion ----
 
   test("epoch expand: copy_idx contiguous per doc, subsample and upsample " +
