@@ -45,9 +45,9 @@ object Bpe {
 
   /** The next merge: most frequent pair, ties by (a asc, b asc). */
   def topPair(toks: DataFrame, tokCol: String = "toks"): Option[(String, String)] =
-    pairCounts(toks, tokCol)
+    Lineage.record(pairCounts(toks, tokCol)
       .orderBy(col("cnt").desc, col("a"), col("b"))
-      .limit(1).collect().headOption
+      .limit(1)).collect().headOption
       .map(r => (r.getString(0), r.getString(1)))
 
   /** Apply one learned merge to a token-array column: whole-token

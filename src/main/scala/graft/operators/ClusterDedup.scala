@@ -90,7 +90,7 @@ object ClusterDedup {
       // (min reachable id) by construction.
       if (integralIds && eFp._1 <= localFinishEdges) {
         val labels = localUnionFind(
-          e.select(col("u").cast(LongType), col("v").cast(LongType))
+          Lineage.record(e.select(col("u").cast(LongType), col("v").cast(LongType)))
             .collect().map(r => (r.getLong(0), r.getLong(1))))
         val spark = edges.sparkSession
         import spark.implicits._

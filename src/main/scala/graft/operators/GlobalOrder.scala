@@ -47,8 +47,9 @@ object GlobalOrder {
       .withColumn("_local",
         monotonically_increasing_id() - shiftleft(col("_pid"), 33))
       .cache()
-    val sizes = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("n"))
-      .as[(Long, Long)].collect().sortBy(_._1)
+    val sizes = Lineage.record(ranged.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)]).collect().sortBy(_._1)
     val offsets = sizes.map(_._1)
       .zip(sizes.map(_._2).scanLeft(0L)(_ + _))
     val offDf = offsets.toSeq.toDF("_pid", "_off")

@@ -100,7 +100,7 @@ object HeavyHitters {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("item"))
       .cache()
-    val counts = recount.select(col("cnt")).collect().map(_.getLong(0))
+    val counts = Lineage.record(recount.select(col("cnt"))).collect().map(_.getLong(0))
     val covered = counts.sum == n
     val certified = covered ||
       (counts.length >= k && counts(k - 1) * (cap + 1).toLong > n)

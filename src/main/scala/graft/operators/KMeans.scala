@@ -46,7 +46,7 @@ object KMeans {
   /** Deterministic init: the first k vectors by id. */
   def initCentroids(emb: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Double]] =
-    emb.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+    Lineage.record(emb.orderBy(col(idCol)).limit(k).select(col(vecCol))).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
 
   /** Cell assignment under the given centroids. */
@@ -62,7 +62,7 @@ object KMeans {
       idCol: String = "vec_id", vecCol: String = "embedding"):
       (Array[Array[Double]], Double) = {
     val assigned = assign(emb, centroids, idCol, vecCol)
-    val inertia = assigned.agg(sum(col("dist"))).collect()(0).getDouble(0)
+    val inertia = Lineage.record(assigned.agg(sum(col("dist")))).collect()(0).getDouble(0)
     val means = assigned
       .select(col("cell"), posexplode(col("v").cast("array<double>"))
         .as(Seq("dim", "x")))
@@ -70,6 +70,7 @@ object KMeans {
       // r4-snap the mean: partial-agg order is partition-dependent in
       // the last ulps, and these feed back as next-round literals
       .agg(Num.r4(avg(col("x"))).as("m"))
+      .transform(Lineage.record(_))
       .collect()
     val next = centroids.map(_.clone())
     means.foreach(r => next(r.getAs[Int]("cell"))(r.getAs[Int]("dim")) =

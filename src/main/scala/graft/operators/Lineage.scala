@@ -38,13 +38,13 @@ object Lineage {
     * (the mix-plan fit, model training) whose upstream corpus-scale
     * stage would otherwise vanish from every downstream
     * `executedPlan` and escape the gate entirely. */
-  def record(df: DataFrame): DataFrame = {
+  def record[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
     val b = buf.get()
     if (b != null) {
-      try b += df.queryExecution.executedPlan
+      try b += ds.queryExecution.executedPlan
       catch { case _: Throwable => () } // capture must never fail a run
     }
-    df
+    ds
   }
 
   /** Truncate lineage (`localCheckpoint`), recording the

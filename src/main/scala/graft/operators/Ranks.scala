@@ -37,8 +37,9 @@ object Ranks {
     val ranged = g.repartitionByRange(numPartitions, col("value"))
       .withColumn("_pid", spark_partition_id().cast("long"))
       .cache()
-    val parts = ranged.groupBy(col("_pid")).agg(sum(col("c")).as("_n"))
-      .as[(Long, Long)].collect().sortBy(_._1)
+    val parts = Lineage.record(ranged.groupBy(col("_pid"))
+      .agg(sum(col("c")).as("_n"))
+      .as[(Long, Long)]).collect().sortBy(_._1)
     val offs = parts.map(_._1).zip(parts.map(_._2).scanLeft(0L)(_ + _))
     val offDf = offs.toSeq.toDF("_pid", "_off")
     val win = Window.partitionBy(col("_pid")).orderBy(col("value"))

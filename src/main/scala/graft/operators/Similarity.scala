@@ -542,8 +542,8 @@ object Similarity {
     * id (shared by ivfTopK and streaming.StreamAnn). */
   private[graft] def ivfCentroids(emb: DataFrame, nlist: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[(Int, Array[Double])] =
-    emb.orderBy(col(idCol)).limit(nlist)
-      .select(col(vecCol)).collect()
+    Lineage.record(emb.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol))).collect()
       .zipWithIndex
       .map { case (r, i) =>
         (i, r.getSeq[Float](0).map(_.toDouble).toArray)

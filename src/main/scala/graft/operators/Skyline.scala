@@ -49,9 +49,9 @@ object Skyline {
     val ranged = perX.repartitionByRange(numPartitions, col("_x"))
       .withColumn("_pid", spark_partition_id().cast("long"))
       .cache()
-    val parts = ranged.groupBy(col("_pid"))
+    val parts = Lineage.record(ranged.groupBy(col("_pid"))
       .agg(max(col("_maxy")).cast("double").as("_pmax"))
-      .as[(Long, Double)].collect().sortBy(_._1)
+      .as[(Long, Double)]).collect().sortBy(_._1)
     // exclusive prefix max across partitions (ascending x ranges)
     val offs = parts.map(_._1)
       .zip(parts.map(_._2).scanLeft(Double.NegativeInfinity)(math.max))

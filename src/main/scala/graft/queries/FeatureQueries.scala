@@ -1189,8 +1189,8 @@ object FeatureQueries {
       ksCacheRegistry.clear()
       ksCacheRegistry ++= Seq(c1, c2)
     }
-    val out = r1.unionByName(r2)
-      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    val out = graft.operators.Lineage.record(r1.unionByName(r2)
+      .as[(String, Option[Double], Option[Double])]).collect().toSeq
     out.toDF("feature", "ks", "at_value").orderBy(col("feature"))
   }
 
@@ -1209,9 +1209,9 @@ object FeatureQueries {
     val ranged = counts.repartitionByRange(8, col("v"))
       .withColumn("_pid", spark_partition_id().cast("long"))
       .cache()
-    val parts = ranged.groupBy(col("_pid"))
+    val parts = graft.operators.Lineage.record(ranged.groupBy(col("_pid"))
       .agg(sum(col("cr")).as("pr"), sum(col("cc")).as("pc"))
-      .as[(Long, Long, Long)].collect().sortBy(_._1)
+      .as[(Long, Long, Long)]).collect().sortBy(_._1)
     val totR = parts.map(_._2).sum.toDouble
     val totC = parts.map(_._3).sum.toDouble
     val offs = parts.map(_._1)

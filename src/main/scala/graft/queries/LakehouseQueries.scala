@@ -1189,11 +1189,11 @@ object LakehouseQueries {
     }
     var centroids = graft.operators.KMeans.initCentroids(emb, KmTrainK)
     for (_ <- 1 to KmIters) {
-      val means = assignAlt(centroids)
+      val means = graft.operators.Lineage.record(assignAlt(centroids)
         .select(col("cell"), posexplode(col("v").cast("array<double>"))
           .as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
-        .agg(Num.r4(sum(col("x")) / count(lit(1))).as("m"))
+        .agg(Num.r4(sum(col("x")) / count(lit(1))).as("m")))
         .collect()
       val next = centroids.map(_.clone())
       means.foreach(r => next(r.getAs[Long]("cell").toInt)(r.getAs[Int]("dim")) =
