@@ -71,8 +71,23 @@ object ReplayScale {
     }
     val corpus = all.filter(pmod(col(idCol), lit(10)) =!= 0).cache()
     val corpusRows = corpus.count() // materialize before streaming starts
-    all.filter(pmod(col(idCol), lit(10)) === 0)
-      .repartition(slices).write.mode("overwrite").parquet(s"$out/stream")
+    // Deterministic slice membership (id mod slices), one file per
+    // slice: `repartition(slices)` round-robins over the INPUT row
+    // order, which is shuffle-dependent across GenData runs — the
+    // emb_pairs edge set is per-micro-batch by contract, so its
+    // record fingerprint silently tracked the generator's physical
+    // row order instead of the data. Id-keyed slices make both
+    // twins' archived fingerprints reproducible from regenerated
+    // inputs. (Streamed-vs-batch comparison never depended on this —
+    // both sides consume the same files — only cross-run record
+    // stability did.)
+    val streamSel = all.filter(pmod(col(idCol), lit(10)) === 0)
+    (0 until slices).foreach { k =>
+      streamSel.filter(pmod(xxhash64(col(idCol)), lit(slices)) === k)
+        .repartition(1).sortWithinPartitions(col(idCol))
+        .write.mode(if (k == 0) "overwrite" else "append")
+        .parquet(s"$out/stream")
+    }
     val streamRows = spark.read.parquet(s"$out/stream").count()
 
     val t0 = System.nanoTime()
