@@ -41,8 +41,11 @@ object Lineage {
   def record[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
     val b = buf.get()
     if (b != null) {
+      // capture must never fail a run — but only for non-fatal compile
+      // errors: swallowing OutOfMemoryError/InterruptedException here
+      // would mask a dying JVM and clear the interrupt flag (r16 advice)
       try b += ds.queryExecution.executedPlan
-      catch { case _: Throwable => () } // capture must never fail a run
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     ds
   }

@@ -71,23 +71,36 @@ object ReplayScale {
     }
     val corpus = all.filter(pmod(col(idCol), lit(10)) =!= 0).cache()
     val corpusRows = corpus.count() // materialize before streaming starts
-    // Deterministic slice membership (id mod slices), one file per
-    // slice: `repartition(slices)` round-robins over the INPUT row
-    // order, which is shuffle-dependent across GenData runs — the
-    // emb_pairs edge set is per-micro-batch by contract, so its
-    // record fingerprint silently tracked the generator's physical
-    // row order instead of the data. Id-keyed slices make both
-    // twins' archived fingerprints reproducible from regenerated
-    // inputs. (Streamed-vs-batch comparison never depended on this —
-    // both sides consume the same files — only cross-run record
-    // stability did.)
-    val streamSel = all.filter(pmod(col(idCol), lit(10)) === 0)
+    // Deterministic slice membership — xxhash64(id) mod slices (Spark's
+    // xxhash64 with its default seed 42), one file per slice:
+    // `repartition(slices)` round-robins over the INPUT row order,
+    // which is shuffle-dependent across GenData runs — the emb_pairs
+    // edge set is per-micro-batch by contract, so its record
+    // fingerprint silently tracked the generator's physical row order
+    // instead of the data. Hash-keyed slices make both twins' archived
+    // fingerprints reproducible from regenerated inputs.
+    // (Streamed-vs-batch comparison never depended on this — both
+    // sides consume the same files — only cross-run record stability
+    // did.) Cached: the per-slice loop re-reads this selection
+    // `slices` times (r16 advice — uncached it rescanned the source
+    // per slice, serializing one job into `slices`).
+    val streamSel = all.filter(pmod(col(idCol), lit(10)) === 0).cache()
     (0 until slices).foreach { k =>
       streamSel.filter(pmod(xxhash64(col(idCol)), lit(slices)) === k)
         .repartition(1).sortWithinPartitions(col(idCol))
         .write.mode(if (k == 0) "overwrite" else "append")
         .parquet(s"$out/stream")
     }
+    streamSel.unpersist()
+    // micro_batches in the record counts on one file per slice: Spark
+    // writes no file for an empty task, so a slice with zero matching
+    // ids would silently shrink the batch count (r16 advice) — fail
+    // loudly instead (pick fewer slices for a tiny input).
+    val sliceFiles = new java.io.File(s"$out/stream").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    require(sliceFiles == slices,
+      s"expected $slices slice files, found $sliceFiles — an empty " +
+        "slice wrote no file; use fewer slices for this input")
     val streamRows = spark.read.parquet(s"$out/stream").count()
 
     val t0 = System.nanoTime()

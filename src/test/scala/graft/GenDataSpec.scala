@@ -76,15 +76,57 @@ class GenDataSpec extends SparkSpec {
       name -> CrossPlan.fingerprint(
         GenData.expand(spark, dir("base"), name, 3, GenData.KeyOffsetUnit))
     }.toMap
-    // Pinned from the first run of this spec on the fixed generator
-    // (commit 37c57c7 lineage). A mismatch means the expansion scheme
-    // changed — every committed slope/crossplan/sweep record above
-    // sf0.1 was produced by THIS scheme and would need regeneration.
+    // orders/embeddings pinned from the first run of this spec on the
+    // fixed generator (commit 37c57c7 lineage); documents re-pinned
+    // r17 when the vocabulary bijection became a per-copy character
+    // bijection (saturation fix — see substituteDocs). A mismatch
+    // means the expansion scheme changed — every committed
+    // slope/crossplan/sweep record above sf0.1 was produced by the
+    // scheme of its recorded HEAD and would need regeneration.
     val golden = Map(
       "orders" -> CrossPlan.Fp(90L, "-9589752660030826170", -2554187678008321574L),
-      "documents" -> CrossPlan.Fp(18L, "13970339728637675027", 3706931485362398211L),
+      "documents" -> CrossPlan.Fp(18L, "2524771878255778153", -4313488900547963579L),
       "embeddings" -> CrossPlan.Fp(12L, "-5696127520057274202", -5440374932380078636L))
     assert(fps === golden, s"expansion fingerprints drifted: $fps")
+  }
+
+  test("char substitution is a token isomorphism with per-copy disjoint vocabularies") {
+    writeSyntheticBase(dir("base"))
+    val s = spark
+    import s.implicits._
+    val x3 = GenData.expand(spark, dir("base"), "documents", 3,
+      GenData.KeyOffsetUnit)
+    val stop = graft.functions.TextFunctions.langMarkers.flatMap(_._2).toSet
+    val docs = x3.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toMap
+    val base = (1L to 6L).map(docs)
+    def copyOf(k: Int) =
+      (1L to 6L).map(i => docs(i + k * GenData.KeyOffsetUnit))
+    (1 to 2).foreach { k =>
+      val c = copyOf(k)
+      base.zip(c).foreach { case (b, t) =>
+        val (bw, tw) = (b.split(" "), t.split(" "))
+        // word-aligned, length-preserving, stopwords fixed
+        assert(bw.length == tw.length)
+        bw.zip(tw).foreach { case (wb, wt) =>
+          assert(wb.length == wt.length, s"length drift $wb -> $wt")
+          if (stop(wb)) assert(wt == wb, s"stopword $wb rewritten")
+        }
+      }
+      // exact-dup structure replicates: docs 1 and 2 are identical in
+      // the base, so their copies must be identical too (and distinct
+      // from doc 3's copy)
+      assert(c(0) == c(1) && c(0) != c(2))
+    }
+    // per-copy vocabularies are DISJOINT (the r17 saturation fix):
+    // non-stopword words of base, copy 1, and copy 2 share nothing —
+    // so the shingle space grows with the data instead of saturating
+    def vocab(texts: Seq[String]) =
+      texts.flatMap(_.split(" ")).filterNot(stop).filter(_.nonEmpty).toSet
+    val vs = Seq(vocab(base), vocab(copyOf(1)), vocab(copyOf(2)))
+    for (i <- vs.indices; j <- vs.indices if i < j)
+      assert(vs(i).intersect(vs(j)).isEmpty,
+        s"copy $i and $j share vocabulary: ${vs(i).intersect(vs(j))}")
   }
 
   test("re-expanding an expanded dir keeps distinct-id multiplication and FKs (r15 bug class)") {

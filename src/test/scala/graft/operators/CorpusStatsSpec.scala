@@ -440,7 +440,17 @@ class CorpusStatsSpec extends SparkSpec {
     // the r16 altitude change (rounds on the collected |langs|-row
     // table) must emit the exact plan the pre-r16 fold did — Num.j is
     // the JVM twin of the r8 column snap, so every w/cap/alloc value
-    // and every frozen flag is compared with ==, not a tolerance
+    // and every frozen flag is compared with ==, not a tolerance.
+    // Documented assumption (r16 advice): the SHARED denominators
+    // (totPa, den, frozenCap) are unsnapped double sums accumulated in
+    // lang-asc order on the driver but partition-dependent order in
+    // the fold; the == pin relies on the r8 snap absorbing last-ulp
+    // summation-order differences. A sum landing within half an ulp of
+    // an r8 snap boundary could break this pin WITHOUT either form
+    // being wrong — if this test ever fails with every value equal at
+    // 7 decimals, suspect that boundary case (and this corpus' ≤10
+    // langs × smooth weights make it astronomically unlikely), not a
+    // logic regression.
     val d = graft.Tables.load(spark, sf001, "documents")
     val cols = Seq("lang", "n_tokens", "b", "w", "cap", "alloc", "frozen")
     def dump(df: org.apache.spark.sql.DataFrame) =
