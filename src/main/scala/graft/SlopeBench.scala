@@ -32,30 +32,23 @@ object SlopeBench {
     * corpus: excluded from the superlinear GATE, surfaced in a
     * separate `annotated` field WITH the evidence, so a reader can
     * re-check the argument rather than trust a silent allowlist.
-    * Root causes measured on the sf0.1→sf1 decade (PpProbe /
-    * output-row counts, HISTORY.md §Round 12):
-    *  - the corpus has a FIXED 31-word vocabulary, so 3-shingle space
-    *    saturates at 31³ = 29 791 (27 213 already used at sf0.1);
-    *    distinct shingles grow 1.09× for 10× data and colliding
-    *    shingle pairs grow 92× — ANY shingle-candidate scheme is
-    *    quadratic past saturation. Heaps-law text does not saturate;
-    *    the unsaturated sf0.01→sf0.1 decade shows the same operators
-    *    at 1.5–2.4×.
-    *  - simhash near-dup output itself is ~all-pairs here: 913 k →
-    *    72 M result rows (79×); time grows SLOWER than output. */
+    *
+    * r17: the generator-caused entries are GONE. q24/q26/q86/q88 were
+    * annotated through r16 because GenData's vocab-internal bijection
+    * kept every generated copy inside the driver corpus' saturated
+    * 31³ = 29 791 3-shingle space (27 213 realized at sf0.1; colliding
+    * shingle pairs grew 92× for 10× data — output-bound, not
+    * plan-bound). The r17 per-copy CHARACTER bijection mints a fresh
+    * vocabulary per copy: measured on the regenerated sf1, distinct
+    * shingles grow 10.0× and colliding pairs 10.03× for 10× data, so
+    * those operators now measure linear and need no annotation. What
+    * remains is inherent complexity (exact all-pairs anchors, IVF's
+    * n^1.5), independent of any generator. */
   private[graft] val Annotated: Map[String, String] = Map(
     "q28_cosine_pairs" ->
       "documented exact all-pairs oracle anchor - O(n^2) by definition (blocked tile plan bounds per-task work)",
     "q27_cosine_topk" ->
       "exact brute-force anchor: query set and corpus both grow 10x",
-    "q26_simhash" ->
-      "output-bound: 913k -> 72M result pairs (79x) on the 31-word-vocab corpus; time ratio 30x < output ratio",
-    "q24_ngram_jaccard" ->
-      "shingle-space saturation (31^3 ceiling; colliding pairs 92x for 10x data) - generator vocabulary, not operator",
-    "q86_prefix_jaccard" ->
-      "shingle-space saturation (31^3 ceiling; colliding pairs 92x for 10x data) - generator vocabulary, not operator",
-    "q88_containment" ->
-      "shingle-space saturation (31^3 ceiling; colliding pairs 92x for 10x data) - generator vocabulary, not operator",
     "q29b_ann_ivf" ->
       "inherent n^1.5: query set grows with n AND per-query probe cost grows as n/nlist = sqrt(n) - expected ratio 10^0.5 ~ 3.2x per decade at fixed recall",
     "q97b_hard_neg_ivf" ->

@@ -83,15 +83,32 @@ object HeavyHitters {
     *
     * The exactness precondition is VALIDATED at runtime, not assumed:
     * an item absent from the candidate set can have true count up to
-    * ⌊N/(cap+1)⌋, so the result is certainly exact iff either (a) the
-    * candidates cover every row (Σ candidate counts = N — true when
+    * ⌊N/(cap+1)⌋, so the sketch path is certainly exact iff either (a)
+    * the candidates cover every row (Σ candidate counts = N — true when
     * distinct items ≤ cap), or (b) the k-th exact candidate count
-    * strictly exceeds N/(cap+1). Otherwise this throws — a silent
-    * maybe-wrong top-k is worse than a failed job. Raise `cap` to fix
-    * (the check costs nothing extra: N rides the sketch pass, and the
-    * ≤ cap recount rows are collected as bounded model state anyway).
+    * strictly exceeds N/(cap+1). When NEITHER holds — the distribution
+    * is too flat for cap-bounded state to separate a top-k at all —
+    * this falls back to the direct exact aggregation instead of
+    * returning the sketch's maybe-wrong ranking: one keyed shuffle of
+    * (item, partial-count) pairs with map-side combine, the canonical
+    * wordcount shape, linear in input and scale-safe (just without the
+    * sketch's tail-pruning win). The result is exact and deterministic
+    * (count desc, item asc) on EITHER path; the sketch is an
+    * optimization for skewed corpora, not a correctness dependency.
+    * (Through r16 the uncertified case threw instead — defensible when
+    * the alternative was a silently wrong ranking, but it turned a
+    * data-distribution property into a job failure; the r17 bijected
+    * corpus, whose per-copy vocabularies keep term counts flat while N
+    * grows, hit exactly that.)
     */
-  def exactTopK(df: DataFrame, c: Column, k: Int, cap: Int): DataFrame = {
+  def exactTopK(df: DataFrame, c: Column, k: Int, cap: Int): DataFrame =
+    exactTopKInfo(df, c, k, cap)._1
+
+  /** As [[exactTopK]], plus whether the sketch pass certified
+    * (false = the direct-aggregation fallback produced the result) —
+    * spec-pinned so both paths stay observable. */
+  private[graft] def exactTopKInfo(
+      df: DataFrame, c: Column, k: Int, cap: Int): (DataFrame, Boolean) = {
     val head = df.agg(sketch(c, cap).as("mg"), count(c).as("n")).head()
     val cands = head.getMap[String, Long](0).keys.toSeq.sorted
     val n = head.getLong(1)
@@ -104,14 +121,22 @@ object HeavyHitters {
     val covered = counts.sum == n
     val certified = covered ||
       (counts.length >= k && counts(k - 1) * (cap + 1).toLong > n)
-    if (!certified)
-      throw new IllegalStateException(
-        s"exactTopK(k=$k, cap=$cap) cannot certify exactness: the k-th " +
-          s"candidate count ${if (counts.length >= k) counts(k - 1) else "<missing>"} " +
-          s"does not exceed N/(cap+1) = ${n / (cap + 1)} and candidates " +
-          s"cover ${counts.sum}/$n rows — raise cap")
-    // re-sort above the cache: a bare limit on a cached sorted relation
-    // is not guaranteed to take rows in sort order
-    recount.orderBy(col("cnt").desc, col("item")).limit(k)
+    if (certified) {
+      // re-sort above the cache: a bare limit on a cached sorted relation
+      // is not guaranteed to take rows in sort order
+      (recount.orderBy(col("cnt").desc, col("item")).limit(k), true)
+    } else {
+      System.err.println(
+        s"[heavyhitters] exactTopK(k=$k, cap=$cap) sketch uncertified " +
+          s"(k-th candidate count ${if (counts.length >= k) counts(k - 1).toString else "<missing>"} " +
+          s"<= N/(cap+1) = ${n / (cap + 1)}, coverage ${counts.sum}/$n) — " +
+          "falling back to the direct exact aggregation")
+      recount.unpersist()
+      val full = df.groupBy(c.as("item"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+        .limit(k)
+      (Lineage.record(full), false)
+    }
   }
 }

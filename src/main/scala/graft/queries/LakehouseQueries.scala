@@ -166,9 +166,13 @@ object LakehouseQueries {
   // ---- q67: sketch-guided exact top-k terms — pass 1 builds a
   // Misra–Gries summary (fixed-size partials, no keyed shuffle),
   // pass 2 recounts ONLY the sketch's candidates exactly. Exact
-  // whenever the true top-k clear the N/(cap+1) bound — cap 256 ≫ the
-  // corpus vocabulary here; the bound itself is property-tested in
-  // HeavyHittersSpec. ----
+  // whenever the true top-k clear the N/(cap+1) bound (true on the
+  // driver corpus, where cap 256 ≫ the vocabulary); on a corpus too
+  // flat to certify — e.g. the r17 bijected scale dirs, whose
+  // per-copy vocabularies keep term counts constant while N grows —
+  // exactTopK answers via its direct-aggregation fallback, still
+  // exact and deterministic. The MG bound itself is property-tested
+  // in LakehouseSpec. ----
 
   private val TopTerms = 20
   private val MgCap = 256

@@ -96,15 +96,28 @@ class LakehouseSpec extends SparkSpec {
     }
   }
 
-  test("exactTopK refuses to certify when the k-th candidate is inside the MG slack") {
-    // 2000 distinct singletons, cap 10 ⇒ slack N/11 ≈ 181 ≫ 1: any
-    // "top-10" of singletons is arbitrary — the guard must throw, not
-    // return a silently wrong ranking
+  test("exactTopK falls back to the direct exact top-k when the sketch cannot certify") {
+    // 2000 distinct singletons, cap 10 ⇒ slack N/11 ≈ 181 ≫ 1: the
+    // sketch's candidate set is arbitrary, so the certified path is
+    // impossible — the fallback must take over and still produce the
+    // deterministic exact answer (all counts 1, item-asc tiebreak),
+    // never the sketch's maybe-wrong ranking
     val flat = (0 until 2000).map(i => s"u$i").toDF("item")
-    val e = intercept[IllegalStateException] {
-      HeavyHitters.exactTopK(flat, col("item"), 10, 10).collect()
-    }
-    assert(e.getMessage.contains("raise cap"))
+    val expected = flat.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val (res, certified) =
+      HeavyHitters.exactTopKInfo(flat, col("item"), 10, 10)
+    assert(!certified, "a flat singleton corpus must not certify at cap 10")
+    assert(res.as[(String, Long)].collect().toSeq == expected)
+  }
+
+  test("exactTopK certifies (no fallback) when the top-k clear the MG slack") {
+    // the zipf corpus from the two-pass test: cap 200 ⇒ slack ≈ 25 <
+    // f(top-10) = 100, so the sketch path must be the one that answers
+    val (_, certified) =
+      HeavyHitters.exactTopKInfo(zipfDf, col("item"), 10, 200)
+    assert(certified)
   }
 
   test("exactTopK stays exact below the slack when candidates cover every row") {
