@@ -34,22 +34,57 @@ object TextDedup {
         min(col(idCol)).as("canonical_id"),
         count(lit(1)).as("copies"))
 
-  /** Distinct (id, shingle) pairs — shared base for Jaccard/MinHash.
-    * Tokenizes in a projection below the explode so the regex split
-    * runs once per document, not once per shingle. */
+  /** Per-document DISTINCT shingle ARRAYS (id, shs) — the shared base
+    * for Jaccard/MinHash/containment. Tokenizes in a projection below
+    * the shingling so the regex split runs once per document, and
+    * dedupes IN-ARRAY (`array_distinct`): distinctness of (id,
+    * shingle) is a per-document property, so the corpus-wide
+    * `distinct()` exchange the exploded form needed is pure waste — at
+    * any scale this is one full shuffle of every (id, shingle) row
+    * removed (guide §2.4). Documents with fewer than n tokens carry an
+    * EMPTY array — do NOT filter them here: a `filter(size(shs)>=1)`
+    * is pushed below this projection and inlines the whole
+    * tokenize+shingle+distinct tree into the Filter condition,
+    * doubling the per-row cost (measured 2–9× on q90/q105/q151).
+    * Every consumer either explodes (empty arrays vanish) or
+    * semi-joins on candidate ids (which always have shingles), so the
+    * empty rows are semantically inert. */
+  private def shingleSets(tokDf: DataFrame, n: Int): DataFrame =
+    tokDf.select(col("id"),
+      array_distinct(shinglesFromTokens(col("toks"), n)).as("shs"))
+
+  /** Exploded (id, shingle) view of [[shingleSets]] — rows identical
+    * to the old distinct-exploded form. */
+  private def explodeSets(sh: DataFrame): DataFrame =
+    sh.select(col("id"), explode(col("shs")).as("shingle"))
+
+  /** Exploded view carrying the per-doc set size: (id, sz, shingle).
+    * `sz` rides the explode for free — the per-doc `groupBy(id).count`
+    * + join-back the exploded form needed (one aggregation exchange +
+    * one join per consumer) is gone. */
+  private def explodeSetsWithSize(sh: DataFrame): DataFrame =
+    sh.select(col("id"), size(col("shs")).as("sz"),
+      explode(col("shs")).as("shingle"))
+
+  /** Exploded distinct (id, shingle) pairs for UNCACHED one-pass
+    * consumers (novelty): the shingle tree is inlined INTO the Generate
+    * child — with an attribute child, InferFiltersFromGenerate plants
+    * `size(shs)>0 AND isnotnull(shs)` filters that are pushed below the
+    * projection and re-inline the whole tokenize+shingle tree 2 more
+    * times per row (measured 9× on q90). An expression child dodges
+    * the rule; cached consumers go through [[shingleSets]] instead,
+    * where the inferred filters hit the materialized array and are
+    * cheap. */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    shinglesFromTokenCol(
-      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")), n)
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        explode(array_distinct(shinglesFromTokens(col("toks"), n))).as("shingle"))
 
-  /** Same, from a pre-tokenized (id, toks) frame — the entry point for
-    * pipelines that already carry the token arrays (q105's shared
-    * projection): the regex split is the dominant per-row cost, so a
-    * composed pipeline should pay it once, not once per stage. */
-  private def shinglesFromTokenCol(tokDf: DataFrame, n: Int): DataFrame =
-    tokDf.select(col("id"),
-        explode(shinglesFromTokens(col("toks"), n)).as("shingle"))
-      .distinct()
+  private def docShingleSets(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    shingleSets(
+      docs.select(col(idCol).as("id"), tokens(col(textCol)).as("toks")), n)
 
   /** Exact n-gram Jaccard similar pairs: |A∩B| / |A∪B| ≥ threshold.
     * Quadratic in shared-shingle pairs — verification / small-corpus
@@ -65,26 +100,27 @@ object TextDedup {
     * [[prefixJaccardPairsFromTokens]]. */
   def jaccardPairsFromTokens(tokDf: DataFrame, n: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val ds = shinglesFromTokenCol(tokDf, n).cache()
-    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sh = shingleSets(tokDf, n).cache()
     // inverted-index pruning: a shingle in exactly one document can't
     // produce a pair — drop singletons before the self-join (most
     // shingles are unique, so this shrinks the join input by far more
-    // than the extra aggregation costs; set sizes still use full ds).
+    // than the extra aggregation costs).
     // df by groupBy+join, not a window — the groupBy gets map-side
     // partial aggregation; the window shuffles every (id, shingle) row
-    // with no combiner.
+    // with no combiner. Set sizes ride the explode (sz), so the pair
+    // aggregation can group on them — the two per-side size join-backs
+    // of the exploded form are gone.
+    val ds = explodeSetsWithSize(sh)
     val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
     val shared = ds.join(df.filter(col("n_docs") > 1), "shingle")
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("sz"), col("shingle"))
     val inter = shared.as("a")
       .join(shared.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
       .withColumn("jaccard",
         Num.r4(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter"))))
@@ -92,19 +128,15 @@ object TextDedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  private def withSizes(inter: DataFrame, sizes: DataFrame): DataFrame =
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-
   /** Per-doc sorted shingle sets + set sizes, semi-reduced to the ids
     * that actually appear in candidate pairs — the shared verification
-    * input for every LSH/prefix candidate path here. */
-  private def sortedSets(ds: DataFrame, ids: DataFrame): DataFrame =
-    ds.join(broadcast(ids), Seq("id"), "left_semi")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("set"),
-        count(lit(1)).as("sz"))
+    * input for every LSH/prefix candidate path here. Straight from the
+    * per-doc ARRAYS ([[shingleSets]]): the sort is in-array and the
+    * collect_list groupBy exchange of the exploded form is gone. */
+  private def sortedSets(sh: DataFrame, ids: DataFrame): DataFrame =
+    sh.join(broadcast(ids), Seq("id"), "left_semi")
+      .select(col("id"), array_sort(col("shs")).as("set"),
+        size(col("shs")).as("sz"))
 
   /** Exact Jaccard of candidate pairs (columns id_a, id_b) against
     * sorted-set frames for each side, via the codegen merge-intersect
@@ -167,25 +199,21 @@ object TextDedup {
     * shingle asc) — deterministic on any cluster layout. Shared
     * scaffolding of the two prefix-filtered joins.
     *
-    * Shapes that matter at scale: per-doc sizes and document
-    * frequency come from groupBy+join (map-side partial aggregation —
-    * a window over the exploded table would shuffle every (id,
-    * shingle) row with no combiner); the sizes join-back rides
-    * `bcast`, the same gate as the prefix index (one row per document
-    * grows with the corpus — sort-merge when it no longer fits an
-    * executor). Ranks are computed over the FULL per-doc set BEFORE
+    * Shapes that matter at scale: document frequency comes from
+    * groupBy+join (map-side partial aggregation — a window over the
+    * exploded table would shuffle every (id, shingle) row with no
+    * combiner); per-doc sizes ride the explode from the array base
+    * (the old per-doc size aggregation + broadcast join-back is
+    * gone). Ranks are computed over the FULL per-doc set BEFORE
     * the df>1 filter, so `sz − rnk` still counts true remaining
     * elements; dropping singletons afterwards only removes index rows
     * that can never collide (a colliding shingle has df ≥ 2), so
     * completeness is preserved while the (majority) unique-shingle
     * rows never enter a self-join. */
-  private def rankedShingles(ds: DataFrame,
-      bcast: DataFrame => DataFrame): DataFrame = {
+  private def rankedShingles(ds: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     ds.join(df, "shingle")
-      .join(bcast(sizes), "id")
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))))
       .filter(col("df") > 1)
@@ -224,8 +252,8 @@ object TextDedup {
     // doubly-widened slack admits a sliver of extra candidates;
     // verification discards them.
     val tau = threshold - (5e-5 + 1e-8)
-    val ds = shinglesFromTokenCol(tokDf, n).cache()
-    val prefix = prefixOf(rankedShingles(ds, bcast), tau).cache()
+    val sh = shingleSets(tokDf, n).cache()
+    val prefix = prefixOf(rankedShingles(explodeSetsWithSize(sh)), tau).cache()
     // Candidate aggregation carries the PPJoin filter inputs out of
     // the prefix self-join for free: po = #prefix collisions, pa/pb =
     // rank of the LAST collision on each side. Under the global order
@@ -264,7 +292,7 @@ object TextDedup {
     val candIds = survivors
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val sets = sortedSets(ds, candIds).cache()
+    val sets = sortedSets(sh, candIds).cache()
     verifiedJaccard(survivors.select(col("id_a"), col("id_b")),
       sets, sets, threshold, bcastSets = broadcastIndex)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -282,23 +310,24 @@ object TextDedup {
     * path. */
   def containmentPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ds = docShingles(docs, idCol, textCol, n).cache()
-    val sizes = ds.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sh = docShingleSets(docs, idCol, textCol, n).cache()
+    val ds = explodeSetsWithSize(sh)
     // singleton pruning via groupBy+join (map-side partials) — see
-    // jaccardPairs
+    // jaccardPairs; sizes ride the explode and group with the pair key
     val df = ds.groupBy(col("shingle")).agg(count(lit(1)).as("n_docs"))
     val shared = ds.join(df.filter(col("n_docs") > 1), "shingle")
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("sz"), col("shingle"))
     val inter = shared.as("a")
       .join(shared.as("b"), col("a.shingle") === col("b.shingle") &&
         col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(count(lit(1)).as("inter"))
     // both directions from ONE pass: a union of two projections over
     // this pipeline would re-execute the whole pair computation per
     // branch (the Profiler unpivot trap) — explode a 2-element struct
     // array instead
-    withSizes(inter, sizes)
+    inter
       .select(explode(array(
         struct(col("id_a").as("contained"), col("id_b").as("container"),
           Num.r4(col("inter").cast("double") / col("sz_a")).as("containment")),
@@ -356,12 +385,11 @@ object TextDedup {
     // raw ratio in [τ−5e-5−0.5e-8, τ) also satisfies (both Num.r
     // rounding stages covered — see prefixJaccardPairs)
     val tau = threshold - (5e-5 + 1e-8)
-    val ds = docShingles(docs, idCol, textCol, n).cache()
-    def bcast(d: DataFrame): DataFrame = if (broadcastIndex) broadcast(d) else d
+    val sh = docShingleSets(docs, idCol, textCol, n).cache()
     // unlike the Jaccard join, BOTH sides of the candidate join need
     // ranked rows (the container side probes with its full df>1 set),
     // so the shared ranked frame is what gets cached here
-    val ranked = rankedShingles(ds, bcast).cache()
+    val ranked = rankedShingles(explodeSetsWithSize(sh)).cache()
     // contained-side index: first |A| − ⌈τ·|A|⌉ + 1 shingles
     val prefix = prefixOf(ranked, tau)
     val idx = if (broadcastIndex) broadcast(prefix.as("a")) else prefix.as("a")
@@ -381,7 +409,7 @@ object TextDedup {
     val candIds = survivors
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val sets = sortedSets(ds, candIds).cache()
+    val sets = sortedSets(sh, candIds).cache()
     def side(idc: String, suffix: String): DataFrame = {
       val s = sets.select(col("id").as(idc), col("set").as(s"set_$suffix"),
         col("sz").as(s"szv_$suffix"))
@@ -463,13 +491,14 @@ object TextDedup {
   def minhashDedup(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text",
       broadcastSets: Boolean = true): DataFrame = {
-    // one exploded-shingle pass feeds signatures and the verification
-    val ds = docShingles(docs, idCol, textCol, n).cache()
-    val candidates = minhashCandidates(signaturesFromShingles(ds)).cache()
+    // one per-doc shingle-array pass feeds signatures and verification
+    val sh = docShingleSets(docs, idCol, textCol, n).cache()
+    val candidates = minhashCandidates(
+      signaturesFromShingles(explodeSets(sh))).cache()
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-    val sets = sortedSets(ds, candIds)
+    val sets = sortedSets(sh, candIds)
     verifiedJaccard(candidates, sets, sets, threshold, broadcastSets)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -500,14 +529,14 @@ object TextDedup {
     val exact = bfp.join(cfp, "fp").groupBy(col("id"))
       .agg(count(lit(1)).as("n_exact"))
     val bRest = batch.join(exact.select(col("id").as(idCol)), Seq(idCol), "left_anti")
-    val bs = docShingles(bRest, idCol, textCol, n).cache()
-    val cs = docShingles(corpus, idCol, textCol, n).cache()
-    val cBands = bandKeys(signaturesFromShingles(cs))
+    val bs = docShingleSets(bRest, idCol, textCol, n).cache()
+    val cs = docShingleSets(corpus, idCol, textCol, n).cache()
+    val cBands = bandKeys(signaturesFromShingles(explodeSets(cs)))
     val cBsz = cBands.groupBy(col("band"), col("key"))
       .agg(count(lit(1)).as("bucket_size"))
     val cBounded = cBands
       .join(cBsz.filter(col("bucket_size") <= maxBucket), Seq("band", "key"))
-    val cand = bandKeys(signaturesFromShingles(bs)).as("a")
+    val cand = bandKeys(signaturesFromShingles(explodeSets(bs))).as("a")
       .join(cBounded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
