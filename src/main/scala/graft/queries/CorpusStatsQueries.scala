@@ -1383,9 +1383,16 @@ object CorpusStatsQueries {
     // a checkpoint RDD is new state each call. At 100 TB the same
     // structure holds with the base written to an intermediate table.
     val base = pipelineBase(docs(spark, dir)).cache()
+    // cutLineage on the kept-id set: it feeds the join's BROADCAST
+    // build and, through `train`, GlobalOrder's range-sampling pass
+    // and materialization — uncheckpointed, the whole verdict pipeline
+    // (edges + CC + argmax joins, ~15 CPU-s/run at sf0.1) executes
+    // once per consumer. One narrow column per kept doc — the
+    // GlobalOrder scaladoc's documented contract at scale.
     val kept = canonicalVerdictsFromBase(base)
       .filter(col("kept") && col("quality_score") >= QualityGate)
       .select(col("doc_id"))
+      .cutLineage()
     val train = base.select(col("doc_id"), col("lang")).join(kept, "doc_id")
       .withColumn("split", TF.splitAssign(col("doc_id")))
       .filter(col("split") === "train")
