@@ -35,27 +35,63 @@ object Winnowing {
     * they have (the s=0 truncated window — MOSS's short-doc rule). */
   def fingerprints(docs: DataFrame, k: Int = 3, w: Int = 4,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grams = docs
+    // Selection runs IN-ARRAY, per document: the whole document is one
+    // row, so the sliding minimum needs no cross-row machinery — the
+    // old `min(struct) OVER (PARTITION BY doc_id)` + `distinct()` form
+    // paid a full shuffle+sort of every gram occurrence plus a second
+    // distinct exchange for something each row can compute alone
+    // (guide §2.4: remove shuffles outright). O(n_grams · w) per doc
+    // with w small; zero exchanges.
+    //
+    // Three chained projections, each heavy column referenced ≥2 times
+    // downstream so CollapseProject keeps them materialized (a single
+    // collapsed tree would re-run the tokenizer per reference):
+    //   sh: the k-gram strings;  hp: (h, np) structs with np = -p so
+    //   the natural struct MIN is (smallest h, RIGHTMOST p) — the MOSS
+    //   tie-break;  fps: per-window-start array_min over the w-slice,
+    //   array_distinct'd. Window starts 0..max(n_grams-w, 0): just
+    //   s=0 (a truncated slice) for short docs — MOSS's short-doc rule.
+    val hp = docs
       .select(col(idCol).as("doc_id"),
         TextFunctions.shinglesFromTokens(
           TextFunctions.tokens(col(textCol)), k).as("sh"))
-      .filter(size(col("sh")) >= 1)
-      .select(col("doc_id"), size(col("sh")).as("n_grams"),
-        posexplode(col("sh")).as(Seq("p", "gram")))
-      .select(col("doc_id"), col("n_grams"), col("p"),
-        TextFunctions.hash60(col("gram")).as("h"))
-    // Window minimum with RIGHTMOST tie-break: min of (h, -p) structs —
-    // field-order comparison gives smallest h, then largest p.
-    val frame = Window.partitionBy(col("doc_id")).orderBy(col("p"))
-      .rowsBetween(Window.currentRow, w - 1)
-    val m: Column = min(struct(col("h"), (-col("p")).as("np"))).over(frame)
-    grams
-      .withColumn("m", m)
-      // valid window starts: 0..n_grams-w (just s=0 for short docs)
-      .filter(col("p") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"),
+        transform(col("sh"), (g, p) =>
+          struct(TextFunctions.hash60(g).as("h"), (-p).as("np"))).as("hp"))
+    // array_compact: a gram-less doc yields slice([]) → array_min null;
+    // compacting drops it so empty docs emit no rows (the old explode
+    // behaviour). Non-empty docs never produce null minima (every
+    // window slice from a valid start is non-empty).
+    hp
+      .select(col("doc_id"),
+        explode(array_compact(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("hp")) - w, lit(0))),
+          s => array_min(slice(col("hp"), s + 1, lit(w))))))).as("m"))
       .select(col("doc_id"), col("m.h").as("fp_hash"),
         (-col("m.np")).as("fp_pos"))
-      .distinct()
+  }
+
+  /** Distinct (doc_id, fp_hash) pairs — [[fingerprints]] with the
+    * positions dropped and the hash set deduped IN-ARRAY before the
+    * explode (position-distinct selections collapse to hash-distinct
+    * per doc; cross-doc dups are impossible by keying), so consumers
+    * that only need the hash set skip the post-explode `distinct()`
+    * exchange entirely. */
+  def fingerprintHashes(docs: DataFrame, k: Int = 3, w: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val hp = docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.shinglesFromTokens(
+          TextFunctions.tokens(col(textCol)), k).as("sh"))
+      .select(col("doc_id"),
+        transform(col("sh"), (g, p) =>
+          struct(TextFunctions.hash60(g).as("h"), (-p).as("np"))).as("hp"))
+    hp
+      .select(col("doc_id"),
+        explode(array_distinct(array_compact(transform(
+          sequence(lit(0), greatest(size(col("hp")) - w, lit(0))),
+          s => array_min(slice(col("hp"), s + 1, lit(w))).getField("h")))))
+          .as("fp_hash"))
   }
 
   /** Corpus fingerprint INDEX for incremental probing: distinct
@@ -64,8 +100,8 @@ object Winnowing {
     * once, persist alongside the corpus, probe every ingest batch. */
   def index(corpus: DataFrame, k: Int = 3, w: Int = 4, maxDf: Int = 50,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = fingerprints(corpus, k, w, idCol, textCol)
-      .select(col(idCol).as("corpus_doc"), col("fp_hash")).distinct()
+    val fp = fingerprintHashes(corpus, k, w, idCol, textCol)
+      .select(col("doc_id").as("corpus_doc"), col("fp_hash"))
     fp.join(
       fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf),
@@ -86,8 +122,7 @@ object Winnowing {
   def probeAgainst(batch: DataFrame, corpusIndex: DataFrame,
       k: Int = 3, w: Int = 4, minShared: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bfp = fingerprints(batch, k, w, idCol, textCol)
-      .select(col("doc_id"), col("fp_hash")).distinct().cache()
+    val bfp = fingerprintHashes(batch, k, w, idCol, textCol).cache()
     val sizes = bfp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     bfp.join(corpusIndex, Seq("fp_hash"))
       .groupBy(col("doc_id"), col("corpus_doc"))

@@ -42,8 +42,7 @@ object SignalQueries {
     // The fingerprint set feeds FOUR consumers (df guard, both sides
     // of the pair join, per-doc sizes) — cache it so the tokenize →
     // gram-hash → window-min pipeline runs once, not per consumer.
-    val fp = Winnowing.fingerprints(docs(spark, dir), K, W)
-      .select(col("doc_id"), col("fp_hash")).distinct().cache()
+    val fp = Winnowing.fingerprintHashes(docs(spark, dir), K, W).cache()
     val kept = fp.join(
       fp.groupBy(col("fp_hash")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= MaxDf),
