@@ -562,37 +562,42 @@ object WarehouseQueries {
   private val BasketMinSupCnt = 50
 
   def q159Basket(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the basket frame feeds the frequency table AND both
-    // sides of the pair self-join — uncached, the scan + broadcast
-    // join + distinct re-executes three times
-    val items = Tables.load(spark, dir, "lineitem")
+    // ONE basket-keyed aggregation builds the deduped item set per
+    // basket straight from the raw join output: collect_set absorbs
+    // the old corpus-wide distinct() exchange, and the basket count /
+    // frequency table / pair expansion all read this cached frame —
+    // two full-table exchanges (distinct + the A-priori semi-join
+    // probe) removed vs the previous form (guide §2.4).
+    val sets = Tables.load(spark, dir, "lineitem")
       .join(broadcast(Tables.load(spark, dir, "part")),
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
-      .distinct()
+      .groupBy(col("basket"))
+      .agg(collect_set(col("item")).as("is"))
       .cache()
-    val n = broadcast(items.select(col("basket")).distinct()
-      .agg(count(lit(1)).as("n_baskets")))
-    val freq = items.groupBy(col("item"))
+    val n = broadcast(sets.agg(count(lit(1)).as("n_baskets")))
+    // per-item support over the deduped sets = the old per-(basket,
+    // item)-distinct counts; tiny table (bounded by the brand domain),
+    // cached so its three consumers don't re-explode the sets
+    val freq = sets.select(explode(col("is")).as("item"))
+      .groupBy(col("item"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= BasketMinSupCnt)
-    // A-priori prune via LEFT SEMI (the item row needs no payload in
-    // the self-join); per-item counts re-attach AFTER the pair
-    // aggregation by broadcast — the ≤items² pair frame is tiny,
-    // while carrying cnt through the basket self-join widened every
-    // shuffled row and the groupBy key for nothing
-    val kept = items.join(broadcast(freq.select(col("item"))),
-      Seq("item"), "left_semi")
-    // pair generation: collect each basket's (pruned) item set once and
-    // expand ordered pairs with codegen'd array expressions — ONE
-    // basket-keyed shuffle, versus the self-join form's two shuffles +
-    // merge join of the full item table against itself. Per-basket
-    // expansion is bounded by (frequent items per basket)², the same
-    // bound the self-join had.
-    val pairs = kept.groupBy(col("basket"))
-      .agg(collect_set(col("item")).as("is"))
+      .cache()
+    // A-priori prune IN-ARRAY (downward closure — an infrequent item
+    // cannot appear in a frequent pair): intersect each basket's set
+    // with the frequent-item array, then expand ordered pairs with
+    // array expressions. Per-basket expansion stays bounded by
+    // (frequent items per basket)²; per-item counts re-attach AFTER
+    // the pair aggregation by broadcast — the ≤items² pair frame is
+    // tiny, while carrying cnt through the expansion would widen every
+    // shuffled row for nothing.
+    val freqArr = broadcast(
+      freq.agg(sort_array(collect_list(col("item"))).as("fa")))
+    val pairs = sets.crossJoin(freqArr)
+      .select(array_intersect(col("is"), col("fa")).as("ks"))
       .select(explode(expr(
-        "filter(flatten(transform(is, x -> transform(is, " +
+        "filter(flatten(transform(ks, x -> transform(ks, " +
           "y -> struct(x AS item_a, y AS item_b)))), " +
           "p -> p.item_a < p.item_b)")).as("p"))
       .groupBy(col("p.item_a").as("item_a"), col("p.item_b").as("item_b"))
