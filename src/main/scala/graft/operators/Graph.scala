@@ -38,7 +38,9 @@ object Graph {
     // the edge list feeds BOTH the degree aggregation and the keyed
     // join below — checkpoint it so the (usually expensive) upstream
     // pair generation runs once, not twice
-    val e = edges.cutLineage()
+    // cache under the cut (see ClusterDedup): re-invocations fill the
+    // checkpoint from one materialization of the pair generator
+    val e = edges.cache().cutLineage()
     val deg = e
       .select(explode(array(col("id_a"), col("id_b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -115,7 +117,7 @@ object Graph {
     // itself stays lazy: re-reading local checkpoint blocks is cheap,
     // while a second eager checkpoint materialization measurably
     // dominated this operator at small edge counts.
-    val e0 = edges.select(col("id_a"), col("id_b")).cutLineage()
+    val e0 = edges.select(col("id_a"), col("id_b")).cache().cutLineage()
     val sym =
       if (directed) e0
       else e0.unionByName(

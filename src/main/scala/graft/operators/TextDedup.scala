@@ -617,7 +617,7 @@ object TextDedup {
     // the signature computation above it (tokenize + 32 weighted bit
     // sums over the corpus) is the expensive part — without the
     // checkpoint it runs once per side
-    val sigs = simhash(docs, idCol, textCol).cutLineage()
+    val sigs = simhash(docs, idCol, textCol).cache().cutLineage()
     val bands = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

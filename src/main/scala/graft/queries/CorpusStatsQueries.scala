@@ -224,7 +224,7 @@ object CorpusStatsQueries {
     // it the blocked pair join runs once per branch
     val edges = Similarity.cosinePairsBlocked(embs(spark, dir), PrTau)
       .select(col("id_a"), col("id_b"))
-      .cutLineage()
+      .cache().cutLineage()
     val deg = edges.select(col("id_a").as("node"))
       .unionAll(edges.select(col("id_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -1392,7 +1392,7 @@ object CorpusStatsQueries {
     val kept = canonicalVerdictsFromBase(base)
       .filter(col("kept") && col("quality_score") >= QualityGate)
       .select(col("doc_id"))
-      .cutLineage()
+      .cache().cutLineage()
     val train = base.select(col("doc_id"), col("lang")).join(kept, "doc_id")
       .withColumn("split", TF.splitAssign(col("doc_id")))
       .filter(col("split") === "train")

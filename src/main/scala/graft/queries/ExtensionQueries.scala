@@ -634,7 +634,7 @@ object ExtensionQueries {
 
   private def q26SimhashAlt(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Lineage.LineageOps
-    val sigs = TextDedup.simhash(docs(spark, dir)).cutLineage()
+    val sigs = TextDedup.simhash(docs(spark, dir)).cache().cutLineage()
     val perBand = (0 until 4).map { b =>
       val keyed = sigs.select(col("id"), col("simhash"),
         shiftright(col("simhash"), b * 8).bitwiseAND(255).as("key"))

@@ -421,7 +421,7 @@ object FeatureQueries {
         row_number().over(Window.partitionBy(col("source")).orderBy(col("u"))))
       .filter(col("rn") <= KovK)
       .select(col("source"), col("u"))
-      .cutLineage()
+      .cache().cutLineage()
     val est = syn.groupBy(col("source"))
       .agg(count(lit(1)).as("nd"), max(col("u")).as("hk"))
       .select(col("source"),

@@ -418,7 +418,7 @@ object LakehouseQueries {
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         posexplode(TF.shinglesFromTokens(col("toks"), SpanL)).as(Seq("pos", "g")))
-      .cutLineage()
+      .cache().cutLineage()
     val dup = t.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
@@ -477,7 +477,7 @@ object LakehouseQueries {
     val t = base
       .select(col("doc_id"),
         posexplode(TF.shinglesFromTokens(col("toks"), SpanL)).as(Seq("pos", "g")))
-      .cutLineage()
+      .cache().cutLineage()
     val dup = t.groupBy(col("g"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2)
